@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is the test harness; the configs are chosen so the same plans
+scale to a multi-executor cluster:
+
+* AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  at 100 TB the static ``shuffle.partitions`` is always wrong, AQE
+  re-plans from real map-output sizes.
+* ``spark.sql.session.timeZone=UTC`` — the reference's timestamps are
+  UTC (hfp `tst` field) and the DuckDB oracle is UTC-naive.
+* Arrow enabled — every Python-side operator here uses Pandas UDFs /
+  mapInPandas (Arrow batches), never row-at-a-time UDFs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "transitdata-hfp-deduplicator-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
