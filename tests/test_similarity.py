@@ -1,0 +1,108 @@
+"""Near-dup + ANN operator quality: the approximate paths (LSH, IVF,
+SimHash) are judged against their exact counterparts — approximate
+operators without a measured recall are not 'done'."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transitdata_hfp_deduplicator_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash_pairs,
+)
+from transitdata_hfp_deduplicator_spark.tables import table
+
+
+def test_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    exact = {
+        (r.i, r.j) for r in jaccard_pairs(d, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.i, r.j)
+        for r in minhash_lsh_pairs(
+            d, num_hashes=16, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert lsh <= exact, "LSH verification must kill all false positives"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} too low for J>=0.5 pairs"
+
+
+def test_minhash_signature_similarity_estimate(spark, sf_dir):
+    """For a high-Jaccard pair, signature agreement should be high."""
+    d = table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, threshold=0.8).limit(1).collect()
+    if not pairs:
+        return
+    i, j = pairs[0].i, pairs[0].j
+    sigs = minhash_signatures(d, num_hashes=16).filter(
+        F.col("doc_id").isin(i, j)
+    ).collect()
+    a, b = sigs[0], sigs[1]
+    agree = sum(1 for k in range(16) if a[f"mh_{k}"] == b[f"mh_{k}"])
+    assert agree >= 8, f"signature agreement {agree}/16 too low for J>=0.8"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = simhash_pairs(d, max_hamming=3)
+    for r in pairs.collect():
+        assert r.hamming <= 3
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """The driver's `embeddings` table is isotropic noise (labels are not
+    cosine clusters — verified intra==inter similarity), so IVF recall is
+    meaningless there.  On clusterable data the cell-probe path must
+    recover nearly all true neighbours."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(10, 32)) * 5
+    rows = []
+    for i in range(500):
+        c = i % 10
+        v = centers[c] + rng.normal(size=32)
+        rows.append((i, [float(x) for x in v], c))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.item_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r.q_id, r.item_id) for r in ivf_topk(e, q, k=5, nprobe=2).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"IVF nprobe=2 recall {recall} on clustered data"
+
+
+def test_ivf_subset_of_probed_cells(spark, sf_dir):
+    """On any data, IVF results must be correctly ranked within the
+    probed cells (internal consistency)."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(e, q, k=5, nprobe=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append((r.rank, r.cos_sim))
+    for q_id, rows in by_q.items():
+        rows.sort()
+        sims = [s for _, s in rows]
+        assert sims == sorted(sims, reverse=True), f"rank order broken for {q_id}"
+
+
+def test_cosine_topk_self_is_rank_one(spark, sf_dir):
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = cosine_topk(e, q, k=1).collect()
+    for r in top:
+        assert r.item_id == r.q_id, "a vector's nearest neighbour is itself"
+        assert abs(r.cos_sim - 1.0) < 1e-5

@@ -51,6 +51,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
         return problems
     if problems:
         return problems
+    for c in spark_pdf.columns:
+        sd, dd = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        if sd != dd:
+            problems.append(f"DTYPE col {c}: spark={sd} duck={dd}")
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c].tolist(), d[c].tolist()

@@ -1,0 +1,53 @@
+"""Vector column functions over ``array<float|double>`` embeddings.
+
+All pure column expressions (`zip_with`/`aggregate` fold element-wise in
+array order), so results are deterministic and bit-reproducible across
+engines — required for oracle checks and good for 100 TB (JVM codegen,
+no Python round-trip).  For very wide vectors (>4k dims) a Pandas-UDF
+BLAS path would win; at embedding widths (64-4096) the fold is fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    c = F.col(vec) if isinstance(vec, str) else vec
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """dot/(|a|*|b|) — written exactly this way (not sqrt(na*nb)) so the
+    DuckDB oracle can mirror the float op order bit-for-bit."""
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def l2_distance(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def scale(a: Column, s: Column | float) -> Column:
+    s_c = F.lit(s) if isinstance(s, (int, float)) else s
+    return F.transform(a, lambda x: x * s_c)
+
+
+def add(a: Column, b: Column) -> Column:
+    return F.zip_with(a, b, lambda x, y: x + y)

@@ -314,8 +314,8 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_brand").alias("brand_u"),
         F.substring("p_name", 1, 8).alias("name8"),
-        F.length("p_name").alias("name_len"),
-        F.instr(F.col("p_type"), "BRASS").alias("brass_pos"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.instr(F.col("p_type"), "BRASS").cast("bigint").alias("brass_pos"),
         F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
         F.trim(F.replace(F.col("p_name"), F.lit("a"), F.lit(" "))).alias("name_repl"),
         F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
@@ -328,11 +328,11 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-           CAST(year(ts) AS INT) AS y,
-           CAST(month(ts) AS INT) AS m,
-           CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(year(ts) AS BIGINT) AS y,
+           CAST(month(ts) AS BIGINT) AS m,
+           CAST(dayofweek(ts) AS BIGINT) AS dow,
            epoch_ms(ts) AS ts_ms,
-           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS days_since,
+           CAST(date_diff('day', CAST(ts AS DATE), DATE '2024-01-01') * -1 AS BIGINT) AS days_since,
            strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
     FROM events
     """,
@@ -343,13 +343,11 @@ def q_scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
-        F.year("ts").alias("y"),
-        F.month("ts").alias("m"),
-        (F.dayofweek("ts") - 1).alias("dow"),
+        F.year("ts").cast("bigint").alias("y"),
+        F.month("ts").cast("bigint").alias("m"),
+        (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
         F.unix_millis("ts").alias("ts_ms"),
-        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
-            "days_since"
-        ),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).cast("bigint").alias("days_since"),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
     )
 
@@ -638,10 +636,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderpriority",
         "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
     )
 
 
@@ -703,7 +701,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "o_orderkey",
             "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rn") <= 5)
     )
@@ -738,4 +736,367 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "sum_qty",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north star; SURVEY.md §7 step 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+        FROM documents
+    )
+    SELECT token,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS df
+    FROM tok
+    WHERE token <> ''
+    GROUP BY token
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency via tokenize + explode."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(TXT.tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS total_tokens,
+           round(CAST(SUM(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+    return d.groupBy("lang").agg(
+        n.alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(TXT.token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+        F.round(F.sum("n_chars") / n, 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang,
+               len(string_split(lower(trim(text)), ' ')) AS n_tok,
+               length(text) AS n_ch,
+               length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS sw_hits
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tok,
+           round(CAST(n_alpha AS DOUBLE) / nullif(n_ch, 0), 6) AS alpha_ratio,
+           round(CAST(sw_hits AS DOUBLE) / nullif(n_tok, 0), 6) AS stopword_ratio,
+           round(0.3 * (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END)
+                 + 0.3 * coalesce(CAST(n_alpha AS DOUBLE) / nullif(n_ch, 0), 0.0)
+                 + 0.2 * (CASE WHEN CAST(n_ch AS DOUBLE) / nullif(n_tok, 0)
+                               BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.25 END)
+                 + 0.2 * (CASE WHEN CAST(sw_hits AS DOUBLE) / nullif(n_tok, 0) > 0.01
+                               THEN 1.0 ELSE 0.5 END), 6) AS quality
+    FROM q
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length/alpha/stopword heuristics)."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.round(
+            F.length(F.regexp_replace("text", r"[^A-Za-zÀ-ÿ]", ""))
+            / F.nullif(F.length("text"), F.lit(0)),
+            6,
+        ).alias("alpha_ratio"),
+        F.round(TXT.stopword_ratio(toks, "en"), 6).alias("stopword_ratio"),
+        TXT.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting + exact-duplicate grouping on the digest —
+    the documents-table analog of the reference's payload hash (A4)."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(TXT.fingerprint(F.col("text"), "md5").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@query("q_text_lang_id")
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-id (stopword-hit argmax; functions/text.py).
+    Rows-only: the heuristic's argmax-over-structs isn't worth porting
+    to SQL — determinism is covered by unit tests."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.tokenize(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        TXT.lang_id(toks).alias("detected_lang"),
+        TXT.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate families (north star)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_minhash_simdup",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j, inter,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM inter
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON i = sa.doc_id
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON j = sb.doc_id
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    """,
+)
+def q_minhash_simdup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard near-dup pairs (J >= 0.5) — the
+    ground-truth the MinHash/LSH path approximates."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+@query(
+    "q_minhash_signature",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    )
+    SELECT doc_id,
+           list_min(list_transform(shingles,
+               s -> ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT)) AS mh_0,
+           list_min(list_transform(shingles,
+               s -> ('0x' || substr(md5('1|' || s), 1, 15))::BIGINT)) AS mh_1,
+           list_min(list_transform(shingles,
+               s -> ('0x' || substr(md5('2|' || s), 1, 15))::BIGINT)) AS mh_2,
+           list_min(list_transform(shingles,
+               s -> ('0x' || substr(md5('3|' || s), 1, 15))::BIGINT)) AS mh_3
+    FROM sh
+    """,
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes shown; engine default 16) — md5-based
+    hash family so the signature bytes are engine-independent, the same
+    externalizability the reference pinned seed 42 for
+    (Deduplicator.java:27-28)."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_signatures,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures(d, "doc_id", "text", shingle_n=3, num_hashes=4)
+
+
+@query("q_dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, exact-Jaccard verified —
+    the 100 TB near-dup plan (signatures map-only; shuffle keys are
+    band buckets). Rows-only: LSH false-negative tail is probabilistic
+    by design; recall vs exact Jaccard is asserted in tests."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=8, threshold=0.5
+    )
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over 64-bit token-majority
+    hashes; pigeonhole chunk join = exact recall for d<=3)."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (north star)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_cosine",
+    oracle="""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+               FROM embeddings WHERE vec_id % 100 = 0),
+         scored AS (
+             SELECT q.q_id, e.vec_id AS item_id,
+                    round(list_dot_product(e.embedding::DOUBLE[], q.q_vec)
+                          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                             * sqrt(list_dot_product(q.q_vec, q.q_vec))), 6) AS cos_sim
+             FROM embeddings e CROSS JOIN q
+         )
+    SELECT q_id, item_id, cos_sim, rank FROM (
+        SELECT q_id, item_id, cos_sim,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY cos_sim DESC, item_id) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for every 100th vector as query set —
+    the exact baseline ANN answers are judged against."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return cosine_topk(e, q, k=5)
+
+
+@query("q_embed_ann_ivf")
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: label-cell centroids, nprobe=3 — the scale path
+    (each query scans nprobe/ncells of the data). Rows-only; recall vs
+    q_embed_cosine asserted in tests."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(e, q, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# Array / map surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_array_ops",
+    oracle="""
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           round(embedding[1]::DOUBLE, 6) AS first_elem,
+           round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 6) AS sq_norm,
+           round(list_max(embedding::DOUBLE[]), 6) AS max_elem,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+)
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function surface: transform/aggregate/filter/element_at."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at(vec, 1), 6).alias("first_elem"),
+        F.round(
+            F.aggregate(
+                F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(F.array_max(vec), 6).alias("max_elem"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+    )
+
+
+@query(
+    "q_map_ops",
+    oracle="""
+    SELECT event_id,
+           CAST(cardinality(MAP {'k': CAST(json_extract(props, '$.k') AS BIGINT),
+                            'k2': CAST(json_extract(props, '$.k') AS BIGINT) * 2}) AS BIGINT) AS n_keys,
+           MAP {'k': CAST(json_extract(props, '$.k') AS BIGINT)}['k'][1] AS k_val,
+           array_to_string(map_keys(MAP {'k': 1, 'k2': 2}), ',') AS key_list
+    FROM events
+    """,
+)
+def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function surface (the properties-envelope analog, §1.1)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    m2 = F.create_map(F.lit("k"), k, F.lit("k2"), k * 2)
+    m1 = F.create_map(F.lit("k"), k)
+    mk = F.create_map(F.lit("k"), F.lit(1), F.lit("k2"), F.lit(2))
+    return ev.select(
+        "event_id",
+        F.size(m2).cast("bigint").alias("n_keys"),
+        F.element_at(m1, "k").alias("k_val"),
+        F.array_join(F.map_keys(mk), ",").alias("key_list"),
     )
