@@ -1100,3 +1100,252 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m1, "k").alias("k_val"),
         F.array_join(F.map_keys(mk), ",").alias("key_list"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming (reference parity — SURVEY.md §7 step 5) + UDF + multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_stream",
+    oracle="""
+    SELECT DISTINCT user_id, event_type, props FROM events
+    """,
+)
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-wins dedup: file-source replay of `events` →
+    watermark(4h) → dropDuplicatesWithinWatermark on the payload digest
+    (the reference hot path, Deduplicator.java:43-66, on Spark's state
+    store). Emits the identity columns — the surviving *metadata* row
+    depends on intra-batch arrival order, exactly like the reference's
+    'first' depends on consume order; the identity SET is deterministic
+    and oracle-checked."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        run_to_memory,
+        stream_dedup,
+    )
+
+    stream = parquet_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    deduped = stream_dedup(stream, EVENT_IDENTITY, "ts", ttl="4 hours")
+    out = run_to_memory(deduped, output_mode="append")
+    return out.select("user_id", "event_type", "props").distinct()
+
+
+@query(
+    "q_window_tumbling_stream",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (A9 in event time):
+    1-minute windows over the replayed stream, complete output mode."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        run_to_memory,
+    )
+
+    stream = parquet_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= 300000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sessioned AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts)) AS last_event_ms,
+           count(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute gap) per user — `session_window` in
+    batch; the oracle reproduces the gap semantics with lag+cumsum."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("first_ts").alias("session_start_ms"),
+            F.unix_millis("last_ts").alias("last_event_ms"),
+            "n_events",
+        )
+    )
+
+
+@query("q_late_data")
+def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-as-TTL semantics (empirical Spark 4.1 contract,
+    pinned in tests/test_streaming.py): the watermark does NOT filter
+    late input rows — it expires dedup state, so a duplicate arriving
+    after its key's state eviction is RE-EMITTED.  That is precisely
+    the reference's cache-forgetting behavior (Deduplicator.java:36-40)
+    bounded by time as its cacheTTL config intended.  This query
+    replays events as two ordered files (old half, then recent half;
+    maxFilesPerTrigger=1) with a 4h TTL and returns the identities
+    emitted MORE THAN ONCE — the TTL re-emissions.  Rows-only: the
+    re-emission set depends on micro-batch boundaries, not on any SQL."""
+    import os
+    import tempfile
+    import time
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        run_to_memory,
+        stream_dedup,
+    )
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    cutoff = mn + (mx - mn) / 2
+    tmp = tempfile.mkdtemp(prefix="late_data_")
+    old, recent = os.path.join(tmp, "f0"), os.path.join(tmp, "f1")
+    ev.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(old)
+    ev.filter(F.col("ts") >= cutoff).coalesce(1).write.parquet(recent)
+    # file source orders batches by modification time: old half first
+    now = time.time()
+    for i, d in enumerate((old, recent)):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now + i, now + i))
+    stream = parquet_stream(spark, tmp + "/*", max_files_per_trigger=1)
+    deduped = stream_dedup(stream, EVENT_IDENTITY, "ts", ttl="4 hours")
+    out = run_to_memory(deduped, output_mode="append")
+    return (
+        out.groupBy("user_id", "event_type", "props")
+        .agg(F.count(F.lit(1)).alias("n_emits"))
+        .filter(F.col("n_emits") > 1)
+    )
+
+
+@query(
+    "q_udf_surface",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total,
+           round(median(value), 6) AS med
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python extension surface: grouped applyInPandas (Arrow
+    batches). The kernel sums via Decimal (order-independent, matching
+    the engine's dsum convention) — demonstrating that even Python
+    operators keep the determinism contract."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["value"].to_numpy()
+        vals.sort()
+        total = float(sum(Decimal(f"{v:.4f}") for v in vals))
+        import numpy as np
+
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(vals)],
+                "total": [total],
+                "med": [round(float(np.median(vals)), 6)],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, "user_id long, n long, total double, med double"
+    )
+
+
+@query(
+    "q_multimodal_bytes",
+    oracle="""
+    SELECT doc_id,
+           octet_length(text::BLOB) AS n_bytes,
+           md5(text) AS digest,
+           CAST(ceil(octet_length(text::BLOB) / 256.0) AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column stats (pre-decode pass of the multimodal
+    pipeline): byte length, digest, chunk count — documents' text bytes
+    stand in for media content."""
+    from transitdata_hfp_deduplicator_spark.operators.multimodal import (
+        byte_stats,
+        media_from_binary,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_binary(d, "doc_id", "text", "text")
+    stats = byte_stats(media, "content")
+    return stats.select(
+        F.col("media_id").alias("doc_id"), "n_bytes", "digest", "n_chunks"
+    )
+
+
+@query("q_multimodal_decode")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal plumbing: binary envelope → mapInPandas decode
+    (deterministic fake codec; NotImplementedError seam for real ones)
+    → frame sampling. Rows-only (the fake codec is engine-internal)."""
+    from transitdata_hfp_deduplicator_spark.operators.multimodal import (
+        decode_media,
+        frame_sample,
+        media_from_binary,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_binary(d, "doc_id", "text", "video")
+    decoded = decode_media(media)
+    return frame_sample(decoded, every_nth=2).select(
+        "media_id", "width", "height", "n_frames", "frame_idx"
+    )

@@ -1,0 +1,70 @@
+"""Structured-Streaming harness utilities.
+
+`parquet_stream` replays a parquet table as a file-source stream (the
+test stand-in for the Pulsar/Kafka source — same micro-batch execution,
+same state-store codepath).  `run_to_memory` drives a streaming
+DataFrame synchronously to completion (trigger availableNow) into a
+memory sink and returns the materialized result — the pattern the
+reference's integration tests use (send corpus, await output,
+compare — ITDeduplicatorTest.java:54-55,103-112).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def parquet_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over parquet path(s), with the same
+    TIMESTAMP(NANOS) handling as the batch loader (tables.read_parquet).
+    """
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if os.path.isfile(path):
+        # the file source requires a directory; symlink, don't copy
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    batch = spark.read.parquet(path)  # schema probe (streaming needs explicit schema)
+    reader = spark.readStream.schema(batch.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(path)
+    # convert nanos-as-long ts columns exactly like the batch loader
+    converted = read_parquet(spark, path)
+    for name, field in zip(converted.schema.fieldNames(), converted.schema.fields):
+        if str(batch.schema[name].dataType) != str(field.dataType):
+            sdf = sdf.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
+    return sdf
+
+
+def run_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    name: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion into a memory sink;
+    returns the result as a batch DataFrame."""
+    spark = sdf.sparkSession
+    name = name or f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -63,9 +63,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         ]
     except Exception:  # noqa: BLE001 - fall back to raw read
         pass
+    from pyspark.sql.types import LongType
+
     df = spark.read.parquet(path)
     for c in nanos_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # guard: Spark-written INT96 timestamps also probe as
+        # timestamp[ns] in pyarrow but Spark reads them as TIMESTAMP
+        # already — only convert what actually came back as raw int64
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
