@@ -47,12 +47,20 @@ def bpe_ish_token_count(text: Column | str) -> Column:
 def shingles(tokens: Column, n: int = 3) -> Column:
     """Distinct n-token shingles of a token array (order-preserving
     join with single spaces). Empty array when the doc is shorter than
-    ``n`` tokens."""
-    make = F.transform(
-        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
-        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    ``n`` tokens.
+
+    Built from n shifted slices zipped together — O(n) array copies per
+    document.  (The obvious transform(sequence(...), i -> slice(toks,
+    i, n)) is O(len²): one slice allocation per position.)
+    """
+    length = F.size(tokens) - (n - 1)
+    parts = [F.slice(tokens, F.lit(k + 1), length) for k in range(n)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.zip_with(joined, p, lambda x, y: F.concat(x, F.lit(" "), y))
+    return F.array_distinct(
+        F.when(F.size(tokens) >= n, joined).otherwise(F.array().cast("array<string>"))
     )
-    return F.array_distinct(F.when(F.size(tokens) >= n, make).otherwise(F.array()))
 
 
 def stopword_hits(tokens: Column, lang: str) -> Column:
