@@ -1,0 +1,79 @@
+"""Plan-shape regression tests: the properties that matter at 100 TB.
+
+A query that returns correct rows but reads every column, skips the
+broadcast, or loses its map-side combine is a perf bug — these tests
+pin the plan, not just the answer (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from transitdata_hfp_deduplicator_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_partial_aggregation,
+    assert_pushed_filter,
+    physical_plan,
+    read_schema_columns,
+)
+from transitdata_hfp_deduplicator_spark.queries import QUERIES
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    df = QUERIES["q_scan_project"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert "l_orderkey" in cols
+    assert "l_comment" not in cols
+    # 11-column lineitem: the 5-column projection must not read more
+    # than the columns it uses
+    assert len(cols) <= 5, f"scan reads too many columns: {cols}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = QUERIES["q_filter_pred"](spark, sf_dir)
+    assert_pushed_filter(df, "l_shipdate")
+    assert_pushed_filter(df, "In(l_returnflag")
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    df = QUERIES["q_join_broadcast"](spark, sf_dir)
+    assert_broadcast_join(df, expect=2)  # customer AND nation
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, "dims must not shuffle the fact side"
+
+
+def test_multiway_join_broadcasts_dims(spark, sf_dir):
+    df = QUERIES["q_join_multiway"](spark, sf_dir)
+    assert_broadcast_join(df, expect=3)  # customer, nation, region
+    assert_partial_aggregation(df)
+
+
+def test_agg_hash_partial_aggregation(spark, sf_dir):
+    df = QUERIES["q_agg_hash"](spark, sf_dir)
+    assert_partial_aggregation(df)
+    cols = read_schema_columns(df)
+    assert "l_orderkey" not in cols, "agg should not read unused key columns"
+
+
+def test_dedup_exact_partial_aggregation(spark, sf_dir):
+    """The dedup groupBy(min(struct)) formulation exists precisely for
+    the map-side combine — verify it's in the plan."""
+    df = QUERIES["q_dedup_exact"](spark, sf_dir)
+    assert_partial_aggregation(df)
+
+
+def test_range_join_no_cartesian(spark, sf_dir):
+    df = QUERIES["q_join_theta_range"](spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = physical_plan(df)
+    assert "NestedLoop" not in plan, "equi prefix must carry the join"
+
+
+def test_sort_limit_is_topk(spark, sf_dir):
+    df = QUERIES["q_sort_limit"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan, "limit+sort must plan top-k, not global sort"
+
+
+def test_similarity_pair_joins_no_cartesian(spark, sf_dir):
+    for q in ("q_minhash_simdup", "q_dedup_simhash", "q_dedup_minhash_lsh"):
+        assert_no_cartesian(QUERIES[q](spark, sf_dir))

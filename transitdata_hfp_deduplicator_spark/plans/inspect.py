@@ -1,0 +1,70 @@
+"""Physical-plan inspection helpers.
+
+The engine's scale posture is enforced, not hoped for: tests assert the
+plan properties that matter at 100 TB — predicate pushdown reached the
+parquet scan, column pruning narrowed ReadSchema, dimension joins went
+broadcast, aggregates got a map-side partial pass, and nothing planned
+a cartesian product.  (SURVEY.md §4: every one of these is Catalyst's
+job; these helpers verify we didn't accidentally write a plan shape
+that defeats it.)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The query's physical plan as a string (explain() only prints)."""
+    qe = df._jdf.queryExecution()
+    try:
+        return df.sparkSession._jvm.PythonSQLUtils.explainString(qe, mode)
+    except Exception:  # noqa: BLE001 - older API fallback
+        return qe.executedPlan().toString()
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    plan = physical_plan(df)
+    pushed = "\n".join(
+        line for line in plan.splitlines() if "PushedFilters" in line
+    )
+    assert fragment in pushed, (
+        f"expected {fragment!r} in PushedFilters; got: {pushed or '(none)'}"
+    )
+
+
+def read_schema_columns(df: DataFrame) -> set[str]:
+    """Column names the parquet scan actually reads (union over scans)."""
+    plan = physical_plan(df)
+    cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        for part in m.group(1).split(","):
+            name = part.split(":")[0].strip()
+            if name:
+                cols.add(name)
+    return cols
+
+
+def assert_broadcast_join(df: DataFrame, expect: int = 1) -> None:
+    plan = physical_plan(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= expect, f"expected >={expect} BroadcastHashJoin, found {n}\n{plan[:2000]}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = physical_plan(df)
+    assert "CartesianProduct" not in plan, "plan contains a cartesian product"
+
+
+def assert_partial_aggregation(df: DataFrame) -> None:
+    """Aggregation has a map-side partial pass (partial before final) —
+    the thing that keeps a 2x-duplicated 100 TB stream from shuffling
+    every row."""
+    plan = physical_plan(df)
+    has_partial = (
+        "partial_" in plan
+        or re.search(r"HashAggregate.*\n(.|\n)*HashAggregate", plan) is not None
+    )
+    assert has_partial, f"no partial aggregation found:\n{plan[:2000]}"

@@ -1349,3 +1349,86 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(decoded, every_nth=2).select(
         "media_id", "width", "height", "n_frames", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Coverage extras: pivot, approximate aggregates, UDTF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) FILTER (l_linestatus = 'O') AS DOUBLE) AS qty_O,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) FILTER (l_linestatus = 'F') AS DOUBLE) AS qty_F,
+           count(*) FILTER (l_linestatus = 'O') AS n_O,
+           count(*) FILTER (l_linestatus = 'F') AS n_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation). Explicit pivot values so
+    the plan is a single-pass aggregate — an unvalued pivot() triggers
+    an extra distinct-scan of the pivot column."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            dsum(F.col("l_quantity")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O_qty").alias("qty_O"),
+        F.col("F_qty").alias("qty_F"),
+        F.col("O_n").alias("n_O"),
+        F.col("F_n").alias("n_F"),
+    )
+
+
+@query("q_agg_approx")
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates: HLL++ distinct counts and quantile
+    sketches — the sketch family every 100 TB pipeline leans on when
+    exact distinct/quantile shuffles are unaffordable. Rows-only (HLL
+    and GK sketches are engine-specific by construction); accuracy
+    bounds asserted in tests."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx(
+            "l_quantity", [0.25, 0.5, 0.75, 0.99], 10000
+        ).alias("qty_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("q_udtf")
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function, Spark 3.5+): explodes each document
+    into per-sentence-chunk rows with offsets — the row-generating
+    extension surface (the scalar/agg surfaces live in q_udf_surface).
+    Rows-only; semantics pinned by tests."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str, chunk_tokens: int):
+            toks = text.split()
+            for i in range(0, len(toks), chunk_tokens):
+                chunk = toks[i : i + chunk_tokens]
+                yield doc_id, i // chunk_tokens, " ".join(chunk), len(chunk)
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT c.* FROM __docs_for_udtf d, "
+        "LATERAL chunk_doc(d.doc_id, d.text, 32) c"
+    )
