@@ -1432,3 +1432,116 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c.* FROM __docs_for_udtf d, "
         "LATERAL chunk_doc(d.doc_id, d.text, 32) c"
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator + canonicalization (reference A3, A5+A9 online)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dup_stats_stream",
+    oracle="""
+    WITH tagged AS (
+        SELECT ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type, props
+                   ORDER BY ts, event_id) AS rn,
+               epoch_ms(ts) - min(epoch_ms(ts)) OVER (
+                   PARTITION BY user_id, event_type, props) AS delay_ms
+        FROM events
+    )
+    SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_start,
+           count(*) FILTER (rn = 1) AS primes,
+           count(*) FILTER (rn > 1) AS duplicates,
+           CAST(sum(delay_ms) FILTER (rn > 1) AS BIGINT) AS sum_delay_ms
+    FROM tagged
+    GROUP BY 1
+    """,
+)
+def q_dup_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL hot path online: custom stateful operator
+    (applyInPandasWithState) tags every message prime/duplicate with
+    its elapsed-since-first delay (Deduplicator.java:43-66), then the
+    tumbling window computes the analytics metric set (Analytics.java:
+    47-67) — and the result hash-matches the batch oracle."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        run_to_memory,
+    )
+    from transitdata_hfp_deduplicator_spark.streaming.stateful import dedup_tag_stream
+
+    stream = parquet_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    # 30-day TTL >> the corpus span: no evictions during replay, so the
+    # online result is comparable to the batch (infinite-cache) oracle
+    tagged = dedup_tag_stream(
+        stream, EVENT_IDENTITY, "ts", ttl_ms=30 * 24 * 3600 * 1000
+    )
+    out = run_to_memory(tagged, output_mode="append")
+    return (
+        out.groupBy(
+            (F.col("ts_ms") - (F.col("ts_ms") % 60000)).alias("win_ms")
+        )
+        .agg(
+            F.count_if(F.col("is_prime")).alias("primes"),
+            F.count_if(~F.col("is_prime")).alias("duplicates"),
+            F.sum(F.when(~F.col("is_prime"), F.col("delay_ms"))).alias(
+                "sum_delay_ms"
+            ),
+        )
+        .select(
+            (F.col("win_ms") / 1000).cast("bigint").alias("window_start"),
+            "primes",
+            "duplicates",
+            "sum_delay_ms",
+        )
+    )
+
+
+@query("q_canonical_dedup")
+def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization (A3) end-to-end: each event is wire-encoded as a
+    protobuf-shaped envelope in a per-row-scrambled field order, then
+    canonicalized (sorted field re-emit) and deduped on the canonical
+    digest — proving identity is independent of serialization order,
+    the exact property Deduplicator.java:69 re-encodes for. Rows-only:
+    the wire bytes are engine-internal; semantics pinned in
+    tests/test_canonicalize.py."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from transitdata_hfp_deduplicator_spark.operators.canonicalize import (
+        _write_varint,
+        with_canonical_payload,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fields_of(r):
+            f1 = b"\x08" + _write_varint(int(r.user_id))
+            et = r.event_type.encode()
+            f2 = b"\x12" + _write_varint(len(et)) + et
+            pr = r.props.encode()
+            f3 = b"\x1a" + _write_varint(len(pr)) + pr
+            fields = [f1, f2, f3]
+            rot = int(r.event_id) % 3  # deterministic per-row scramble
+            return b"".join(fields[rot:] + fields[:rot])
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "value": [fields_of(r) for r in pdf.itertuples()],
+                }
+            )
+
+    enveloped = ev.mapInPandas(encode, "event_id long, value binary")
+    canon = with_canonical_payload(enveloped)
+    return (
+        canon.groupBy(F.sha2("canonical", 256).alias("identity"))
+        .agg(F.count(F.lit(1)).alias("n_msgs"), F.min("event_id").alias("first_id"))
+    )
