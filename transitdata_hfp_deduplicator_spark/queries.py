@@ -1545,3 +1545,102 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon.groupBy(F.sha2("canonical", 256).alias("identity"))
         .agg(F.count(F.lit(1)).alias("n_msgs"), F.min("event_id").alias("first_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HFP golden parity + sliding windows + unpivot
+# ---------------------------------------------------------------------------
+
+HFP_CORPUS = "/root/reference/src/integration-test/resources/hfp-5000.txt"
+
+
+@query(
+    "q_hfp_golden",
+    oracle=r"""
+    WITH lines AS (
+        SELECT column0 AS line
+        FROM read_csv('/root/reference/src/integration-test/resources/hfp-5000.txt',
+                      sep=e'\x01', header=false, quote='',
+                      columns={'column0': 'VARCHAR'})
+    ),
+    parsed AS (
+        SELECT trim(substr(line, instr(line, ' ') + 1,
+                    instr(line, '{') - instr(line, ' ') - 1)) AS topic,
+               substr(line, instr(line, '{')) AS payload
+        FROM lines
+    )
+    SELECT count(*) AS n_messages,
+           count(DISTINCT topic || ' ' || payload) AS n_unique,
+           count(DISTINCT topic) AS n_topics
+    FROM parsed
+    """,
+)
+def q_hfp_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's golden test as a declared query: parse the REAL
+    5000-message HFP corpus (first-space/first-brace rule,
+    ITDeduplicatorTest.java:138-148) and count uniques by
+    topic+payload identity — must be exactly 5000 -> 4956
+    (ITDeduplicatorTest.java:92-93). The oracle re-parses the same
+    file in SQL."""
+    from transitdata_hfp_deduplicator_spark.sources import hfp
+
+    corpus = hfp.read_corpus(spark, HFP_CORPUS)
+    ident = hfp.dedup_identity(corpus)
+    return ident.agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.countDistinct("identity").alias("n_unique"),
+        F.countDistinct("topic").alias("n_topics"),
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) - 60 * k.k AS window_start,
+           count(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM events, (SELECT unnest([0, 1, 2, 3, 4]) AS k) k
+    GROUP BY 1
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (5-minute window, 1-minute slide): each event
+    lands in 5 windows — Spark's window() with a slide; the oracle
+    replicates the assignment with an offset cross join."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes", "1 minute").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("win.start")).alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+           round(l_quantity, 4) AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', round(l_extendedprice, 4) FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', round(l_discount, 4) FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack(): one scan emitting 3 rows per
+    input row — no self-union, the table is read once."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(3, 'quantity', round(l_quantity, 4),"
+        " 'price', round(l_extendedprice, 4),"
+        " 'discount', round(l_discount, 4)) AS (measure, value)",
+    )
