@@ -29,12 +29,50 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from transitdata_hfp_deduplicator_spark.operators.dedup import payload_digest
 
 
+def _loop_keys(
+    pdf: pd.DataFrame, firsts: dict, hits: dict, ttl_ms: int
+) -> pd.DataFrame:
+    """Exact per-row path for keys whose rows span the TTL (rare):
+    enforces intra-batch TTL resets the vectorized path can't express.
+    Mutates firsts/hits in place."""
+    out_key, out_ts, out_prime, out_delay, out_hit = [], [], [], [], []
+    for k, ts_ms in zip(pdf["key"].tolist(), pdf["ts_ms"].tolist()):
+        ts_ms = int(ts_ms)
+        first = firsts.get(k)
+        if first is not None and ts_ms - first > ttl_ms:
+            first = None
+        if first is None:
+            firsts[k] = ts_ms
+            hits[k] = 1
+            out_key.append(k)
+            out_ts.append(ts_ms)
+            out_prime.append(True)
+            out_delay.append(None)
+            out_hit.append(1)
+        else:
+            hits[k] = hits.get(k, 0) + 1
+            out_key.append(k)
+            out_ts.append(ts_ms)
+            out_prime.append(False)
+            out_delay.append(ts_ms - first)
+            out_hit.append(hits[k])
+    return pd.DataFrame(
+        {
+            "key": out_key,
+            "ts_ms": out_ts,
+            "is_prime": out_prime,
+            "delay_ms": pd.array(out_delay, dtype="Int64"),
+            "hit_no": out_hit,
+        }
+    )
+
+
 def dedup_tag_stream(
     stream: DataFrame,
     identity_cols: Sequence[str],
     ts_col: str,
     ttl_ms: int = 4 * 3600 * 1000,
-    n_buckets: int = 256,
+    n_buckets: int = 128,
 ) -> DataFrame:
     """Tag a stream prime/duplicate with per-duplicate delay, statefully.
 
@@ -84,31 +122,56 @@ def dedup_tag_stream(
         firsts, hits = state.get if state.exists else ({}, {})
         firsts, hits = dict(firsts or {}), dict(hits or {})
         wm = state.getCurrentWatermarkMs()
-        out_key, out_ts, out_prime, out_delay, out_hit = [], [], [], [], []
+        frames = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts_ms", kind="mergesort")
-            for k, ts_ms in zip(pdf["key"].tolist(), pdf["ts_ms"].tolist()):
-                ts_ms = int(ts_ms)
-                first = firsts.get(k)
-                # row-wise event-time TTL (state eviction lags the
-                # watermark by a batch; semantics must not)
-                if first is not None and ts_ms - first > ttl_ms:
-                    first = None
-                if first is None:
-                    firsts[k] = ts_ms
-                    hits[k] = 1
-                    out_key.append(k)
-                    out_ts.append(ts_ms)
-                    out_prime.append(True)
-                    out_delay.append(None)
-                    out_hit.append(1)
-                else:
-                    hits[k] = hits.get(k, 0) + 1
-                    out_key.append(k)
-                    out_ts.append(ts_ms)
-                    out_prime.append(False)
-                    out_delay.append(ts_ms - first)
-                    out_hit.append(hits[k])
+            pdf = pdf[["key", "ts_ms"]].sort_values("ts_ms", kind="mergesort")
+            keys = pdf["key"]
+            ts = pdf["ts_ms"].astype("int64")
+            # vectorized common path: effective first = state first if the
+            # key is known, else the key's first (sorted) row this batch
+            state_first = keys.map(firsts)  # NaN for unknown keys
+            batch_first = ts.groupby(keys, sort=False).transform("min")
+            eff_first = state_first.fillna(batch_first).astype("int64")
+            span_resets = (ts - eff_first) > ttl_ms
+            if span_resets.any():
+                # rare: some key's rows span the TTL inside this batch (or
+                # against old state) — exact per-row loop for those keys only
+                frames.append(
+                    _loop_keys(
+                        pdf[keys.isin(set(keys[span_resets]))], firsts, hits, ttl_ms
+                    )
+                )
+                pdf = pdf[~keys.isin(set(keys[span_resets]))]
+                keys, ts = pdf["key"], pdf["ts_ms"].astype("int64")
+                state_first = keys.map(firsts)
+                batch_first = ts.groupby(keys, sort=False).transform("min")
+                eff_first = state_first.fillna(batch_first).astype("int64")
+            known = state_first.notna()
+            cum = ts.groupby(keys, sort=False).cumcount()
+            is_prime = (~known) & (cum == 0)
+            prev_hits = keys.map(hits).fillna(0).astype("int64")
+            hit_no = prev_hits + cum + 1
+            delay = (ts - eff_first).where(~is_prime)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": keys,
+                        "ts_ms": ts,
+                        "is_prime": is_prime,
+                        "delay_ms": delay.astype("Int64"),
+                        "hit_no": hit_no,
+                    }
+                )
+            )
+            # fold this batch into state (dict.update keeps older firsts
+            # out: only write keys that were unknown)
+            new_first = ts[is_prime]
+            for k, f in zip(keys[is_prime].tolist(), new_first.tolist()):
+                firsts[k] = int(f)
+            last_hit = hit_no.groupby(keys, sort=False).transform("max")
+            tail = ~keys.duplicated(keep="last")
+            for k, h in zip(keys[tail].tolist(), last_hit[tail].tolist()):
+                hits[k] = int(h)
         # prune entries the watermark has passed (can only suppress rows
         # that would be late anyway)
         if wm > 0:
@@ -118,13 +181,13 @@ def dedup_tag_stream(
                 hits.pop(k, None)
         state.update((firsts, hits))
         state.setTimeoutTimestamp(wm + ttl_ms + 1 if wm > 0 else ttl_ms)
-        yield pd.DataFrame(
+        yield pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(
             {
-                "key": out_key,
-                "ts_ms": out_ts,
-                "is_prime": out_prime,
-                "delay_ms": pd.array(out_delay, dtype="Int64"),
-                "hit_no": out_hit,
+                "key": pd.Series(dtype="object"),
+                "ts_ms": pd.Series(dtype="int64"),
+                "is_prime": pd.Series(dtype="bool"),
+                "delay_ms": pd.array([], dtype="Int64"),
+                "hit_no": pd.Series(dtype="int64"),
             }
         )
 
