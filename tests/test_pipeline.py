@@ -1,0 +1,93 @@
+"""Full-wiring tests: config env overrides, the Main.java-analog
+pipeline over the real corpus, and the error-path listener (A11)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitdata_hfp_deduplicator_spark.config import DedupConfig
+from transitdata_hfp_deduplicator_spark.pipeline import run_hfp_corpus_pipeline
+from transitdata_hfp_deduplicator_spark.sources import hfp
+
+CORPUS = "/root/reference/src/integration-test/resources/hfp-5000.txt"
+
+
+def test_config_defaults_and_env_override(monkeypatch):
+    cfg = DedupConfig()
+    assert cfg.cache_ttl_ms == 4 * 3600 * 1000  # environment.conf:24
+    assert cfg.duplicate_ratio_threshold == 0.97  # environment.conf:29
+    monkeypatch.setenv("APPLICATION_CACHE_TTL_SECONDS", "60")
+    monkeypatch.setenv("APPLICATION_ALERT_RATIO_THRESHOLD", "0.5")
+    cfg2 = DedupConfig()
+    assert cfg2.cache_ttl_ms == 60_000
+    assert cfg2.duplicate_ratio_threshold == 0.5
+
+
+@pytest.mark.skipif(not os.path.exists(CORPUS), reason="reference corpus absent")
+def test_full_pipeline_on_real_corpus(spark, tmp_path):
+    """Main-wiring parity: corpus in -> 4956 uniques out + alerting
+    stats, through the composed streaming pipeline."""
+    df = (
+        hfp.read_corpus(spark, CORPUS)
+        .withColumn(
+            "ts", F.to_timestamp("server_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSZ")
+        )
+        .select("topic", "payload", "ts")
+    )
+    src = str(tmp_path / "corpus")
+    df.coalesce(1).write.parquet(src)
+
+    received = []
+    uniques, stats = run_hfp_corpus_pipeline(
+        spark, src, on_alerts=lambda alerts, bid: received.extend(alerts)
+    )
+    assert uniques.count() == 4956  # ITDeduplicatorTest.java:92-93
+    totals = stats.agg(
+        F.sum("primes").alias("p"), F.sum("duplicates").alias("d")
+    ).collect()[0]
+    assert totals.p == 4956
+    assert totals.p + totals.d == 5000
+    # 0.88% duplicate corpus -> far below the 0.97 healthy band:
+    # every alerting window says FEED_DOWN (the reference would too)
+    assert received, "sub-threshold ratio must alert"
+    assert {a.alert for a in received} <= {"FEED_DOWN", "MORE_DUPLICATES_THAN_PRIMARIES"}
+
+
+def test_listener_captures_failure(spark, tmp_path):
+    from transitdata_hfp_deduplicator_spark.streaming.listener import (
+        DedupQueryListener,
+    )
+
+    failures = []
+    listener = DedupQueryListener(on_failure=lambda qid, exc: failures.append(exc))
+    spark.streams.addListener(listener)
+    try:
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(1, "x")], "id long, s string"
+        ).write.parquet(src)
+        stream = spark.readStream.schema("id long, s string").parquet(src)
+
+        def explode_in_batch(df, _):
+            raise RuntimeError("boom")
+
+        q = (
+            stream.writeStream.foreachBatch(explode_in_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception):
+            q.awaitTermination()
+        import time
+
+        for _ in range(40):  # listener events are async
+            if failures:
+                break
+            time.sleep(0.25)
+        assert failures and "boom" in failures[0]
+    finally:
+        spark.streams.removeListener(listener)

@@ -1,0 +1,96 @@
+"""The wired application — the reference's ``Main.java`` analog.
+
+Main.java:12-30 wires: config → Pulsar source → Analytics scheduler →
+Deduplicator → blocking message pump.  Here the same graph is one
+declarative composition: envelope stream → canonicalize → stateful
+dedup-with-metrics → (a) forward uniques to the sink, (b) tumbling
+dup-ratio analytics with alert routing.  Both branches hang off one
+tagged stream, so the engine reads the source once.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transitdata_hfp_deduplicator_spark.config import DedupConfig
+from transitdata_hfp_deduplicator_spark.streaming.analytics import (
+    stream_dup_stats,
+    with_alerts,
+)
+from transitdata_hfp_deduplicator_spark.streaming.stateful import dedup_tag_stream
+
+
+def build_dedup_pipeline(
+    envelope_stream: DataFrame,
+    config: DedupConfig | None = None,
+    identity_cols: tuple[str, ...] = ("value",),
+    ts_col: str = "event_time",
+) -> tuple[DataFrame, DataFrame]:
+    """Wire the full reference dataflow over any envelope stream.
+
+    Returns ``(uniques, stats)``:
+      * ``uniques`` — first-occurrence rows (key/ts/identity preserved),
+        ready for a sink (sinks.write_stream_parquet / a broker sink);
+      * ``stats`` — per-window primes/duplicates/ratio/avg-delay with
+        the alert column (Analytics.java:47-67 + :50-60).
+    """
+    config = config or DedupConfig()
+    # the stats branch chains two stateful operators (dedup tagging ->
+    # windowed agg); Spark's global-watermark check refuses that shape
+    # outright. Here the only rows the dedup op emits with event times
+    # behind the watermark are late INPUT rows, and the downstream
+    # window would classify them late by the same watermark — the
+    # outcome is identical to a single-operator pipeline, so the check
+    # is safely disabled for this composition.
+    envelope_stream.sparkSession.conf.set(
+        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false"
+    )
+    tagged = dedup_tag_stream(
+        envelope_stream,
+        list(identity_cols),
+        ts_col,
+        ttl_ms=config.cache_ttl_ms,
+    )
+    uniques = tagged.filter(F.col("is_prime")).drop("is_prime", "delay_ms")
+    stats = with_alerts(
+        stream_dup_stats(
+            tagged.withColumn("ts", F.timestamp_millis(F.col("ts_ms"))),
+            ts_col="ts",
+            window_duration=config.poll_interval,
+        ),
+        ratio_threshold=config.duplicate_ratio_threshold,
+        alert_on_threshold=config.alert_on_threshold,
+    )
+    return uniques, stats
+
+
+def run_hfp_corpus_pipeline(
+    spark: SparkSession,
+    corpus_parquet: str,
+    config: DedupConfig | None = None,
+    on_alerts: Callable[[list, int], None] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end batch-replay run over an HFP corpus parquet (columns
+    topic, payload, ts): returns materialized (uniques, stats) — the
+    integration-test shape of the full wiring."""
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        run_to_memory,
+    )
+
+    stream = parquet_stream(spark, corpus_parquet)
+    uniques_s, stats_s = build_dedup_pipeline(
+        stream, config, identity_cols=("topic", "payload"), ts_col="ts"
+    )
+    uniques = run_to_memory(uniques_s, "append")
+    # complete mode: a finite replay's last windows never fall behind
+    # the watermark, so append would hold them back forever
+    stats = run_to_memory(stats_s, "complete")
+    if on_alerts:
+        alerts = stats.filter(F.col("alert").isNotNull()).collect()
+        if alerts:
+            on_alerts(alerts, 0)
+    return uniques, stats
