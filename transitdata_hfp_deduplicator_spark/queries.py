@@ -1644,3 +1644,55 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'price', round(l_extendedprice, 4),"
         " 'discount', round(l_discount, 4)) AS (measure, value)",
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                                  for i in range(1, len(tokens) - 1)]) AS shingles
+            FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+                  FROM documents)
+            WHERE len(tokens) >= 3
+        ),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        inter AS (
+            SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+            FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i, j
+        FROM inter
+        JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON i = sa.doc_id
+        JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON j = sb.doc_id
+        WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5
+    ),
+    edges AS (SELECT i AS a, j AS b FROM pairs
+              UNION SELECT j, i FROM pairs),
+    reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT d.doc_id,
+           coalesce(least(m.mn, d.doc_id), d.doc_id) AS cluster_id,
+           coalesce(least(m.mn, d.doc_id), d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d
+    LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+           ON d.doc_id = m.a
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP formation: exact-Jaccard pairs (J>=0.5) →
+    connected components (iterative min-label propagation) → canonical
+    survivor per cluster (min doc_id — first-wins applied to groups).
+    The oracle computes the same components with a recursive CTE."""
+    from transitdata_hfp_deduplicator_spark.operators.clusters import dedup_clusters
+    from transitdata_hfp_deduplicator_spark.operators.similarity import jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+    return dedup_clusters(d, pairs)
