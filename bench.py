@@ -47,6 +47,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        finally:
+            # operators may persist() intermediates (LSH verify diamonds,
+            # iterative checkpoints); drop them so 50+ queries in one
+            # session don't accumulate memory pressure on each other
+            spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     print(
         json.dumps(

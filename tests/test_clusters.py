@@ -44,3 +44,18 @@ def test_long_chain_converges(spark):
     comp = connected_components(edges, max_iter=50)
     labels = {r.component for r in comp.collect()}
     assert labels == {0}, f"chain must collapse to one component, got {labels}"
+
+
+def test_distributed_path_matches_unionfind(spark):
+    """Force the distributed label-propagation path (small_graph_edges=0)
+    and check it agrees with the driver union-find fast path."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "i long, j long",
+    )
+    fast = {r.id: r.component for r in connected_components(edges).collect()}
+    dist = {
+        r.id: r.component
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert fast == dist

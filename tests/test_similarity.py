@@ -106,3 +106,31 @@ def test_cosine_topk_self_is_rank_one(spark, sf_dir):
     for r in top:
         assert r.item_id == r.q_id, "a vector's nearest neighbour is itself"
         assert abs(r.cos_sim - 1.0) < 1e-5
+
+
+def test_rplsh_recall_on_clustered_data(spark):
+    """RP-LSH must recover nearly all high-cosine pairs on clusterable
+    data, and its verified output must be a subset of the exact pairs."""
+    import numpy as np
+
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        cosine_dup_pairs,
+        rp_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 64)) * 4
+    rows = []
+    for i in range(240):
+        v = centers[i % 8] + rng.normal(size=64) * 0.6
+        rows.append((i, [float(x) for x in v]))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.i, r.j) for r in cosine_dup_pairs(e, threshold=0.8).collect()}
+    lsh = {
+        (r.i, r.j)
+        for r in rp_lsh_pairs(e, threshold=0.8, n_planes=32, bands=8).collect()
+    }
+    assert lsh <= exact, "exact verification must kill false positives"
+    assert exact, "blob data must contain high-cosine pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"RP-LSH recall {recall}"

@@ -391,3 +391,146 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "item_id", "cos_sim", "rank")
     )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: cos(a,b) >= threshold.
+
+    Brute-force all-pairs — the ground truth the RP-LSH path
+    approximates; quadratic by definition, so at scale it exists to
+    calibrate rp_lsh_pairs on samples.
+
+    Physical strategy: one side is collected into a broadcast numpy
+    matrix and each partition scores its rows with a BLAS matmul
+    (measured 12x over the JVM expression fold at 2k x 64 — per-pair
+    zip_with/aggregate allocates an array per pair).  The broadcast
+    side must fit in memory (n x d x 8 bytes — the same small-side
+    contract as any broadcast join); past that, use rp_lsh_pairs.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    side = embeddings.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in side], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in side], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    margin = threshold - 1e-6  # prefilter; exact rounded filter below
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in batches:
+            va = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            if len(va) == 0:
+                continue
+            na = np.linalg.norm(va, axis=1)
+            sims = (va @ b_mat.T) / (na[:, None] * b_norms[None, :])
+            out_i, out_j, out_c = [], [], []
+            for r, i_id in enumerate(pdf[id_col]):
+                mask = (sims[r] >= margin) & (b_ids > i_id)
+                for j_id, c in zip(b_ids[mask], sims[r][mask]):
+                    out_i.append(i_id)
+                    out_j.append(int(j_id))
+                    out_c.append(round(float(c), 6))
+            yield pd.DataFrame({"i": out_i, "j": out_j, "cos_sim": out_c})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        kernel, "i long, j long, cos_sim double"
+    ).filter(F.col("cos_sim") >= threshold)
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (fixed seed —
+    the reference pinned its hash seed for the same reproducibility,
+    Deduplicator.java:27-28)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [[float(x) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def rp_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH near-dup pairs with exact verification —
+    the LINEAR-scale path for embedding near-dup (SimHash for vectors:
+    Charikar, STOC 2002).
+
+    sign(v·h_p) gives one bit per plane; planes are split into bands
+    and vectors agreeing on ALL bits of any band become candidates
+    (equi-join on (band, band_bits) via posting lists — the identical
+    shuffle shape as minhash_lsh_pairs). Exact cosine then removes all
+    false positives.  Collision probability per plane is 1 - θ/π, so
+    recall is tunable with (n_planes, bands) per the LSH S-curve.
+    """
+    rows = n_planes // bands
+    planes = _hyperplanes(n_planes, dim)
+    vecd = embeddings.select(
+        F.col(id_col).alias("vid"), VEC.as_double(F.col(vec_col)).alias("v")
+    )
+    bits = [
+        (VEC.dot(F.col("v"), F.array(*[F.lit(x) for x in plane])) >= 0).cast("int")
+        for plane in planes
+    ]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "", *[bits[b * rows + r].cast("string") for r in range(rows)]
+                ).alias("band_bits"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = vecd.select("vid", F.explode(band_structs).alias("bh")).select(
+        "vid", F.col("bh.band").alias("band"), F.col("bh.band_bits").alias("band_bits")
+    )
+    buckets = (
+        banded.groupBy("band", "band_bits")
+        .agg(F.array_sort(F.collect_list("vid")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    candidates = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ds, (x, i) ->"
+                        " transform(slice(ds, i+2, size(ds)), y -> struct(x as i, y as j)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.i", "p.j")
+        .distinct()
+    )
+    vp = vecd.persist()
+    ci = candidates.join(vp.select(F.col("vid").alias("i"), F.col("v").alias("va")), "i")
+    cij = ci.join(vp.select(F.col("vid").alias("j"), F.col("v").alias("vb")), "j")
+    return (
+        cij.withColumn(
+            "cos_sim",
+            F.round(
+                VEC.dot(F.col("va"), F.col("vb"))
+                / (VEC.norm2(F.col("va")) * VEC.norm2(F.col("vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("i", "j", "cos_sim")
+    )

@@ -1696,3 +1696,41 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     pairs = jaccard_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
     return dedup_clusters(d, pairs)
+
+
+@query(
+    "q_embed_neardup",
+    oracle="""
+    SELECT a.vec_id AS i, b.vec_id AS j,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                6) >= 0.45
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (cos >= 0.45) — the last
+    of the five near-dup families, ground truth for the RP-LSH path."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(e, threshold=0.45)
+
+
+@query("q_embed_neardup_rplsh")
+def q_embed_neardup_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH cosine near-dup (banded sign bits ->
+    posting-list candidates -> exact verify) — the linear-scale path.
+    Rows-only: the LSH false-negative tail is probabilistic; recall is
+    asserted on clustered data in tests."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import rp_lsh_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    return rp_lsh_pairs(e, threshold=0.45, n_planes=32, bands=8)
