@@ -1734,3 +1734,111 @@ def q_embed_neardup_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return rp_lsh_pairs(e, threshold=0.45, n_planes=32, bands=8)
+
+
+# ---------------------------------------------------------------------------
+# Streaming joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT e1.event_id AS purchase_id, e2.event_id AS error_id,
+           e1.user_id, epoch_ms(e2.ts) - epoch_ms(e1.ts) AS gap_ms
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+    WHERE e1.event_type = 'purchase' AND e2.event_type = 'error'
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: errors within
+    30min after a purchase, both sides streaming with watermarks (the
+    state-store-backed join — each side buffers rows until the
+    watermark passes the time bound). Same semantics as the batch
+    range join q_join_theta_range, so the same oracle applies."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        run_to_memory,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    p = (
+        parquet_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    e = (
+        parquet_stream(spark, src)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    joined = p.join(
+        e,
+        (p.user_id == e.e_user_id)
+        & (e.e_ts > p.p_ts)
+        & (e.e_ts <= p.p_ts + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "purchase_id",
+        "error_id",
+        "user_id",
+        (F.unix_millis("e_ts") - F.unix_millis("p_ts")).alias("gap_ms"),
+    )
+    return run_to_memory(joined, "append")
+
+
+@query(
+    "q_stream_static_join",
+    oracle="""
+    WITH user_totals AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS user_total
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, u.n_events, u.user_total
+    FROM events e JOIN user_totals u ON e.user_id = u.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enriched against a static (batch) dimension: purchases
+    joined to per-user batch aggregates — the static side is planned as
+    a broadcast per micro-batch, no stream state needed."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        run_to_memory,
+    )
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    src = os.path.join(sf_dir, "events.parquet")
+    static_totals = (
+        read_parquet(spark, src)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("user_total"),
+        )
+    )
+    stream = parquet_stream(spark, src).filter(F.col("event_type") == "purchase")
+    joined = stream.join(F.broadcast(static_totals), "user_id").select(
+        "event_id", "user_id", "n_events", "user_total"
+    )
+    return run_to_memory(joined, "append")
