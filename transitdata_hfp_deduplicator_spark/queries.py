@@ -1842,3 +1842,63 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "n_events", "user_total"
     )
     return run_to_memory(joined, "append")
+
+
+@query(
+    "q_hfp_domain",
+    oracle=r"""
+    WITH lines AS (
+        SELECT column0 AS line
+        FROM read_csv('/root/reference/src/integration-test/resources/hfp-5000.txt',
+                      sep=e'\x01', header=false, quote='',
+                      columns={'column0': 'VARCHAR'})
+    ),
+    parsed AS (
+        SELECT trim(substr(line, instr(line, ' ') + 1,
+                    instr(line, '{') - instr(line, ' ') - 1)) AS topic,
+               substr(line, instr(line, '{')) AS payload
+        FROM lines
+    ),
+    decoded AS (
+        SELECT string_split(topic, '/')[4] AS journey_type,
+               string_split(topic, '/')[6] AS transport_mode,
+               CAST(json_extract(payload, '$.VP.spd') AS DOUBLE) AS spd,
+               CAST(json_extract(payload, '$.VP.veh') AS BIGINT) AS veh,
+               CAST(json_extract(payload, '$.VP.tsi') AS BIGINT) AS tsi
+        FROM parsed
+    )
+    SELECT journey_type, transport_mode,
+           count(*) AS n,
+           count(DISTINCT veh) AS n_vehicles,
+           round(CAST(SUM(CAST(spd AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(spd), 4) AS avg_speed,
+           min(tsi) AS first_tsi,
+           max(tsi) AS last_tsi
+    FROM decoded
+    GROUP BY 1, 2
+    """,
+)
+def q_hfp_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full HFP domain decode (reference data model, SURVEY.md §1.3):
+    hierarchical topic -> named parts, VP JSON -> typed 18-field
+    struct, then per-(journey_type, transport_mode) fleet stats. The
+    oracle re-parses topic and JSON in SQL over the same corpus."""
+    from transitdata_hfp_deduplicator_spark.sources import hfp
+
+    corpus = hfp.with_vp(hfp.with_topic_struct(hfp.read_corpus(spark, HFP_CORPUS)))
+    n_spd = F.count("vp.spd")
+    return (
+        corpus.groupBy(
+            F.col("topic_parts.journey_type").alias("journey_type"),
+            F.col("topic_parts.transport_mode").alias("transport_mode"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col("vp.veh").cast("bigint")).alias("n_vehicles"),
+            F.round(
+                F.sum(F.col("vp.spd").cast("decimal(30,6)")).cast("double") / n_spd, 4
+            ).alias("avg_speed"),
+            F.min(F.col("vp.tsi")).alias("first_tsi"),
+            F.max(F.col("vp.tsi")).alias("last_tsi"),
+        )
+    )

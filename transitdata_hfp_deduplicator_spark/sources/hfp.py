@@ -85,7 +85,9 @@ def with_topic_struct(df: DataFrame, topic_col: str = "topic") -> DataFrame:
     """Explode the hierarchical topic into named columns.  Segment 1 is
     empty (leading '/'), 2-3 are the literal `hfp`/`v1` prefix."""
     parts = F.split(F.col(topic_col), "/")
-    named = [parts.getItem(i + 3).alias(name) for i, name in enumerate(TOPIC_PARTS)]
+    # F.get (not getItem): deadrun topics truncate after vehicle_number,
+    # and ANSI mode makes out-of-bounds getItem THROW instead of null
+    named = [F.get(parts, i + 3).alias(name) for i, name in enumerate(TOPIC_PARTS)]
     return df.withColumn("topic_parts", F.struct(*named))
 
 
