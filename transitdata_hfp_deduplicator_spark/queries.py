@@ -1902,3 +1902,37 @@ def q_hfp_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.col("vp.tsi")).alias("last_tsi"),
         )
     )
+
+
+@query(
+    "q_text_editdist",
+    oracle="""
+    SELECT a.p_partkey AS i, b.p_partkey AS j,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 8
+    """,
+)
+def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs, brand-blocked: the blocking key
+    turns an all-pairs O(n^2 * m^2) comparison into per-block work — the
+    standard entity-resolution scale pattern (block -> compare ->
+    threshold)."""
+    p = _t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("i"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("j"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, (F.col("brand_a") == F.col("brand_b")) & (F.col("i") < F.col("j")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 8)
+        .select("i", "j", "dist")
+    )
