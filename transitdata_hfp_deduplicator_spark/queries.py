@@ -1910,8 +1910,11 @@ def q_hfp_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.p_partkey AS i, b.p_partkey AS j,
            levenshtein(a.p_name, b.p_name) AS dist
     FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 8
+      ON a.p_brand = b.p_brand
+     AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+     AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 8
+      AND levenshtein(a.p_name, b.p_name) <= 8
     """,
 )
 def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1920,18 +1923,26 @@ def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard entity-resolution scale pattern (block -> compare ->
     threshold)."""
     p = _t(spark, sf_dir, "part")
-    a = p.select(
-        F.col("p_partkey").alias("i"),
-        F.col("p_brand").alias("brand_a"),
-        F.col("p_name").alias("name_a"),
-    )
-    b = p.select(
-        F.col("p_partkey").alias("j"),
-        F.col("p_brand").alias("brand_b"),
-        F.col("p_name").alias("name_b"),
-    )
+
+    def side(idc, suffix):
+        return p.select(
+            F.col("p_partkey").alias(idc),
+            F.col("p_brand").alias(f"brand_{suffix}"),
+            F.col("p_name").alias(f"name_{suffix}"),
+            F.split(F.col("p_name"), " ").getItem(0).alias(f"tok_{suffix}"),
+            F.length("p_name").alias(f"len_{suffix}"),
+        )
+
+    a, b = side("i", "a"), side("j", "b")
     return (
-        a.join(b, (F.col("brand_a") == F.col("brand_b")) & (F.col("i") < F.col("j")))
+        a.join(
+            b,
+            (F.col("brand_a") == F.col("brand_b"))
+            & (F.col("tok_a") == F.col("tok_b"))  # second blocking key
+            & (F.col("i") < F.col("j")),
+        )
+        # levenshtein(a,b) >= |len(a)-len(b)|: prune before the O(nm) DP
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= 8)
         .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("dist") <= 8)
         .select("i", "j", "dist")
