@@ -1947,3 +1947,47 @@ def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 8)
         .select("i", "j", "dist")
     )
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+               round(o_totalprice * 1.1, 4) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 4) AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 4) AS o_totalprice, o_orderpriority
+    FROM updates
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation (anti-join + union): a synthetic change set
+    (even order keys repriced, status X) upserted into orders — the
+    snapshot-refresh primitive of a training-data pipeline, without a
+    lakehouse table format."""
+    from transitdata_hfp_deduplicator_spark.operators.upsert import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("X").alias("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(o, updates, ["o_orderkey"])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+        "o_orderpriority",
+    )
