@@ -1129,9 +1129,14 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_dedup,
     )
 
+    from transitdata_hfp_deduplicator_spark.streaming.runner import (
+        scoped_shuffle_partitions,
+    )
+
     stream = parquet_stream(spark, os.path.join(sf_dir, "events.parquet"))
     deduped = stream_dedup(stream, EVENT_IDENTITY, "ts", ttl="4 hours")
-    out = run_to_memory(deduped, output_mode="append")
+    with scoped_shuffle_partitions(spark, 8):
+        out = run_to_memory(deduped, output_mode="append")
     return out.select("user_id", "event_type", "props").distinct()
 
 
@@ -1171,7 +1176,12 @@ def q_window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
-    return run_to_memory(agg, output_mode="complete")
+    from transitdata_hfp_deduplicator_spark.streaming.runner import (
+        scoped_shuffle_partitions,
+    )
+
+    with scoped_shuffle_partitions(spark, 8):
+        return run_to_memory(agg, output_mode="complete")
 
 
 @query(
@@ -1243,19 +1253,37 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
     mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
-    cutoff = mn + (mx - mn) / 2
+    span = mx - mn
+    # four quartile batches: state eviction lags a watermark-advancing
+    # batch (pinned in tests/test_streaming.py), so a 2-batch replay
+    # would still see live state for every old key — with quartiles,
+    # keys first seen in Q1 are evicted by Q3/Q4 and re-emit there
+    cuts = [mn + span * i / 4 for i in (1, 2, 3)]
     tmp = tempfile.mkdtemp(prefix="late_data_")
-    old, recent = os.path.join(tmp, "f0"), os.path.join(tmp, "f1")
-    ev.filter(F.col("ts") < cutoff).coalesce(1).write.parquet(old)
-    ev.filter(F.col("ts") >= cutoff).coalesce(1).write.parquet(recent)
-    # file source orders batches by modification time: old half first
+    bounds = [(None, cuts[0]), (cuts[0], cuts[1]), (cuts[1], cuts[2]), (cuts[2], None)]
+    dirs = []
+    for i, (lo, hi) in enumerate(bounds):
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ts") >= lo)
+        if hi is not None:
+            cond = cond & (F.col("ts") < hi)
+        d = os.path.join(tmp, f"q{i}")
+        ev.filter(cond).coalesce(1).write.parquet(d)
+        dirs.append(d)
+    # file source orders batches by modification time: oldest first
     now = time.time()
-    for i, d in enumerate((old, recent)):
+    for i, d in enumerate(dirs):
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (now + i, now + i))
+    from transitdata_hfp_deduplicator_spark.streaming.runner import (
+        scoped_shuffle_partitions,
+    )
+
     stream = parquet_stream(spark, tmp + "/*", max_files_per_trigger=1)
     deduped = stream_dedup(stream, EVENT_IDENTITY, "ts", ttl="4 hours")
-    out = run_to_memory(deduped, output_mode="append")
+    with scoped_shuffle_partitions(spark, 8):
+        out = run_to_memory(deduped, output_mode="append")
     return (
         out.groupBy("user_id", "event_type", "props")
         .agg(F.count(F.lit(1)).alias("n_emits"))
@@ -1476,10 +1504,15 @@ def q_dup_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = parquet_stream(spark, os.path.join(sf_dir, "events.parquet"))
     # 30-day TTL >> the corpus span: no evictions during replay, so the
     # online result is comparable to the batch (infinite-cache) oracle
+    from transitdata_hfp_deduplicator_spark.streaming.runner import (
+        scoped_shuffle_partitions,
+    )
+
     tagged = dedup_tag_stream(
         stream, EVENT_IDENTITY, "ts", ttl_ms=30 * 24 * 3600 * 1000
     )
-    out = run_to_memory(tagged, output_mode="append")
+    with scoped_shuffle_partitions(spark, 8):
+        out = run_to_memory(tagged, output_mode="append")
     return (
         out.groupBy(
             (F.col("ts_ms") - (F.col("ts_ms") % 60000)).alias("win_ms")
@@ -1799,7 +1832,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_millis("e_ts") - F.unix_millis("p_ts")).alias("gap_ms"),
     )
-    return run_to_memory(joined, "append")
+    from transitdata_hfp_deduplicator_spark.streaming.runner import (
+        scoped_shuffle_partitions,
+    )
+
+    with scoped_shuffle_partitions(spark, 8):
+        return run_to_memory(joined, "append")
 
 
 @query(
