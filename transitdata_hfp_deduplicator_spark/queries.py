@@ -870,11 +870,47 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_text_lang_id")
+@query(
+    "q_text_lang_id",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, lang, text,
+               string_split_regex(lower(trim(text)), '\s+') AS toks
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang, text, toks,
+               len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu','mit','von'])) AS s_de,
+               len(list_intersect(toks, ['the','a','of','and','to','in','is','it','that','for'])) AS s_en,
+               len(list_intersect(toks, ['ja','on','ei','se','että','oli','hän','mutta','niin','kuin'])) AS s_fi,
+               len(list_intersect(toks, ['le','la','de','et','est','un','une','que','pour','dans'])) AS s_fr,
+               len(list_intersect(toks, ['och','att','det','som','en','är','av','för','med','på'])) AS s_sv
+        FROM tok
+    ),
+    best AS (
+        SELECT doc_id, lang, text,
+               greatest(s_de*10 + 0, s_en*10 + 1, s_fi*10 + 2,
+                        s_fr*10 + 3, s_sv*10 + 4) AS g
+        FROM hits
+    )
+    SELECT doc_id, lang,
+           CASE WHEN g < 10 THEN 'und'
+                WHEN g % 10 = 0 THEN 'de' WHEN g % 10 = 1 THEN 'en'
+                WHEN g % 10 = 2 THEN 'fi' WHEN g % 10 = 3 THEN 'fr'
+                ELSE 'sv' END AS detected_lang,
+           CAST(len(list_filter(
+               string_split_regex(
+                   regexp_replace(text, '([0-9]+|[^\s A-Za-z0-9]+|[^\sA-Za-z0-9]+)', '  ', 'g'),
+                   '\s+'),
+               x -> x <> '')) AS INT) AS bpe_tokens
+    FROM best
+    """,
+)
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-id (stopword-hit argmax; functions/text.py).
-    Rows-only: the heuristic's argmax-over-structs isn't worth porting
-    to SQL — determinism is covered by unit tests."""
+    The oracle encodes the argmax arithmetically (score*10 + language
+    index) so ties break identically to Spark's greatest-of-structs
+    (larger language string wins)."""
     from transitdata_hfp_deduplicator_spark.functions import text as TXT
 
     d = _t(spark, sf_dir, "documents")
@@ -1437,12 +1473,22 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_udtf")
+@query(
+    "q_udtf",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST((i - 1) / 32 AS INT) AS chunk_idx,
+           array_to_string(toks[i : least(i + 31, len(toks))], ' ') AS chunk,
+           CAST(least(i + 31, len(toks)) - i + 1 AS INT) AS n_tokens
+    FROM tok, LATERAL (SELECT unnest(range(1, len(toks) + 1, 32)) AS i)
+    """,
+)
 def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function, Spark 3.5+): explodes each document
-    into per-sentence-chunk rows with offsets — the row-generating
-    extension surface (the scalar/agg surfaces live in q_udf_surface).
-    Rows-only; semantics pinned by tests."""
+    into fixed-size token chunks with offsets — the row-generating
+    extension surface (scalar/agg surfaces live in q_udf_surface) —
+    hash-matched against a SQL LATERAL-unnest oracle."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, chunk_idx int, chunk string, n_tokens int")
