@@ -18,12 +18,17 @@ from pyspark.sql.window import Window as W
 
 from transitdata_hfp_deduplicator_spark.functions import text as TXT
 from transitdata_hfp_deduplicator_spark.functions import vectors as VEC
+from transitdata_hfp_deduplicator_spark.tables import spread
 
 
 def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     toks = TXT.tokenize(F.col(text_col))
     sh = TXT.shingles(toks, shingle_n) if shingle_n > 1 else F.array_distinct(toks)
-    return docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+    # spread: single-file scans plan as ONE split; shingling is the
+    # dominant map cost, so under-parallelization serializes the query
+    return spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", sh.alias("shingles")
+    )
 
 
 def jaccard_pairs(
@@ -211,9 +216,8 @@ def simhash_signatures(
     """
     from functools import reduce
 
-    ex = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(TXT.tokenize(F.col(text_col))).alias("tok"),
+    ex = spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", F.explode(TXT.tokenize(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     aggs = [
         F.sum(
@@ -444,7 +448,7 @@ def cosine_dup_pairs(
                     out_c.append(round(float(c), 6))
             yield pd.DataFrame({"i": out_i, "j": out_j, "cos_sim": out_c})
 
-    return embeddings.select(id_col, vec_col).mapInPandas(
+    return spread(embeddings.select(id_col, vec_col)).mapInPandas(
         kernel, "i long, j long, cos_sim double"
     ).filter(F.col("cos_sim") >= threshold)
 
@@ -481,8 +485,8 @@ def rp_lsh_pairs(
     """
     rows = n_planes // bands
     planes = _hyperplanes(n_planes, dim)
-    vecd = embeddings.select(
-        F.col(id_col).alias("vid"), VEC.as_double(F.col(vec_col)).alias("v")
+    vecd = spread(
+        embeddings.select(F.col(id_col).alias("vid"), VEC.as_double(F.col(vec_col)).alias("v"))
     )
     # All n_planes sign bits in ONE BLAS matmul per Arrow batch, packed
     # into one int per band.  The previous pure-column formulation ran

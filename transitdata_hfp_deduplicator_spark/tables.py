@@ -75,6 +75,23 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the scan under-parallelized.
+
+    Small single-file tables plan as ONE input split, so every
+    expression upstream of the first shuffle runs on one core.  Heavy
+    map-side operators (shingling, hashing, vector math) call this to
+    spread that work across the cluster.  Guarded: when the input
+    already has >= the session's default parallelism (any real lake at
+    scale), it's an identity — no shuffle is added.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
