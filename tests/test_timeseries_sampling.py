@@ -1,0 +1,87 @@
+"""Tests for operators/timeseries.py and operators/sampling.py."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from transitdata_hfp_deduplicator_spark.operators.sampling import (
+    bernoulli_sample,
+    hash_split,
+)
+from transitdata_hfp_deduplicator_spark.operators.timeseries import (
+    gapfill,
+    session_stats,
+    sessionize,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, T0 + dt.timedelta(seconds=s), float(v)) for u, s, v in rows],
+        "user_id long, ts timestamp, value double",
+    )
+
+
+def test_sessionize_splits_at_gap(spark):
+    # user 1: events at 0s, 60s (same session), 1000s (> 10min gap? no,
+    # 10min = 600s, so 1000-60=940 > 600 -> new session)
+    df = _ev(spark, [(1, 0, 1), (1, 60, 2), (1, 1000, 3), (2, 5, 4)])
+    out = sessionize(df, ["user_id"], "ts", gap="10 minutes").collect()
+    sess = {(r.user_id, int(r.ts.timestamp() - T0.timestamp())): r.session_id for r in out}
+    assert sess[(1, 0)] == 1 and sess[(1, 60)] == 1
+    assert sess[(1, 1000)] == 2
+    assert sess[(2, 5)] == 1  # numbering restarts per entity
+
+
+def test_session_stats_rollup(spark):
+    df = _ev(spark, [(1, 0, 1), (1, 60, 2), (1, 1000, 3)])
+    out = session_stats(
+        df, ["user_id"], "ts", gap="10 minutes",
+        aggs=[F.sum("value").alias("sum_value")],
+    )
+    rows = {r.session_id: r for r in out.collect()}
+    assert rows[1].n_events == 2 and rows[1].sum_value == 3.0
+    assert rows[1].session_end_ms - rows[1].session_start_ms == 60_000
+    assert rows[2].n_events == 1
+
+
+def test_gapfill_densifies_and_fills(spark):
+    # hours 0 and 3 have data; 1 and 2 are gaps
+    df = _ev(spark, [(1, 0, 10), (1, 3 * 3600, 20)])
+    out = gapfill(
+        df, [], "ts", bucket="1 hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.avg("value").alias("v")],
+        zero_fill=["n"], ffill=["v"],
+    ).orderBy("_bucket")
+    rows = out.collect()
+    assert len(rows) == 4  # dense grid hours 0..3
+    assert [r.n for r in rows] == [1, 0, 0, 1]
+    assert [r.v for r in rows] == [10.0, 10.0, 10.0, 20.0]  # locf
+
+
+def test_hash_split_is_deterministic_and_partition_independent(spark):
+    df = spark.range(0, 1000).withColumn("k2", F.col("id") % 7)
+    a = hash_split(df, ["id", "k2"]).groupBy("split").count().collect()
+    b = (
+        hash_split(df.repartition(13), ["id", "k2"])
+        .groupBy("split").count().collect()
+    )
+    assert {r.split: r["count"] for r in a} == {r.split: r["count"] for r in b}
+    counts = {r.split: r["count"] for r in a}
+    assert set(counts) == {"train", "valid", "test"}
+    # weights 80/10/10 within a loose tolerance
+    assert 700 < counts["train"] < 900
+
+
+def test_bernoulli_sample_reproducible(spark):
+    df = spark.range(0, 10_000)
+    s1 = bernoulli_sample(df, ["id"], 0.1)
+    s2 = bernoulli_sample(df.repartition(17), ["id"], 0.1)
+    ids1 = {r.id for r in s1.collect()}
+    ids2 = {r.id for r in s2.collect()}
+    assert ids1 == ids2  # same rows regardless of partitioning
+    assert 800 < len(ids1) < 1200

@@ -1,0 +1,83 @@
+"""Deterministic sampling / split assignment for training pipelines.
+
+A 100 TB corpus needs *reproducible* train/valid/test splits: the split
+a row lands in must be a pure function of its key, never of partition
+layout, task order, or RNG state.  ``hash_split`` buckets each row by a
+multiplicative hash of integer key columns into [0, modulus) and maps
+bucket ranges to named splits.  The same arithmetic is trivially
+expressible in any engine (the DuckDB oracle runs the identical
+formula), which is exactly the property you want for split audits.
+
+Also provided: ``bernoulli_sample`` (seeded, partition-independent —
+unlike ``DataFrame.sample`` whose output depends on partitioning) and
+``stratified_counts`` for verifying split balance per stratum.
+
+Scale notes: pure narrow projections — no shuffle, no RNG
+synchronization; the split predicate pushes into the scan like any
+other deterministic filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small odd multipliers keep key*mult well inside int64 even at
+# petabyte-scale key ranges (6e11 * 9973 << 2^63)
+_MULTS = (9973, 31, 517, 7919)
+
+
+def hash_bucket(key_cols: Sequence[str | Column], modulus: int = 100) -> Column:
+    """Deterministic bucket in [0, modulus) from integer key columns."""
+    acc: Column | None = None
+    for i, c in enumerate(key_cols):
+        col = F.col(c) if isinstance(c, str) else c
+        term = col * F.lit(_MULTS[i % len(_MULTS)])
+        acc = term if acc is None else acc + term
+    assert acc is not None, "need at least one key column"
+    return F.pmod(acc, F.lit(modulus))
+
+
+def hash_split(
+    df: DataFrame,
+    key_cols: Sequence[str | Column],
+    splits: Sequence[tuple[str, int]] = (("train", 80), ("valid", 10), ("test", 10)),
+    modulus: int = 100,
+) -> DataFrame:
+    """Append a ``split`` column assigning each row to a named split.
+
+    ``splits`` are (name, weight) pairs; weights must sum to
+    ``modulus``.  Assignment is a pure function of the keys.
+    """
+    if sum(w for _, w in splits) != modulus:
+        raise ValueError("split weights must sum to the modulus")
+    b = hash_bucket(key_cols, modulus)
+    expr: Column | None = None
+    hi = 0
+    for name, w in splits[:-1]:
+        hi += w
+        branch = (b < F.lit(hi), F.lit(name))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    last = F.lit(splits[-1][0])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    key_cols: Sequence[str | Column],
+    fraction: float,
+    modulus: int = 1_000_000,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — reproducible
+    regardless of partitioning (unlike ``DataFrame.sample``)."""
+    return df.filter(hash_bucket(key_cols, modulus) < int(fraction * modulus))
+
+
+def stratified_counts(
+    df: DataFrame, split_col: str, strata: Sequence[str]
+) -> DataFrame:
+    """Per-stratum split sizes — the audit query for split balance."""
+    return df.groupBy(split_col, *strata).agg(F.count(F.lit(1)).alias("n_rows"))

@@ -2075,3 +2075,278 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 4).alias("o_totalprice"),
         "o_orderpriority",
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series: batch sessionization and gap-fill (operators/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) > 600000
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+    ), s AS (
+        SELECT user_id, ts, value,
+               CAST(sum(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM g
+    )
+    SELECT user_id, session_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts)) AS session_end_ms,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split at >10 min
+    inactivity gaps (batch mirror of q_session_window's streaming
+    ``session_window``).  One shuffle on user_id; lag, running sum,
+    and the session rollup all reuse it."""
+    from transitdata_hfp_deduplicator_spark.operators.timeseries import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(
+        ev,
+        ["user_id"],
+        "ts",
+        gap="10 minutes",
+        order_tiebreak=["event_id"],
+        aggs=[dsum(F.col("value")).alias("sum_value")],
+    )
+
+
+@query(
+    "q_gapfill",
+    oracle="""
+    WITH by_hour AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(30,4))) AS DOUBLE)
+                     / count(*), 4) AS avg_value
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT event_type, date_trunc('hour', min(ts)) AS h0,
+               date_trunc('hour', max(ts)) AS h1
+        FROM events GROUP BY 1
+    ), grid AS (
+        SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        FROM span
+    )
+    SELECT g.event_type, epoch_ms(g.h) AS hour_ms,
+           coalesce(b.n_events, 0) AS n_events,
+           last_value(b.avg_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_ffill
+    FROM grid g LEFT JOIN by_hour b ON g.event_type = b.event_type AND g.h = b.h
+    """,
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill/resample (TimescaleDB ``time_bucket_gapfill`` + locf):
+    hourly event counts per type densified onto the full grid, counts
+    zero-filled, average value carried forward.  Grid is generated per
+    GROUP with ``sequence()`` — O(types x hours), not O(rows)."""
+    from transitdata_hfp_deduplicator_spark.operators.timeseries import gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    out = gapfill(
+        ev,
+        ["event_type"],
+        "ts",
+        bucket="1 hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(davg(F.col("value"), F.count(F.lit(1))), 4).alias("avg_value"),
+        ],
+        zero_fill=["n_events"],
+        ffill=["avg_value"],
+    )
+    return out.select(
+        "event_type",
+        F.unix_millis("_bucket").alias("hour_ms"),
+        "n_events",
+        F.col("avg_value").alias("avg_value_ffill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_split_hash",
+    oracle="""
+    WITH tagged AS (
+        SELECT *,
+               CASE WHEN (l_orderkey * 9973 + l_linenumber * 31) % 100 < 80
+                    THEN 'train'
+                    WHEN (l_orderkey * 9973 + l_linenumber * 31) % 100 < 90
+                    THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM lineitem
+    )
+    SELECT split, l_returnflag, count(*) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE),
+                 4) AS sum_price
+    FROM tagged GROUP BY split, l_returnflag
+    """,
+)
+def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/valid/test split: a multiplicative key hash
+    assigns each lineitem a split independent of partitioning and RNG
+    (operators/sampling.py), audited per stratum."""
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        hash_split,
+        stratified_counts,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    tagged = hash_split(li, ["l_orderkey", "l_linenumber"])
+    audit = stratified_counts(tagged, "split", ["l_returnflag"])
+    extra = tagged.groupBy("split", "l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(dsum(F.col("l_extendedprice")), 4).alias("sum_price"),
+    )
+    return audit.join(extra, ["split", "l_returnflag"])
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles, ordered string agg, scalar subquery, histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_percentile",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (``percentile``, not ``percentile_approx``):
+    quartiles of quantity + median price per return flag.  Exact
+    percentile sorts within each group's hash-agg buffer — fine for
+    bounded group counts; the sketch route is q_agg_approx."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("l_quantity", 0.25).alias("q25"),
+        F.percentile("l_quantity", 0.50).alias("q50"),
+        F.percentile("l_quantity", 0.75).alias("q75"),
+        F.round(F.percentile("l_extendedprice", 0.50), 4).alias("median_price"),
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_customers,
+           string_agg(c.c_name, '|' ORDER BY c.c_name) AS names
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY n.n_name
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): building-segment customer
+    names per nation, sorted then joined — collect_list is unordered
+    in a distributed agg, so the deterministic form is
+    array_sort-then-join."""
+    cu = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    na = _t(spark, sf_dir, "nation")
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+        )
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,4)))
+                        AS DOUBLE) / count(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS cust_avg
+    FROM orders o
+    WHERE o_totalprice >
+          (SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(30,4)))
+                       AS DOUBLE) / count(*)
+           FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, Spark-first: the per-customer
+    average is a grouped aggregate joined back on the key (Catalyst
+    de-correlates the SQL form into exactly this plan), then a filter
+    against the correlated value."""
+    o = _t(spark, sf_dir, "orders")
+    ca = o.groupBy("o_custkey").agg(
+        davg(F.col("o_totalprice"), F.count(F.lit(1))).alias("cust_avg")
+    )
+    return (
+        o.join(ca, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH stats AS (
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - mn) / (mx - mn) * 20), 19)
+                AS BIGINT) AS bucket,
+           count(*) AS n_orders,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(30,4))) AS DOUBLE),
+                 4) AS sum_price
+    FROM orders, stats
+    GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order value: global min/max (tiny agg,
+    broadcast back) then 20-bucket binning — the profiling primitive
+    behind quality-score distributions."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = o.crossJoin(F.broadcast(stats)).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 20
+            ),
+            F.lit(19),
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    return binned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(dsum(F.col("o_totalprice")), 4).alias("sum_price"),
+    )
