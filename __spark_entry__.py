@@ -30,8 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered
+    cheap-first so a driver time-budget cut lands after the fast
+    oracle-checked majority is recorded."""
+    return _q.gate_ordered()
 
 
 def oracle_sql() -> dict[str, str]:

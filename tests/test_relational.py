@@ -28,7 +28,7 @@ def test_approx_distinct_within_bounds(spark, sf_dir):
 
 def test_approx_quantiles_ordered(spark, sf_dir):
     for r in QUERIES["q_agg_approx"](spark, sf_dir).collect():
-        q = r.qty_quantiles
+        q = [r.qty_p25, r.qty_p50, r.qty_p75, r.qty_p99]
         assert q == sorted(q), "quantiles must be monotonic"
 
 

@@ -1,6 +1,8 @@
 from transitdata_hfp_deduplicator_spark.streaming.runner import (
     parquet_stream,
+    replay_shuffle_partitions,
     run_to_memory,
+    scoped_shuffle_partitions,
 )
 from transitdata_hfp_deduplicator_spark.streaming.dedup_stream import stream_dedup
 from transitdata_hfp_deduplicator_spark.streaming.analytics import (
@@ -10,7 +12,9 @@ from transitdata_hfp_deduplicator_spark.streaming.analytics import (
 
 __all__ = [
     "parquet_stream",
+    "replay_shuffle_partitions",
     "run_to_memory",
+    "scoped_shuffle_partitions",
     "stream_dedup",
     "stream_dup_stats",
     "with_alerts",

@@ -73,6 +73,39 @@ def run_to_memory(
 import contextlib
 
 
+def replay_shuffle_partitions(
+    path: str,
+    per_partition_bytes: int = 256 << 10,
+    lo: int = 2,
+    hi: int = 32,
+) -> int:
+    """Size-derived shuffle/state-partition count for a replay stream.
+
+    Stateful operators create one state store per shuffle partition per
+    operator, and every micro-batch pays a per-store commit cost — at
+    replay scale (KB..MB of source parquet) that fixed cost dominates,
+    while at cluster scale the count must grow with state size.  Derive
+    it from the source size, clamped to [lo, hi]; the 256 KiB/partition
+    default reproduces the empirically tuned points (2 stores at sf0.01,
+    8 at sf0.1 — a 3.7x win over the session-wide 32 on a stream-stream
+    join).  On a 1000-executor cluster callers pass a larger `hi` (or
+    skip the scope entirely and inherit the session default sized for
+    the cluster).
+    """
+    p = path[:-2] if path.endswith("/*") else path
+    if os.path.isfile(p):
+        total = os.path.getsize(p)
+    elif os.path.isdir(p):
+        total = 0
+        for root, _, files in os.walk(p):
+            for f in files:
+                if not f.startswith((".", "_")):
+                    total += os.path.getsize(os.path.join(root, f))
+    else:
+        return hi
+    return max(lo, min(hi, (total + per_partition_bytes - 1) // per_partition_bytes))
+
+
 @contextlib.contextmanager
 def scoped_shuffle_partitions(spark: SparkSession, n: int):
     """Temporarily set the shuffle-partition count for a streaming
