@@ -2362,6 +2362,46 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_lru")
+def q_dedup_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-bound LRU dedup — the reference A6's ACTUAL eviction
+    semantics (Guava ``maximumSize(250000)``, Deduplicator.java:36-40;
+    its cacheTTL config is read but never applied) as a custom stateful
+    operator, capacity sharded across hash buckets.  The replay uses a
+    cap far below the unique-key count so eviction + re-emission
+    genuinely happen (the reference forgets evicted keys and
+    re-forwards them — at-least-once by design).  Rows-only: the
+    re-emission count depends on eviction order, which is
+    engine-specific by construction (the reference's own depended on
+    unreproducible wall-clock arrival).  Semantics are pinned in
+    tests/test_lru_state.py."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        replay_shuffle_partitions,
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+    from transitdata_hfp_deduplicator_spark.streaming.lru_state import (
+        lru_dedup_stream,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream = parquet_stream(spark, src)
+    tagged = lru_dedup_stream(
+        stream, EVENT_IDENTITY, "ts", max_size=4096, buckets=8
+    )
+    with scoped_shuffle_partitions(spark, replay_shuffle_partitions(src)):
+        out = run_to_memory(tagged, output_mode="append")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("is_prime")).alias("n_primes"),
+        F.count_if(~F.col("is_prime")).alias("n_duplicates"),
+        F.countDistinct("digest").alias("n_keys"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
@@ -2384,6 +2424,7 @@ GATE_HEAVY = [
     "q_embed_neardup",
     "q_dedup_simhash",
     "q_dup_stats_stream",
+    "q_dedup_lru",
     "q_dedup_clusters",
     "q_udf_surface",
     "q_late_data",
