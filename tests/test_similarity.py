@@ -108,6 +108,30 @@ def test_cosine_topk_self_is_rank_one(spark, sf_dir):
         assert abs(r.cos_sim - 1.0) < 1e-5
 
 
+def test_cosine_dup_pairs_block_decomposition(spark):
+    """The block-decomposed exact kernel must emit every unordered pair
+    exactly once regardless of block count: a multi-block run (cross-
+    block tiles exercised) equals the single-block run pair-for-pair."""
+    import numpy as np
+
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        cosine_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(6, 32)) * 4
+    rows = [
+        (i, [float(x) for x in centers[i % 6] + rng.normal(size=32) * 0.5])
+        for i in range(150)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    one = {(r.i, r.j): r.cos_sim for r in cosine_dup_pairs(e, 0.8, n_blocks=1).collect()}
+    many = {(r.i, r.j): r.cos_sim for r in cosine_dup_pairs(e, 0.8, n_blocks=4).collect()}
+    assert one, "blob data must contain high-cosine pairs"
+    assert many == one, "block count must not change the result set"
+    assert all(i < j for i, j in many), "pairs must be oriented i < j"
+
+
 def test_rplsh_recall_on_clustered_data(spark):
     """RP-LSH must recover nearly all high-cosine pairs on clusterable
     data, and its verified output must be a subset of the exact pairs."""
@@ -128,9 +152,33 @@ def test_rplsh_recall_on_clustered_data(spark):
     exact = {(r.i, r.j) for r in cosine_dup_pairs(e, threshold=0.8).collect()}
     lsh = {
         (r.i, r.j)
-        for r in rp_lsh_pairs(e, threshold=0.8, n_planes=32, bands=8).collect()
+        for r in rp_lsh_pairs(e, threshold=0.8).collect()
     }
     assert lsh <= exact, "exact verification must kill false positives"
     assert exact, "blob data must contain high-cosine pairs"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9, f"RP-LSH recall {recall}"
+
+
+def test_skew_caps_identity_and_bite(spark, sf_dir):
+    """max_df / max_bucket caps: a cap at/above the corpus maximum is a
+    no-op (identical pairs); an absurdly tight cap removes everything —
+    the two endpoints that pin the cap is wired into the right stage."""
+    d = table(spark, sf_dir, "documents")
+
+    base_j = {(r.i, r.j, r.inter, r.jaccard) for r in jaccard_pairs(d).collect()}
+    hi_j = {
+        (r.i, r.j, r.inter, r.jaccard)
+        for r in jaccard_pairs(d, max_df=10**9).collect()
+    }
+    assert hi_j == base_j, "max_df >= df-max must be a no-op"
+    assert jaccard_pairs(d, max_df=1).count() == 0, (
+        "max_df=1 leaves no shared shingles, hence no pairs"
+    )
+
+    base_m = {(r.i, r.j) for r in minhash_lsh_pairs(d).collect()}
+    hi_m = {(r.i, r.j) for r in minhash_lsh_pairs(d, max_bucket=10**9).collect()}
+    assert hi_m == base_m, "max_bucket >= largest bucket must be a no-op"
+    assert minhash_lsh_pairs(d, max_bucket=1).count() == 0, (
+        "max_bucket=1 drops every multi-doc bucket, hence no candidates"
+    )

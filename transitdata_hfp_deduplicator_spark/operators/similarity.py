@@ -37,6 +37,7 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs: J(A,B) >= threshold.
 
@@ -44,25 +45,47 @@ def jaccard_pairs(
     lists → emit ordered pairs → count per pair = |A∩B|; |A∪B| from
     per-doc sizes (broadcast).  One shuffle keyed by shingle hash —
     measured 4.4x faster than the sort-merge self-join formulation.
-    Skew = hot shingles (stopword shingles carry no similarity signal);
-    at scale cap posting-list length / drop top-df shingles first.
+
+    ``max_df`` is the skew cap: a shingle appearing in more than
+    ``max_df`` documents is dropped from the similarity space — BOTH
+    from posting lists (its df² pair fan-out is the scale-killer: one
+    stopword shingle across 1M docs alone emits 5·10¹¹ pairs) and from
+    the union sizes, so the result is exact Jaccard over the reduced
+    shingle space.  Hot shingles are by definition near-stopwords and
+    carry no similarity signal.  With ``max_df`` ≥ the corpus df-max
+    the result is bit-identical to the uncapped run (pinned in
+    tests/test_similarity.py).
     """
     sh = _shingled(docs, id_col, text_col, shingle_n)
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
     # inverted index: shingle -> sorted posting list -> emit ordered pairs.
     # One shuffle (by shingle) instead of a sort-merge self-join; shingles
     # are pre-hashed to int64 so the shuffle moves 8-byte keys, not
-    # strings (measured 4.4x on the near-dup corpus).  max_df would cap
-    # posting-list skew at scale; left unbounded here for exactness.
+    # strings (measured 4.4x on the near-dup corpus).
     ex = sh.select(
         "doc_id",
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
     )
-    lists = (
-        ex.groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
+    if max_df is None:
+        sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+        lists = (
+            ex.groupBy("s")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") > 1)
+        )
+    else:
+        # keep singleton lists here: per-doc sizes must count every
+        # RETAINED shingle, including ones no other doc shares
+        lists_all = (
+            ex.groupBy("s")
+            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+            .filter(F.size("ds") <= max_df)
+        )
+        sizes = (
+            lists_all.select(F.explode("ds").alias("doc_id"))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+        )
+        lists = lists_all.filter(F.size("ds") > 1)
     pairs = lists.select(
         F.explode(
             F.flatten(
@@ -129,6 +152,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
@@ -138,6 +162,14 @@ def minhash_lsh_pairs(
     with exact Jaccard so no false positives remain; false negatives are
     the standard LSH S-curve tail.  This is THE 100 TB near-dup plan:
     signatures are map-only, the only shuffle keys are band buckets.
+
+    ``max_bucket`` caps the per-bucket fan-out: a bucket of b docs
+    emits b(b-1)/2 candidate pairs, so one degenerate band value (all
+    boilerplate/empty docs hashing alike) turns the candidate join
+    quadratic.  Oversized buckets are dropped — recall-only loss on
+    degenerate mass, false-positive profile unchanged (verification is
+    exact either way); with ``max_bucket`` ≥ the largest bucket the
+    result is identical (pinned in tests/test_similarity.py).
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(
@@ -168,6 +200,8 @@ def minhash_lsh_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
     candidates = (
         buckets.select(
             F.explode(
@@ -404,53 +438,98 @@ def cosine_dup_pairs(
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rows_per_block: int = 100_000,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: cos(a,b) >= threshold.
 
     Brute-force all-pairs — the ground truth the RP-LSH path
-    approximates; quadratic by definition, so at scale it exists to
-    calibrate rp_lsh_pairs on samples.
+    approximates; quadratic compute by definition (it exists to
+    calibrate rp_lsh_pairs), but the PLAN is fully distributed: no
+    collect, no broadcast of the table.
 
-    Physical strategy: one side is collected into a broadcast numpy
-    matrix and each partition scores its rows with a BLAS matmul
-    (measured 12x over the JVM expression fold at 2k x 64 — per-pair
-    zip_with/aggregate allocates an array per pair).  The broadcast
-    side must fit in memory (n x d x 8 bytes — the same small-side
-    contract as any broadcast join); past that, use rp_lsh_pairs.
+    Physical strategy — block-decomposed matmul, the standard
+    distributed dense-GEMM tiling: each vector gets a hash block id in
+    [0, B); the B*(B+1)/2 unordered block pairs form a tiny broadcast
+    dimension; both sides equi-join on their block column and cogroup
+    on (ba, bb), so each state group holds two ~rows_per_block tiles
+    scored with one BLAS matmul.  Every unordered vector pair lands in
+    exactly one group (block assignment is a function of id), executor
+    memory is bounded by 2 tiles regardless of table size, and the
+    quadratic work spreads over B^2/2 independent tasks.  Choose
+    rows_per_block so a tile (rows x dim x 8 B) fits comfortably in an
+    executor — the quadratic COST still rules out full-table runs at
+    100 TB; this shape exists so exact calibration on a sampled slice
+    runs distributed instead of through the driver.
     """
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
     spark = embeddings.sparkSession
-    side = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in side], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in side], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    if n_blocks is None:
+        n = embeddings.count()
+        n_blocks = max(1, -(-n // rows_per_block))
+    nb = int(n_blocks)
     margin = threshold - 1e-6  # prefilter; exact rounded filter below
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            va = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            if len(va) == 0:
-                continue
-            na = np.linalg.norm(va, axis=1)
-            sims = (va @ b_mat.T) / (na[:, None] * b_norms[None, :])
-            out_i, out_j, out_c = [], [], []
-            for r, i_id in enumerate(pdf[id_col]):
-                mask = (sims[r] >= margin) & (b_ids > i_id)
-                for j_id, c in zip(b_ids[mask], sims[r][mask]):
-                    out_i.append(i_id)
-                    out_j.append(int(j_id))
-                    out_c.append(round(float(c), 6))
-            yield pd.DataFrame({"i": out_i, "j": out_j, "cos_sim": out_c})
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), VEC.as_double(F.col(vec_col)).alias("v")
+    )
+    blocked = base.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(nb)).cast("int")
+    )
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(nb) for b in range(a, nb)], "ba int, bb int"
+    )
+    lhs = blocked.join(
+        F.broadcast(block_pairs), blocked["blk"] == block_pairs["ba"]
+    ).select("ba", "bb", "vid", "v")
+    # disjoint column names on the right side: both tiles descend from
+    # the same plan, and identical attribute ids would make the cogroup
+    # an ambiguous self-join
+    rhs = blocked.join(
+        F.broadcast(block_pairs), blocked["blk"] == block_pairs["bb"]
+    ).select(
+        F.col("ba").alias("rba"),
+        F.col("bb").alias("rbb"),
+        F.col("vid").alias("rvid"),
+        F.col("v").alias("rv"),
+    )
 
-    return spread(embeddings.select(id_col, vec_col)).mapInPandas(
-        kernel, "i long, j long, cos_sim double"
-    ).filter(F.col("cos_sim") >= threshold)
+    def kernel(key: tuple, l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"i": [], "j": [], "cos_sim": []}).astype(
+            {"i": "int64", "j": "int64", "cos_sim": "float64"}
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        ids_a = l["vid"].to_numpy(dtype=np.int64)
+        ids_b = r["rvid"].to_numpy(dtype=np.int64)
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in l["v"]])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in r["rv"]])
+        sims = (a @ b.T) / (
+            np.linalg.norm(a, axis=1)[:, None] * np.linalg.norm(b, axis=1)[None, :]
+        )
+        # same-block tiles hold identical vector sets: keep i<j once;
+        # cross-block pairs are unique already — orient them i<j
+        mask = sims >= margin
+        mask &= ids_a[:, None] < ids_b[None, :]
+        if key[0] != key[1]:
+            swapped = (sims >= margin) & (ids_a[:, None] > ids_b[None, :])
+            ii, jj = np.nonzero(swapped)
+            mask_i, mask_j = np.nonzero(mask)
+            i_out = np.concatenate([ids_a[mask_i], ids_b[jj]])
+            j_out = np.concatenate([ids_b[mask_j], ids_a[ii]])
+            c_out = np.concatenate([sims[mask_i, mask_j], sims[ii, jj]])
+        else:
+            mask_i, mask_j = np.nonzero(mask)
+            i_out, j_out, c_out = ids_a[mask_i], ids_b[mask_j], sims[mask_i, mask_j]
+        return pd.DataFrame(
+            {"i": i_out, "j": j_out, "cos_sim": np.round(c_out, 6)}
+        )
+
+    out = (
+        lhs.groupby("ba", "bb")
+        .cogroup(rhs.groupby("rba", "rbb"))
+        .applyInPandas(kernel, "i long, j long, cos_sim double")
+    )
+    return out.filter(F.col("cos_sim") >= threshold)
 
 
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -469,8 +548,9 @@ def rp_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 32,
-    bands: int = 8,
+    n_planes: int = 60,
+    bands: int = 10,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane LSH near-dup pairs with exact verification —
     the LINEAR-scale path for embedding near-dup (SimHash for vectors:
@@ -482,6 +562,26 @@ def rp_lsh_pairs(
     shuffle shape as minhash_lsh_pairs). Exact cosine then removes all
     false positives.  Collision probability per plane is 1 - θ/π, so
     recall is tunable with (n_planes, bands) per the LSH S-curve.
+
+    Default banding is 10 bands x 6 rows: vs the old 8x4, a random pair
+    (bit-agree p=0.5) collides in some band with prob 14.5% instead of
+    40% (2.75x fewer junk candidates — the dominant cost at weak
+    thresholds), while a 0.8-cosine pair (p=0.795) still collides at
+    0.946.  ``max_bucket`` drops degenerate buckets (e.g. zero vectors
+    all agreeing everywhere) whose b²/2 fan-out would dominate;
+    recall-only, exact-verify unchanged.
+
+    Verification strategy — verify INSIDE the bucket, not per pair:
+    vectors ride along into the bucket groupBy (``bands`` copies of
+    each vector through one shuffle) and each bucket is scored with a
+    single BLAS gram matrix.  The previous shape (posting-list pair
+    expansion → two vector joins → per-pair einsum) shipped BOTH full
+    vectors per CANDIDATE PAIR through Arrow — at weak thresholds
+    candidates ≈ 150x the vector count, i.e. ~30x the bytes of the
+    bucket-carry (measured 8x wall-clock on 2k x 64 at θ=0.45).  A
+    pair found in k bands is scored k times (cheap — the gram matrix
+    is already paid for) and deduped by max; dedup input is only pairs
+    ABOVE threshold, not the candidate set.
     """
     rows = n_planes // bands
     planes = _hyperplanes(n_planes, dim)
@@ -512,48 +612,38 @@ def rp_lsh_pairs(
         return pd.Series(list(stacked))
 
     banded = vecd.select(
-        "vid", F.posexplode(band_values(F.col("v"))).alias("band", "band_bits")
+        "vid", "v", F.posexplode(band_values(F.col("v"))).alias("band", "band_bits")
     )
-    buckets = (
-        banded.groupBy("band", "band_bits")
-        .agg(F.array_sort(F.collect_list("vid")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    candidates = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.expr(
-                        "transform(ds, (x, i) ->"
-                        " transform(slice(ds, i+2, size(ds)), y -> struct(x as i, y as j)))"
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.i", "p.j")
-        .distinct()
-    )
-    # exact-cosine verification, also BLAS-batched: at weak thresholds
-    # (0.45 ≈ 63° — random pairs agree per-bit at p=0.5 vs 0.65 for true
-    # pairs) the LSH S-curve prunes only ~half the quadratic, so the
-    # candidate set is large and a per-pair JVM fold cosine dominated
-    # the runtime; einsum over Arrow batches removes that.
-    @pandas_udf("double")
-    def cos_batch(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype=float)
-        a = np.stack([np.asarray(x, dtype=np.float64) for x in va])
-        b = np.stack([np.asarray(x, dtype=np.float64) for x in vb])
-        sims = np.einsum("ij,ij->i", a, b) / (
-            np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
-        )
-        return pd.Series(np.round(sims, 6))
+    margin = threshold - 1e-6
 
-    vp = vecd.persist()
-    ci = candidates.join(vp.select(F.col("vid").alias("i"), F.col("v").alias("va")), "i")
-    cij = ci.join(vp.select(F.col("vid").alias("j"), F.col("v").alias("vb")), "j")
+    def verify_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"i": [], "j": [], "cos_sim": []}).astype(
+            {"i": "int64", "j": "int64", "cos_sim": "float64"}
+        )
+        n = len(pdf)
+        if n < 2 or (max_bucket is not None and n > max_bucket):
+            return empty
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        mat /= np.linalg.norm(mat, axis=1)[:, None]
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= margin, k=1))
+        if len(ii) == 0:
+            return empty
+        i_ids, j_ids = ids[ii], ids[jj]
+        lo = np.minimum(i_ids, j_ids)
+        hi = np.maximum(i_ids, j_ids)
+        return pd.DataFrame(
+            {"i": lo, "j": hi, "cos_sim": np.round(sims[ii, jj], 6)}
+        )
+
+    scored = banded.groupBy("band", "band_bits").applyInPandas(
+        verify_bucket, "i long, j long, cos_sim double"
+    )
+    # a pair can surface from several bands; max over float-identical
+    # recomputations is the deterministic dedup
     return (
-        cij.withColumn("cos_sim", cos_batch(F.col("va"), F.col("vb")))
+        scored.groupBy("i", "j")
+        .agg(F.max("cos_sim").alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
-        .select("i", "j", "cos_sim")
     )

@@ -1821,7 +1821,7 @@ def q_embed_neardup_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transitdata_hfp_deduplicator_spark.operators.similarity import rp_lsh_pairs
 
     e = _t(spark, sf_dir, "embeddings")
-    return rp_lsh_pairs(e, threshold=0.45, n_planes=32, bands=8)
+    return rp_lsh_pairs(e, threshold=0.45)
 
 
 # ---------------------------------------------------------------------------
