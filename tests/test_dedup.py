@@ -50,6 +50,29 @@ def test_first_wins_payload_only_identity(spark):
         seq += n + 1
 
 
+def test_payload_digest_is_unambiguous(spark):
+    """The digest serialization is prefix-free: records that a naive
+    separator-join would merge must digest differently — field-boundary
+    shifts, NULL vs separator-byte strings, NULL vs its old sentinel."""
+    from transitdata_hfp_deduplicator_spark.operators.dedup import payload_digest
+
+    rows = [
+        ("ab", "c"),
+        ("a", "bc"),  # boundary shift
+        ("a\x1fb", "c"),  # embedded legacy separator
+        (None, "c"),
+        ("\x00", "c"),  # NULL vs old NULL-sentinel string
+        ("N;", "c"),  # literal new NULL marker as data
+        ("a", None),
+        ("ab", None),
+    ]
+    df = spark.createDataFrame(rows, "f1 string, f2 string")
+    digests = [
+        r.d for r in df.select(payload_digest("f1", "f2").alias("d")).collect()
+    ]
+    assert len(set(digests)) == len(rows), "all distinct records must digest apart"
+
+
 def test_window_and_agg_formulations_agree(spark):
     df = _synthetic_envelope(spark)
     a = {tuple(r) for r in dedup_exact(df, ["payload"], ["ts", "seq"]).collect()}

@@ -56,6 +56,57 @@ def test_full_pipeline_on_real_corpus(spark, tmp_path):
     assert {a.alert for a in received} <= {"FEED_DOWN", "MORE_DUPLICATES_THAN_PRIMARIES"}
 
 
+def test_per_duplicate_alert(spark, tmp_path, monkeypatch):
+    """alertOnDuplicate (environment.conf:33-34): the pipeline fires one
+    alert PER duplicate, each carrying its inter-duplicate delay —
+    Analytics.java:69-75's reportDuplicate branch."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("t/a", "m1", base),
+        ("t/b", "m2", base + dt.timedelta(seconds=1)),
+        ("t/a", "m1", base + dt.timedelta(seconds=3)),  # dup of m1, 3000ms
+        ("t/a", "m1", base + dt.timedelta(seconds=7)),  # dup of m1, 7000ms
+        ("t/b", "m2", base + dt.timedelta(seconds=2)),  # dup of m2, 1000ms
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "topic string, payload string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    monkeypatch.setenv("APPLICATION_ALERT_ON_DUPLICATE", "true")
+    received = []
+    uniques, _ = run_hfp_corpus_pipeline(
+        spark, src, on_alerts=lambda alerts, bid: received.extend(alerts)
+    )
+    assert uniques.count() == 2
+    dup_alerts = [a for a in received if a.alert == "DUPLICATE_RECEIVED"]
+    assert len(dup_alerts) == 3, "one alert per duplicate"
+    assert sorted(a.delay_ms for a in dup_alerts) == [1000, 3000, 7000]
+
+
+def test_per_duplicate_alert_off_by_default(spark, tmp_path):
+    """With the shipped config (alertOnDuplicate=false) no per-duplicate
+    alerts fire — only the window-level threshold alerts."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        ("t/a", "m1", base),
+        ("t/a", "m1", base + dt.timedelta(seconds=3)),
+    ]
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        rows, "topic string, payload string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+    received = []
+    run_hfp_corpus_pipeline(
+        spark, src, on_alerts=lambda alerts, bid: received.extend(alerts)
+    )
+    assert not [a for a in received if a.alert == "DUPLICATE_RECEIVED"]
+
+
 def test_listener_captures_failure(spark, tmp_path):
     from transitdata_hfp_deduplicator_spark.streaming.listener import (
         DedupQueryListener,

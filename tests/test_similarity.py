@@ -160,6 +160,28 @@ def test_rplsh_recall_on_clustered_data(spark):
     assert recall >= 0.9, f"RP-LSH recall {recall}"
 
 
+def test_simhash_pigeonhole_full_recall(spark, sf_dir):
+    """The d+1-chunk pigeonhole must find EVERY pair within max_hamming
+    — including values above the old fixed-4-chunk guarantee of 3 —
+    verified against brute-force popcount over all signature pairs."""
+    from itertools import combinations
+
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        simhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sigs = {r.doc_id: r.sh for r in simhash_signatures(d).collect()}
+    for max_h in (3, 7, 12):
+        expected = {
+            (i, j)
+            for i, j in combinations(sorted(sigs), 2)
+            if bin((sigs[i] ^ sigs[j]) & ((1 << 64) - 1)).count("1") <= max_h
+        }
+        got = {(r.i, r.j) for r in simhash_pairs(d, max_hamming=max_h).collect()}
+        assert got == expected, f"recall gap at max_hamming={max_h}"
+
+
 def test_skew_caps_identity_and_bite(spark, sf_dir):
     """max_df / max_bucket caps: a cap at/above the corpus maximum is a
     no-op (identical pairs); an absurdly tight cap removes everything —

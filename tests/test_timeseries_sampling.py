@@ -63,6 +63,32 @@ def test_gapfill_densifies_and_fills(spark):
     assert [r.v for r in rows] == [10.0, 10.0, 10.0, 20.0]  # locf
 
 
+def test_gapfill_multi_quantity_bucket(spark):
+    """Bucket widths with quantity != 1 ("30 minutes") must align the
+    data bucketing with the grid — events land in their floored bucket
+    and empty buckets between them densify (a unit-only date_trunc put
+    the data on :00 buckets while the grid stepped :30s, dropping real
+    aggregates on the join)."""
+    df = _ev(spark, [(1, 5 * 60, 10), (1, 70 * 60, 20)])  # 00:05 and 01:10
+    out = gapfill(
+        df, [], "ts", bucket="30 minutes",
+        aggs=[F.count(F.lit(1)).alias("n")],
+        zero_fill=["n"],
+    ).orderBy("_bucket")
+    rows = out.collect()
+    # grid: 00:00, 00:30, 01:00 — data in the first and last
+    assert [int((r._bucket - T0).total_seconds()) for r in rows] == [0, 1800, 3600]
+    assert [r.n for r in rows] == [1, 0, 1]
+
+
+def test_gapfill_rejects_multi_quantity_calendar(spark):
+    import pytest
+
+    df = _ev(spark, [(1, 0, 1)])
+    with pytest.raises(ValueError, match="calendar"):
+        gapfill(df, [], "ts", bucket="2 months", aggs=[F.count(F.lit(1)).alias("n")])
+
+
 def test_hash_split_is_deterministic_and_partition_independent(spark):
     df = spark.range(0, 1000).withColumn("k2", F.col("id") % 7)
     a = hash_split(df, ["id", "k2"]).groupBy("split").count().collect()

@@ -47,3 +47,10 @@ class DedupConfig:
     alert_on_threshold: bool = field(
         default_factory=lambda: _env("APPLICATION_ALERT_ON_THRESHOLD", "true") == "true"
     )
+    # per-duplicate alert (environment.conf:33-34 — "alertOnDuplicate =
+    # false"; Analytics.java:69-75 fires on EVERY duplicate with its
+    # inter-duplicate delay when enabled)
+    alert_on_duplicate: bool = field(
+        default_factory=lambda: _env("APPLICATION_ALERT_ON_DUPLICATE", "false")
+        == "true"
+    )

@@ -47,10 +47,23 @@ def payload_digest(*cols: str | Column, bits: int = 256) -> Column:
     reference pinned its seed so hashes could live in Redis — same
     property: the digest is a pure function of the data), ``xxhash64``
     for the cheap in-plan form.
+
+    The hashed serialization is prefix-free decodable — per field
+    ``N;`` for NULL, else ``S<charlen>:<value>`` — so distinct records
+    can NEVER collide by construction (a bare separator-join merges
+    e.g. ("ab","c") with ("a","bc"), and a NULL sentinel merges NULL
+    with a value equal to the sentinel).  The reference gets the same
+    property from re-serialized protobuf's length-delimited wire
+    format (Deduplicator.java:96-106).
     """
-    canonical = F.concat_ws(
-        "\x1f", *[F.coalesce(F.col(c).cast("string") if isinstance(c, str) else c.cast("string"), F.lit("\x00")) for c in cols]
-    )
+
+    def _enc(c: str | Column) -> Column:
+        s = (F.col(c) if isinstance(c, str) else c).cast("string")
+        return F.when(s.isNull(), F.lit("N;")).otherwise(
+            F.concat(F.lit("S"), F.length(s).cast("string"), F.lit(":"), s)
+        )
+
+    canonical = F.concat(*[_enc(c) for c in cols])
     if bits == 64:
         return F.xxhash64(canonical)
     return F.sha2(canonical, bits)

@@ -283,12 +283,29 @@ def simhash_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_i, simhash_j) <= d.
 
-    Pigeonhole candidate generation: split the 64-bit hash into 4
-    16-bit chunks; any pair within hamming<=3 agrees exactly on >=1
-    chunk, so an equi-join per chunk finds ALL such pairs (no recall
-    loss), then popcount(XOR) filters exactly.  Candidate joins are
-    equi-joins on (chunk_idx, chunk_value) — partitionable.
+    Pigeonhole candidate generation: split the 64-bit hash into
+    ``max_hamming + 1`` chunks — a pair within hamming<=d differs in at
+    most d chunks, so it agrees EXACTLY on >=1 of the d+1 chunks; an
+    equi-join per chunk therefore finds ALL such pairs (full recall for
+    ANY ``max_hamming`` in [0, 63] — a fixed chunk count would silently
+    lose pairs differing in every chunk), then popcount(XOR) filters
+    exactly.  Candidate joins are equi-joins on (chunk_idx, chunk_val)
+    — partitionable.  Wider ``max_hamming`` means narrower chunks and
+    more chance collisions per chunk — the usual pigeonhole cost trade.
     """
+    if not 0 <= max_hamming <= 63:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    n_chunks = max_hamming + 1
+    base_w, rem = divmod(64, n_chunks)
+    widths = [base_w + 1 if c < rem else base_w for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+
+    def _chunk(c: int) -> Column:
+        shifted = F.shiftright(F.col("sh"), offsets[c])
+        if widths[c] >= 64:
+            return shifted  # single-chunk case: the whole hash
+        return shifted.bitwiseAND(F.lit((1 << widths[c]) - 1))
+
     hashed = simhash_signatures(docs, id_col, text_col)
     chunks = hashed.select(
         "doc_id",
@@ -298,11 +315,9 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftright(F.col("sh"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk_val"),
+                        _chunk(c).alias("chunk_val"),
                     )
-                    for c in range(4)
+                    for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),

@@ -103,13 +103,41 @@ def gapfill(
     ``aggs`` are applied per (group, bucket); columns named in
     ``zero_fill`` get 0 on empty buckets, columns in ``ffill`` carry
     the last non-null observation forward (locf).
+
+    Bucketing floors epoch-millis to the FULL interval width (epoch-
+    anchored), so multi-quantity buckets ("30 minutes", "6 hours")
+    align with the grid the sequence() step walks — a unit-only
+    date_trunc would put data rows on one grid and the join keys on
+    another, silently dropping real aggregates.  For quantity-1 specs
+    this floor is identical to date_trunc in the engine's UTC session.
     """
-    unit = bucket.split()[1].rstrip("s")
-    b = F.date_trunc(unit, F.col(ts_col)).alias("_bucket")
+    qty, unit_raw = bucket.split()
+    unit = unit_raw.rstrip("s")
+    if unit in ("week", "month", "year"):
+        # calendar units are irregular — no epoch-width floor exists;
+        # date_trunc aligns with the calendar starts sequence() walks,
+        # but only for quantity 1
+        if int(qty) != 1:
+            raise ValueError(
+                f"gapfill: multi-quantity calendar buckets ({bucket!r}) "
+                "have no fixed width; use quantity 1 or a day-based spec"
+            )
+
+        def _floor(c: Column) -> Column:
+            return F.date_trunc(unit, c)
+
+    else:
+        width = F.lit(_interval_millis(bucket))
+
+        def _floor(c: Column) -> Column:
+            ms = F.unix_millis(c)
+            return F.timestamp_millis(ms - F.pmod(ms, width))
+
+    b = _floor(F.col(ts_col)).alias("_bucket")
     per_bucket = df.groupBy(*group_cols, b).agg(*aggs)
     span = df.groupBy(*group_cols).agg(
-        F.date_trunc(unit, F.min(ts_col)).alias("_b0"),
-        F.date_trunc(unit, F.max(ts_col)).alias("_b1"),
+        _floor(F.min(ts_col)).alias("_b0"),
+        _floor(F.max(ts_col)).alias("_b1"),
     )
     grid = span.select(
         *group_cols,

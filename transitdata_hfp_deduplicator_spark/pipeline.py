@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from transitdata_hfp_deduplicator_spark.config import DedupConfig
 from transitdata_hfp_deduplicator_spark.streaming.analytics import (
+    duplicate_alerts,
     stream_dup_stats,
     with_alerts,
 )
@@ -28,14 +29,17 @@ def build_dedup_pipeline(
     config: DedupConfig | None = None,
     identity_cols: tuple[str, ...] = ("value",),
     ts_col: str = "event_time",
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Wire the full reference dataflow over any envelope stream.
 
-    Returns ``(uniques, stats)``:
+    Returns ``(uniques, stats, dup_alerts)``:
       * ``uniques`` — first-occurrence rows (key/ts/identity preserved),
         ready for a sink (sinks.write_stream_parquet / a broker sink);
       * ``stats`` — per-window primes/duplicates/ratio/avg-delay with
-        the alert column (Analytics.java:47-67 + :50-60).
+        the alert column (Analytics.java:47-67 + :50-60);
+      * ``dup_alerts`` — one alert per duplicate with its delay
+        (Analytics.java:69-75) when ``config.alert_on_duplicate``
+        (environment.conf:33-34), else ``None``.
     """
     config = config or DedupConfig()
     # the stats branch chains two stateful operators (dedup tagging ->
@@ -64,7 +68,8 @@ def build_dedup_pipeline(
         ratio_threshold=config.duplicate_ratio_threshold,
         alert_on_threshold=config.alert_on_threshold,
     )
-    return uniques, stats
+    dup_alerts = duplicate_alerts(tagged) if config.alert_on_duplicate else None
+    return uniques, stats, dup_alerts
 
 
 def run_hfp_corpus_pipeline(
@@ -82,7 +87,7 @@ def run_hfp_corpus_pipeline(
     )
 
     stream = parquet_stream(spark, corpus_parquet)
-    uniques_s, stats_s = build_dedup_pipeline(
+    uniques_s, stats_s, dup_alerts_s = build_dedup_pipeline(
         stream, config, identity_cols=("topic", "payload"), ts_col="ts"
     )
     uniques = run_to_memory(uniques_s, "append")
@@ -91,6 +96,8 @@ def run_hfp_corpus_pipeline(
     stats = run_to_memory(stats_s, "complete")
     if on_alerts:
         alerts = stats.filter(F.col("alert").isNotNull()).collect()
+        if dup_alerts_s is not None:
+            alerts.extend(run_to_memory(dup_alerts_s, "append").collect())
         if alerts:
             on_alerts(alerts, 0)
     return uniques, stats

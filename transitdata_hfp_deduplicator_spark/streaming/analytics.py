@@ -13,6 +13,9 @@ with the trigger loop playing the scheduler.
 Alert predicates (Analytics.java:50-60; thresholds environment.conf:29-34):
   ratio > 1.0               -> more duplicates than primaries
   alert_on && ratio < 0.97  -> feed down / one feed missing
+Per-duplicate alert (Analytics.java:69-75; environment.conf:33-34):
+  alertOnDuplicate          -> one alert PER duplicate, with its
+                               inter-duplicate delay
 """
 
 from __future__ import annotations
@@ -72,4 +75,22 @@ def with_alerts(
         F.when(over, F.lit("MORE_DUPLICATES_THAN_PRIMARIES"))
         .when(under, F.lit("FEED_DOWN"))
         .otherwise(F.lit(None).cast("string")),
+    )
+
+
+def duplicate_alerts(
+    tagged: DataFrame,
+    is_prime_col: str = "is_prime",
+    delay_col: str = "delay_ms",
+) -> DataFrame:
+    """One alert row PER duplicate, carrying its inter-duplicate delay —
+    ``reportDuplicate``'s ``ALERT_ON_DUPLICATE_ENABLED`` branch
+    (Analytics.java:69-75: "Alert, received a duplicate with {} ms in
+    between!").  A stateless filter on the dedup-tagged stream — the
+    tag already carries everything the alert needs; route to a log/
+    alert sink via foreachBatch.  Callers gate on
+    ``DedupConfig.alert_on_duplicate`` (environment.conf:33-34,
+    default false)."""
+    return tagged.filter(~F.col(is_prime_col)).withColumn(
+        "alert", F.lit("DUPLICATE_RECEIVED")
     )
