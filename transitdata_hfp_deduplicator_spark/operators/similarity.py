@@ -73,12 +73,24 @@ def jaccard_pairs(
             .filter(F.size("ds") > 1)
         )
     else:
+        # Filter hot shingles BEFORE collect_list: a count aggregation
+        # (map-side partial, 12-byte rows) finds over-cap shingles, and
+        # a left-semi keyed on the same column drops them, so the 1M-doc
+        # stopword shingle never materializes an O(df) array in any
+        # aggregation buffer (single-task memory hazard at scale).  Both
+        # the count agg and the posting-list agg hash-partition on `s`,
+        # so AQE reuses the exchange layout.
+        kept = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        ex_kept = ex.join(kept, "s", "left_semi")
         # keep singleton lists here: per-doc sizes must count every
         # RETAINED shingle, including ones no other doc shares
-        lists_all = (
-            ex.groupBy("s")
-            .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-            .filter(F.size("ds") <= max_df)
+        lists_all = ex_kept.groupBy("s").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("ds")
         )
         sizes = (
             lists_all.select(F.explode("ds").alias("doc_id"))

@@ -1337,21 +1337,36 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Python extension surface: grouped applyInPandas (Arrow
-    batches). The kernel sums via Decimal (order-independent, matching
-    the engine's dsum convention) — demonstrating that even Python
-    operators keep the determinism contract."""
+    batches). The kernel sums in exact integer ten-thousandths
+    (order-independent fixed-point, matching the engine's dsum/DECIMAL
+    convention) — demonstrating that even Python operators keep the
+    determinism contract.  Vectorized: one numpy round+sum per group;
+    only values within float-error distance of a .00005 rounding tie
+    (where binary `v*1e4` may round differently than the exact decimal
+    expansion) fall back to per-element Decimal — in practice none."""
     from decimal import Decimal
 
+    import numpy as np
     import pandas as pd
 
     ev = _t(spark, sf_dir, "events")
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        vals = pdf["value"].to_numpy()
-        vals.sort()
-        total = float(sum(Decimal(f"{v:.4f}") for v in vals))
-        import numpy as np
-
+        vals = pdf["value"].to_numpy(dtype=np.float64)
+        scaled = vals * 1e4
+        cents = np.rint(scaled)
+        # half-even ties: np.rint rounds the BINARY double; the decimal
+        # contract rounds the exact decimal expansion. Near-tie values
+        # get the exact (slow) treatment.
+        near_tie = np.abs(np.abs(scaled - np.floor(scaled)) - 0.5) < 1e-7
+        if near_tie.any():
+            exact = [
+                int(Decimal(f"{v:.4f}").scaleb(4)) for v in vals[near_tie]
+            ]
+            cents[near_tie] = exact
+        total = float(
+            Decimal(int(cents.astype(np.int64).sum())).scaleb(-4)
+        )
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

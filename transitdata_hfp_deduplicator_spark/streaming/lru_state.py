@@ -37,6 +37,7 @@ behavior unreproducible; determinism is a deliberate improvement.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Iterator, Sequence
 
 import pandas as pd
@@ -101,51 +102,71 @@ def lru_dedup_stream(
         lasts = dict(lasts or {})
         hits = dict(hits or {})
 
+        # Rebuild access order ONCE per batch (least-recent first, digest
+        # tiebreak — the same (last, key) order the old per-insert min()
+        # scan used), then keep it current with O(1) OrderedDict moves.
+        # digest -> [first_ms, last_ms, hit_count]
+        entries: OrderedDict[str, list[int]] = OrderedDict(
+            (k, [firsts[k], lasts[k], hits[k]])
+            for k in sorted(lasts, key=lambda k: (lasts[k], k))
+        )
+
         out_d: list[str] = []
         out_t: list[int] = []
         out_p: list[bool] = []
         out_delay: list[int | None] = []
         out_hit: list[int] = []
-        for pdf in pdfs:
+        # Materialize ALL Arrow chunks before sorting: a group larger than
+        # arrow.maxRecordsPerBatch arrives as several pandas chunks, and a
+        # per-chunk sort would replay rows in nondeterministic cross-chunk
+        # order.  State is capacity-bounded, so the concat is bounded too.
+        chunks = list(pdfs)
+        pdf = (
+            pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        ) if chunks else None
+        if pdf is not None:
             # deterministic replay order: event time, digest tiebreak
             pdf = pdf.sort_values(["ts_ms", "digest"], kind="mergesort")
             for d, ts_ms in zip(pdf["digest"].tolist(), pdf["ts_ms"].tolist()):
                 ts_ms = int(ts_ms)
-                first = firsts.get(d)
+                ent = entries.get(d)
                 if (
-                    first is not None
+                    ent is not None
                     and ttl_ms is not None
-                    and ts_ms - first > ttl_ms
+                    and ts_ms - ent[0] > ttl_ms
                 ):
                     # expired after write -> treat as miss
-                    del firsts[d], lasts[d], hits[d]
-                    first = None
-                if first is None:
-                    firsts[d] = ts_ms
-                    lasts[d] = ts_ms
-                    hits[d] = 1
-                    if len(firsts) > capacity:
-                        # evict least-recently-accessed (digest tiebreak)
-                        lru = min(
-                            (k for k in firsts if k != d),
-                            key=lambda k: (lasts[k], k),
-                        )
-                        del firsts[lru], lasts[lru], hits[lru]
+                    del entries[d]
+                    ent = None
+                if ent is None:
+                    entries[d] = [ts_ms, ts_ms, 1]
+                    if len(entries) > capacity:
+                        # evict least-recently-accessed: O(1).  The new key
+                        # sits at the ordered tail, so it can never be the
+                        # victim (matching the old `k != d` exclusion).
+                        entries.popitem(last=False)
                     out_d.append(d)
                     out_t.append(ts_ms)
                     out_p.append(True)
                     out_delay.append(None)
                     out_hit.append(1)
                 else:
-                    lasts[d] = ts_ms
-                    hits[d] += 1
+                    ent[1] = ts_ms
+                    ent[2] += 1
+                    entries.move_to_end(d)
                     out_d.append(d)
                     out_t.append(ts_ms)
                     out_p.append(False)
-                    out_delay.append(ts_ms - first)
-                    out_hit.append(hits[d])
+                    out_delay.append(ts_ms - ent[0])
+                    out_hit.append(ent[2])
 
-        state.update((firsts, lasts, hits))
+        state.update(
+            (
+                {k: e[0] for k, e in entries.items()},
+                {k: e[1] for k, e in entries.items()},
+                {k: e[2] for k, e in entries.items()},
+            )
+        )
         yield pd.DataFrame(
             {
                 "digest": pd.Series(out_d, dtype="object"),

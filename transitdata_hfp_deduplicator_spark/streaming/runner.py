@@ -53,21 +53,40 @@ def run_to_memory(
     output_mode: str = "append",
     name: str | None = None,
 ) -> DataFrame:
-    """Execute a streaming DataFrame to completion into a memory sink;
-    returns the result as a batch DataFrame."""
+    """Execute a streaming DataFrame to completion; returns the result
+    as a batch DataFrame.
+
+    Despite the (kept-for-compatibility) name, the sink is a
+    ``foreachBatch`` parquet spool in a temp dir, not Spark's memory
+    sink: the memory sink pins every replay's FULL output in driver
+    memory for the life of its temp view, so a long session (the bench
+    runs 60+ queries) accumulates gigabytes of dead results.  Parquet
+    spooling keeps the output off-heap (OS page cache), survives any
+    output mode (append/update spool the per-batch delta exactly as the
+    memory sink would; complete overwrites so the last batch wins), and
+    leaves nothing referenced when the returned frame is dropped.
+    """
     spark = sdf.sparkSession
-    name = name or f"mem_{uuid.uuid4().hex[:12]}"
-    ckpt = os.path.join(tempfile.mkdtemp(prefix="ckpt_"), name)
+    base = tempfile.mkdtemp(prefix="stream_out_")
+    out_dir = os.path.join(base, "data")
+    ckpt = os.path.join(base, "ckpt")
+    schema = sdf.schema
+
+    def spool(batch_df: DataFrame, _batch_id: int) -> None:
+        mode = "overwrite" if output_mode == "complete" else "append"
+        batch_df.write.mode(mode).parquet(out_dir)
+
     q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
+        sdf.writeStream.foreachBatch(spool)
         .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    if not os.path.isdir(out_dir):  # zero batches -> empty result
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(out_dir)
 
 
 import contextlib

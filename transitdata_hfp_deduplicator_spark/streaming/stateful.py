@@ -123,8 +123,16 @@ def dedup_tag_stream(
         firsts, hits = dict(firsts or {}), dict(hits or {})
         wm = state.getCurrentWatermarkMs()
         frames = []
-        for pdf in pdfs:
-            pdf = pdf[["key", "ts_ms"]].sort_values("ts_ms", kind="mergesort")
+        # Materialize ALL Arrow chunks before sorting: a group larger than
+        # arrow.maxRecordsPerBatch arrives as several chunks, and per-chunk
+        # sorting replays rows in nondeterministic cross-chunk time order
+        # (an out-of-order chunk could make delay_ms negative).
+        chunks = [pdf[["key", "ts_ms"]] for pdf in pdfs]
+        merged = (
+            [pd.concat(chunks, ignore_index=True)] if len(chunks) > 1 else chunks
+        )
+        for pdf in merged:
+            pdf = pdf.sort_values("ts_ms", kind="mergesort")
             keys = pdf["key"]
             ts = pdf["ts_ms"].astype("int64")
             # vectorized common path: effective first = state first if the
