@@ -105,6 +105,14 @@ def test_per_duplicate_alert_off_by_default(spark, tmp_path):
         spark, src, on_alerts=lambda alerts, bid: received.extend(alerts)
     )
     assert not [a for a in received if a.alert == "DUPLICATE_RECEIVED"]
+    # the chained-stateful correctness-check lift is scoped to the
+    # pipeline's query start — the session default must survive
+    assert (
+        spark.conf.get(
+            "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+        )
+        == "true"
+    )
 
 
 def test_listener_captures_failure(spark, tmp_path):

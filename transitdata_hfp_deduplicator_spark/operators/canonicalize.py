@@ -89,6 +89,84 @@ def _parse_fields(buf: bytes) -> list[tuple[int, int, bytes]]:
     return fields
 
 
+def _reencode(fields: list[tuple[int, int, bytes]]) -> bytes:
+    out = bytearray()
+    for field_no, wire, val in fields:
+        out += _write_varint((field_no << 3) | wire)
+        if wire == _LEN:
+            out += _write_varint(len(val))
+        out += val
+    return bytes(out)
+
+
+# --- typed descriptors (the "registered schema" path, A3) ------------------
+#
+# A descriptor maps field_number -> (expected_wire_type, NESTED | None).
+# NESTED marks a field whose value is itself a protobuf message, to be
+# canonicalized recursively.  This is the engine's registered-schema
+# analog of the reference's typed ``parseFrom(...).toByteArray()``
+# (Deduplicator.java:96-106): parse against a known shape, re-emit
+# deterministically, and REJECT (ValueError) anything that does not
+# match the shape — the caller maps rejection to the raw-bytes
+# fallback, exactly like the swallowed parse exception at
+# Deduplicator.java:86-93.
+
+NESTED = "nested"
+
+# MqttRawMessage {1: schemaVersion varint, 2: topic string, 3: payload
+# bytes} — shape pinned by its construction at
+# ITDeduplicatorTest.java:149-154.
+MQTT_RAW_MESSAGE_DESC = {1: (_VARINT, None), 2: (_LEN, None), 3: (_LEN, None)}
+
+# Hfp.Data {1: SchemaVersion varint, 2: topic message, 3: payload
+# message} (parsed at Deduplicator.java:100-101; Topic/Payload carry
+# only scalar fields, so their canonical form is the generic sorted
+# re-emit one level down).
+HFP_DATA_DESC = {1: (_VARINT, None), 2: (_LEN, NESTED), 3: (_LEN, NESTED)}
+
+
+def typed_canonicalize(payload: bytes, desc: dict) -> bytes:
+    """Typed decode -> canonical re-encode against a registered schema.
+
+    Semantics mirror a protobuf runtime's parse+reserialize:
+      * a declared field must arrive with its declared wire type
+        (mismatch => ValueError => caller's raw-bytes fallback);
+      * repeated occurrences of a declared scalar keep the LAST value
+        (protobuf last-wins merge);
+      * declared NESTED fields are parsed and re-emitted with sorted
+        sub-fields (their shapes are scalar-only, so one level of
+        recursion is the full canonical form); occurrences concatenate
+        (wire-level message merge);
+      * unknown fields are preserved verbatim, like Java's
+        UnknownFieldSet, and sorted into place.
+    """
+    fields = _parse_fields(bytes(payload))
+    last_scalar: dict[int, tuple[int, int, bytes]] = {}
+    nested_parts: dict[int, list[tuple[int, int, bytes]]] = {}
+    unknown: list[tuple[int, int, bytes]] = []
+    for field_no, wire, val in fields:
+        spec = desc.get(field_no)
+        if spec is None:
+            unknown.append((field_no, wire, val))
+            continue
+        want_wire, kind = spec
+        if wire != want_wire:
+            raise ValueError(
+                f"field {field_no}: wire type {wire}, schema says {want_wire}"
+            )
+        if kind is NESTED:
+            nested_parts.setdefault(field_no, []).extend(_parse_fields(val))
+        else:
+            last_scalar[field_no] = (field_no, wire, val)
+    out: list[tuple[int, int, bytes]] = list(last_scalar.values())
+    for field_no, subs in nested_parts.items():
+        subs = sorted(subs, key=lambda f: f[0])
+        out.append((field_no, _LEN, _reencode(subs)))
+    out.extend(unknown)
+    out.sort(key=lambda f: f[0])  # stable: repeated unknowns keep order
+    return _reencode(out)
+
+
 def canonicalize_protobuf(payload: bytes) -> bytes:
     """Stable re-encoding of a protobuf message's wire bytes.
 
@@ -106,13 +184,7 @@ def canonicalize_protobuf(payload: bytes) -> bytes:
     except ValueError:
         return bytes(payload)  # Deduplicator.java:86-93 fallback
     fields.sort(key=lambda f: f[0])  # stable: repeated fields keep order
-    out = bytearray()
-    for field_no, wire, val in fields:
-        out += _write_varint((field_no << 3) | wire)
-        if wire == _LEN:
-            out += _write_varint(len(val))
-        out += val
-    return bytes(out)
+    return _reencode(fields)
 
 
 def with_canonical_payload(

@@ -228,10 +228,14 @@ def minhash_lsh_pairs(
         .select("p.i", "p.j")
         .distinct()
     )
-    # exact-Jaccard verification joins the shingle sets back twice; the
-    # shingled frame is persisted so the diamond doesn't recompute the
-    # tokenize+shingle pipeline per join branch
-    sh = _shingled(docs, id_col, text_col, shingle_n).persist()
+    # exact-Jaccard verification joins the shingle sets back twice.
+    # The diamond is NOT persisted: _shingled is a narrow map-only
+    # projection that pipelines into each join's shuffle write, so the
+    # recompute costs one extra pass of tokenize+shingle — while an
+    # explicit persist() has no caller-side unpersist hook (it would
+    # leak storage for the session) and at the 100 TB target pinning
+    # the full shingle table in cluster memory is the wrong trade.
+    sh = _shingled(docs, id_col, text_col, shingle_n)
     ci = candidates.join(sh.withColumnRenamed("doc_id", "i").withColumnRenamed("shingles", "sh_i"), "i")
     cij = ci.join(sh.withColumnRenamed("doc_id", "j").withColumnRenamed("shingles", "sh_j"), "j")
     verified = cij.withColumn(
@@ -612,8 +616,15 @@ def rp_lsh_pairs(
     """
     rows = n_planes // bands
     planes = _hyperplanes(n_planes, dim)
-    vecd = spread(
-        embeddings.select(F.col(id_col).alias("vid"), VEC.as_double(F.col(vec_col)).alias("v"))
+    # deliberately NOT spread(): banding is ONE small BLAS matmul per
+    # Arrow batch — at lake scale the parquet scan already yields many
+    # splits, and at replay scale forcing defaultParallelism partitions
+    # just spawns (and cold-starts) one Python worker per partition for
+    # microseconds of math (measured: 32-way spread costs ~2.5s of
+    # worker spawn at 2k vectors vs ~0 compute).  Real parallelism
+    # enters at the bucket shuffle below, where the heavy work is.
+    vecd = embeddings.select(
+        F.col(id_col).alias("vid"), VEC.as_double(F.col(vec_col)).alias("v")
     )
     # All n_planes sign bits in ONE BLAS matmul per Arrow batch, packed
     # into one int per band.  The previous pure-column formulation ran

@@ -42,16 +42,12 @@ def build_dedup_pipeline(
         (environment.conf:33-34), else ``None``.
     """
     config = config or DedupConfig()
-    # the stats branch chains two stateful operators (dedup tagging ->
-    # windowed agg); Spark's global-watermark check refuses that shape
-    # outright. Here the only rows the dedup op emits with event times
-    # behind the watermark are late INPUT rows, and the downstream
-    # window would classify them late by the same watermark — the
-    # outcome is identical to a single-operator pipeline, so the check
-    # is safely disabled for this composition.
-    envelope_stream.sparkSession.conf.set(
-        "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false"
-    )
+    # NOTE: the stats branch chains two stateful operators (dedup
+    # tagging -> windowed agg), a shape Spark's global-watermark check
+    # refuses at query START — start it inside
+    # ``streaming.allow_chained_stateful(spark)`` (the check is safe to
+    # lift for this composition: see that context manager's docstring).
+    # Building the plan here mutates nothing session-wide.
     tagged = dedup_tag_stream(
         envelope_stream,
         list(identity_cols),
@@ -85,6 +81,9 @@ def run_hfp_corpus_pipeline(
         parquet_stream,
         run_to_memory,
     )
+    from transitdata_hfp_deduplicator_spark.streaming.runner import (
+        allow_chained_stateful,
+    )
 
     stream = parquet_stream(spark, corpus_parquet)
     uniques_s, stats_s, dup_alerts_s = build_dedup_pipeline(
@@ -92,8 +91,12 @@ def run_hfp_corpus_pipeline(
     )
     uniques = run_to_memory(uniques_s, "append")
     # complete mode: a finite replay's last windows never fall behind
-    # the watermark, so append would hold them back forever
-    stats = run_to_memory(stats_s, "complete")
+    # the watermark, so append would hold them back forever; the stats
+    # branch chains two stateful operators, so its START needs the
+    # scoped correctness-check lift (restored on exit — session
+    # defaults survive the pipeline run)
+    with allow_chained_stateful(spark):
+        stats = run_to_memory(stats_s, "complete")
     if on_alerts:
         alerts = stats.filter(F.col("alert").isNotNull()).collect()
         if dup_alerts_s is not None:

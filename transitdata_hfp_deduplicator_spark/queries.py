@@ -1307,7 +1307,13 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.withColumn("__q", q).repartition(1).write.partitionBy("__q").mode(
         "overwrite"
     ).parquet(tmp)
-    dirs = [os.path.join(tmp, f"__q={i}") for i in range(4)]
+    # a heavily skewed ts distribution can leave a quartile empty (no
+    # partition directory written) — derive dirs from what exists
+    dirs = sorted(
+        (d for d in os.listdir(tmp) if d.startswith("__q=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    dirs = [os.path.join(tmp, d) for d in dirs]
     # file source orders batches by modification time: oldest first
     now = time.time()
     for i, d in enumerate(dirs):
@@ -1499,6 +1505,83 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_approx_check",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           TRUE AS orders_ok,
+           TRUE AS parts_ok,
+           TRUE AS price_med_ok,
+           TRUE AS qty_p50_ok,
+           TRUE AS qty_p99_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked companion to q_agg_approx: the sketch VALUES are
+    engine-specific (rows-only over there), but their accuracy bounds
+    are exact claims — each flag compares a sketch to the exact
+    aggregate computed in the same plan, and the oracle asserts the
+    exact group sizes plus all-flags-true.  A sketch drifting out of
+    its published bound flips a flag and breaks the value hash — a
+    real regression gate, not a tautology.  Bounds: HLL++ rsd*3 (4.7%
+    default / 3% at rsd=0.01), percentile_approx(acc=10000) within a
+    ±5-percentile exact-rank window (orders-of-magnitude looser than
+    the 1/acc rank guarantee, tight enough to catch breakage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # two aggregations joined on the tiny group key, NOT one: mixing
+    # multiple DISTINCT aggregates (Expand) with TypedImperativeAggregate
+    # buffers (HLL / percentile digests) forces the whole plan onto the
+    # sort-aggregate slow path — measured 17s vs 1.2s at sf0.01. Split,
+    # each half stays in its fast path (Expand+hash / ObjectHashAggregate)
+    # and the join is a broadcast over #groups rows.
+    exact = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_orderkey").alias("x_orders"),
+        F.countDistinct("l_partkey").alias("x_parts"),
+    )
+    sketch = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("a_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_med"),
+        F.percentile_approx("l_quantity", [0.5, 0.99], 10000).alias("a_qty"),
+        F.percentile(
+            F.col("l_extendedprice"), F.array(F.lit(0.45), F.lit(0.55))
+        ).alias("x_price"),
+        F.percentile(
+            F.col("l_quantity"),
+            F.array(F.lit(0.45), F.lit(0.55), F.lit(0.98)),
+        ).alias("x_qty"),
+        F.max("l_quantity").alias("x_qty_max"),
+    )
+    agg = exact.join(F.broadcast(sketch), "l_returnflag")
+    pct = 3 * 0.05  # 3 sigma at default rsd
+    pct_parts = 3 * 0.01
+    return agg.select(
+        "l_returnflag",
+        "n",
+        (
+            F.abs(F.col("a_orders") - F.col("x_orders"))
+            <= pct * F.col("x_orders")
+        ).alias("orders_ok"),
+        (
+            F.abs(F.col("a_parts") - F.col("x_parts"))
+            <= pct_parts * F.col("x_parts")
+        ).alias("parts_ok"),
+        F.col("a_med").between(
+            F.element_at("x_price", 1), F.element_at("x_price", 2)
+        ).alias("price_med_ok"),
+        F.element_at("a_qty", 1).between(
+            F.element_at("x_qty", 1), F.element_at("x_qty", 2)
+        ).alias("qty_p50_ok"),
+        F.element_at("a_qty", 2).between(
+            F.element_at("x_qty", 3), F.col("x_qty_max")
+        ).alias("qty_p99_ok"),
+    )
+
+
+@query(
     "q_udtf",
     oracle="""
     WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
@@ -1603,15 +1686,56 @@ def q_dup_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_canonical_dedup")
+@query(
+    "q_canonical_dedup",
+    oracle="""
+    WITH enc AS (
+      SELECT event_id, user_id,
+             encode(event_type) AS et, encode(props) AS pr,
+             octet_length(encode(event_type)) AS let,
+             octet_length(encode(props)) AS lpr
+      FROM events
+    ), hx AS (
+      SELECT event_id,
+        '08'
+        || CASE WHEN user_id < 128 THEN lpad(lower(hex(user_id)), 2, '0')
+                WHEN user_id < 16384 THEN
+                  lpad(lower(hex((user_id % 128) + 128)), 2, '0')
+                  || lpad(lower(hex(user_id // 128)), 2, '0')
+                ELSE
+                  lpad(lower(hex((user_id % 128) + 128)), 2, '0')
+                  || lpad(lower(hex(((user_id // 128) % 128) + 128)), 2, '0')
+                  || lpad(lower(hex(user_id // 16384)), 2, '0') END
+        || '12'
+        || CASE WHEN let < 128 THEN lpad(lower(hex(let)), 2, '0')
+                ELSE lpad(lower(hex((let % 128) + 128)), 2, '0')
+                     || lpad(lower(hex(let // 128)), 2, '0') END
+        || lower(hex(et))
+        || '1a'
+        || CASE WHEN lpr < 128 THEN lpad(lower(hex(lpr)), 2, '0')
+                ELSE lpad(lower(hex((lpr % 128) + 128)), 2, '0')
+                     || lpad(lower(hex(lpr // 128)), 2, '0') END
+        || lower(hex(pr)) AS canon_hex
+      FROM enc
+    )
+    SELECT sha256(canon_hex) AS identity,
+           count(*) AS n_msgs,
+           min(event_id) AS first_id
+    FROM hx
+    GROUP BY canon_hex
+    """,
+)
 def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalization (A3) end-to-end: each event is wire-encoded as a
     protobuf-shaped envelope in a per-row-scrambled field order, then
     canonicalized (sorted field re-emit) and deduped on the canonical
     digest — proving identity is independent of serialization order,
-    the exact property Deduplicator.java:69 re-encodes for. Rows-only:
-    the wire bytes are engine-internal; semantics pinned in
-    tests/test_canonicalize.py."""
+    the exact property Deduplicator.java:69 re-encodes for.
+    Hash-checked: the oracle rebuilds the SAME canonical wire bytes
+    (tag-ordered varint fields) as a hex string in SQL and sha256s it
+    — identity is over the hex image of the bytes (injective), because
+    DuckDB's sha256 only accepts VARCHAR.  Byte-level codec semantics
+    additionally pinned in tests/test_canonicalize.py."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -1645,7 +1769,9 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     enveloped = ev.mapInPandas(encode, "event_id long, value binary")
     canon = with_canonical_payload(enveloped)
     return (
-        canon.groupBy(F.sha2("canonical", 256).alias("identity"))
+        canon.groupBy(
+            F.sha2(F.lower(F.hex("canonical")), 256).alias("identity")
+        )
         .agg(F.count(F.lit(1)).alias("n_msgs"), F.min("event_id").alias("first_id"))
     )
 

@@ -45,24 +45,78 @@ CANONICALIZABLE_SCHEMAS = ("MqttRawMessage", "HfpData")
 
 
 def canonical_payload(value=None, properties=None):
-    """The canonicalization projection (A3, Deduplicator.java:69-106).
+    """The canonicalization projection (A3, Deduplicator.java:69-106) as
+    a pure Column expression — the relational skeleton of the dispatch.
 
     The reference decodes+re-encodes protobuf because protobuf byte
     order is nondeterministic; any failure falls back to raw bytes.
-    Expressed relationally: a schema-tag dispatch where the typed branch
-    would be ``to_protobuf(from_protobuf(value))`` when a descriptor is
-    registered, and every other tag degrades to the raw bytes — the
-    same graceful-degradation contract.  Without protobuf descriptors
-    (none ship in this environment) every branch is the raw-bytes
-    branch, which is exactly the reference's behavior for untagged and
-    PassengerCount messages.
+    This column-level form keeps the whitelist dispatch in the JVM but
+    passes tagged payloads through unchanged (a Column cannot run the
+    byte-level codec); use :func:`with_envelope_canonical` for the full
+    typed decode→re-encode path.
     """
     value = F.col("value") if value is None else value
     properties = F.col("properties") if properties is None else properties
     tag = properties.getItem(KEY_PROTOBUF_SCHEMA)
-    return F.when(
-        tag.isin(*CANONICALIZABLE_SCHEMAS), value  # hook: to_protobuf(from_protobuf(...))
-    ).otherwise(value)
+    return F.when(tag.isin(*CANONICALIZABLE_SCHEMAS), value).otherwise(value)
+
+
+def canonicalize_tagged_payload(value, tag):
+    """Scalar dispatch (Deduplicator.java:71-106): typed canonical
+    re-encode for the registered schemas, raw bytes for everything else
+    — including PassengerCount, whose typed parse the reference throws
+    on and swallows (:104, :86-93), and untagged messages (:93)."""
+    from transitdata_hfp_deduplicator_spark.operators.canonicalize import (
+        HFP_DATA_DESC,
+        MQTT_RAW_MESSAGE_DESC,
+        typed_canonicalize,
+    )
+
+    if value is None:
+        return None
+    b = bytes(value)
+    try:
+        if tag == "MqttRawMessage":
+            return typed_canonicalize(b, MQTT_RAW_MESSAGE_DESC)
+        if tag == "HfpData":
+            return typed_canonicalize(b, HFP_DATA_DESC)
+    except ValueError:
+        return b  # parse failure -> raw-bytes identity (:86-93)
+    return b
+
+
+def with_envelope_canonical(
+    df: DataFrame,
+    value_col: str = "value",
+    props_col: str = "properties",
+    out_col: str = "canonical",
+) -> DataFrame:
+    """The realized A3 projection over an envelope frame: per-row schema
+    tag -> typed protobuf decode -> canonical (field-sorted) re-encode,
+    raw bytes on any failure or non-canonicalizable tag.  Arrow-batched
+    mapInPandas — stateless, map-only, safe under any partitioning."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema_str = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{schema_str}, `{out_col}` binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            tags = [
+                (p or {}).get(KEY_PROTOBUF_SCHEMA) for p in pdf[props_col]
+            ]
+            pdf[out_col] = [
+                canonicalize_tagged_payload(v, t)
+                for v, t in zip(pdf[value_col], tags)
+            ]
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def envelope_from_rows(spark: SparkSession, rows) -> DataFrame:

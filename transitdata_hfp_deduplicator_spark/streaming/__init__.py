@@ -1,7 +1,9 @@
 from transitdata_hfp_deduplicator_spark.streaming.runner import (
+    allow_chained_stateful,
     parquet_stream,
     replay_shuffle_partitions,
     run_to_memory,
+    scoped_conf,
     scoped_shuffle_partitions,
 )
 from transitdata_hfp_deduplicator_spark.streaming.dedup_stream import stream_dedup
@@ -11,7 +13,9 @@ from transitdata_hfp_deduplicator_spark.streaming.analytics import (
 )
 
 __all__ = [
+    "allow_chained_stateful",
     "parquet_stream",
+    "scoped_conf",
     "replay_shuffle_partitions",
     "run_to_memory",
     "scoped_shuffle_partitions",
