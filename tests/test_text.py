@@ -68,3 +68,36 @@ def test_quality_score_ranges(spark, sf_dir):
         (F.col("q") < 0) | (F.col("q") > 1)
     )
     assert bad.count() == 0
+
+
+def test_scrub_pii(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+x@corp.example.org today",),
+            ("see https://ex.org/p?u=a@b.co&x=1 and http://y.io",),
+            ("call +358401234567 now",),
+            ("clean text stays untouched",),
+        ],
+        "text string",
+    )
+    out = [r.s for r in df.select(TXT.scrub_pii("text").alias("s")).collect()]
+    assert out[0] == "mail me at <EMAIL> today"
+    # the email-shaped substring INSIDE the url is consumed by the URL
+    # scrub (order matters), the second bare URL too
+    assert out[1] == "see <URL> and <URL>"
+    assert out[2] == "call <PHONE> now"
+    assert out[3] == "clean text stays untouched"
+
+
+def test_chunk_text_windows(spark):
+    df = spark.createDataFrame(
+        [("abcdefghij",), ("abc",), ("",)], "text string"
+    )
+    rows = df.select(
+        TXT.chunk_text(F.col("text"), size=4, stride=3).alias("ch")
+    ).collect()
+    # len 10, size 4, stride 3 -> nc = ceil((10-4)/3)+1 = 3 chunks
+    # covering [0:4),[3:7),[6:10) -- every char in >=1 chunk, overlap 1
+    assert rows[0].ch == ["abcd", "defg", "ghij"]
+    assert rows[1].ch == ["abc"]  # shorter than size -> single chunk
+    assert rows[2].ch == [""]  # empty doc -> one empty chunk, not error

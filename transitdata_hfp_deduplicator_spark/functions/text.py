@@ -126,6 +126,52 @@ def fingerprint(text: Column | str, algo: str = "md5") -> Column:
     raise ValueError(f"unknown fingerprint algo {algo!r}")
 
 
+# PII patterns restricted to syntax RE2 (DuckDB) and java.util.regex
+# (Spark) interpret IDENTICALLY — no backrefs, no lookaround, no
+# engine-specific classes — so the scrub stays oracle-checkable.
+PII_URL = r"https?://[^\s]+"
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_INTL_PHONE = r"\+[0-9]{7,14}"
+
+
+def scrub_pii(
+    text: Column | str,
+    url_token: str = "<URL>",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> Column:
+    """Training-corpus PII scrub: URLs, emails, and international-form
+    phone numbers become placeholder tokens.  Pure JVM regexp_replace
+    chain — whole-stage codegen, no Python.  URL first (an email-shaped
+    substring inside a URL must scrub as part of the URL, not split
+    it), then email, then phone."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, PII_URL, url_token)
+    c = F.regexp_replace(c, PII_EMAIL, email_token)
+    c = F.regexp_replace(c, PII_INTL_PHONE, phone_token)
+    return c
+
+
+def chunk_text(
+    text: Column | str, size: int = 200, stride: int = 150
+) -> Column:
+    """Overlapping fixed-width character chunks (the LLM-training
+    document-splitting primitive): chunk i covers
+    ``[i*stride, i*stride + size)``; a doc of length <= size is one
+    chunk.  Array-returning column expression — pair with
+    ``posexplode`` for (chunk_idx, chunk) rows.  O(n_chunks) substring
+    copies per doc, all inside codegen."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chunks = F.when(F.length(c) <= size, F.lit(1)).otherwise(
+        F.ceil((F.length(c) - F.lit(size)) / F.lit(float(stride))).cast("long")
+        + 1
+    )
+    return F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: c.substr(i * stride + 1, F.lit(size)),
+    )
+
+
 def hash64(col: Column, seed: int | Column = 0) -> Column:
     """Deterministic 60-bit positive hash derived from md5 — chosen over
     xxhash64 because BOTH Spark and DuckDB can compute it, so

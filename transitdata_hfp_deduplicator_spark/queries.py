@@ -871,6 +871,94 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_scrub",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com via https://ex.org/d/'
+                  || CAST(doc_id AS VARCHAR) || '?u=a@b.co or +3581234'
+                  || CAST(doc_id AS VARCHAR) AS dirty
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(dirty, 'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+[0-9]{7,14}', '<PHONE>', 'g') AS clean,
+           length(dirty) AS n_dirty
+    FROM dirty
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus PII scrubbing (URL/email/intl-phone → placeholder
+    tokens) — a pure regexp_replace chain, whole-stage codegen, no
+    Python.  The corpus is synthetic word-soup with no organic PII, so
+    the query plants deterministic doc_id-derived PII (an email inside
+    a URL query string among it — the case that forces URL-before-email
+    scrub order) and hash-checks the scrubbed text against DuckDB
+    running the same RE2-compatible patterns."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@mail.example.com via https://ex.org/d/"), sid,
+        F.lit("?u=a@b.co or +3581234"), sid,
+    )
+    return d.select(
+        "doc_id",
+        TXT.scrub_pii(dirty).alias("clean"),
+        F.length(dirty).cast("long").alias("n_dirty"),
+    )
+
+
+@query(
+    "q_doc_chunks",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text,
+             CASE WHEN length(text) <= 200 THEN 1
+                  ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1
+             END AS nc
+      FROM documents
+    )
+    , ex AS (
+      SELECT doc_id, text, unnest(range(0, nc)) AS i FROM base
+    )
+    SELECT doc_id,
+           i AS chunk_idx,
+           substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk,
+           length(substr(text, CAST(i * 150 + 1 AS BIGINT), 200)) AS n_chars
+    FROM ex
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width document chunking (window 200 chars,
+    stride 150) — the LLM-training document-splitting primitive.  One
+    array-build + posexplode per doc, O(n_chunks) substring copies, all
+    in codegen; the chunk table inherits the scan's partitioning (no
+    shuffle at any scale)."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.posexplode(TXT.chunk_text(F.col("text"), 200, 150)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        "chunk",
+        F.length("chunk").cast("long").alias("n_chars"),
+    )
+
+
+@query(
     "q_text_lang_id",
     oracle=r"""
     WITH tok AS (
@@ -1342,14 +1430,21 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Python extension surface: grouped applyInPandas (Arrow
-    batches). The kernel sums in exact integer ten-thousandths
-    (order-independent fixed-point, matching the engine's dsum/DECIMAL
-    convention) — demonstrating that even Python operators keep the
-    determinism contract.  Vectorized: one numpy round+sum per group;
-    only values within float-error distance of a .00005 rounding tie
-    (where binary `v*1e4` may round differently than the exact decimal
-    expansion) fall back to per-element Decimal — in practice none."""
+    """The Python extension surface: a custom grouped aggregate as a
+    repartition-by-key + mapInPandas kernel.  The kernel sums in exact
+    integer ten-thousandths (order-independent fixed-point, matching
+    the engine's dsum/DECIMAL convention) — demonstrating that even
+    Python operators keep the determinism contract.
+
+    Shape matters at scale: ``groupBy(k).applyInPandas`` invokes Python
+    once PER GROUP (~2ms of pandas/Arrow machinery each — measured 3-6s
+    for 1500 groups on a no-op kernel, vs 0.9s for the JVM agg), which
+    at lake-scale key cardinality (millions of users) is the whole
+    runtime.  ``repartition(k)`` co-locates each key's rows, then ONE
+    kernel per partition does a vectorized pandas groupby — Python
+    invocations scale with partitions, not keys.  Two columns are
+    projected before the shuffle: a Python kernel blocks column
+    pruning, so the projection must be explicit."""
     from decimal import Decimal
 
     import numpy as np
@@ -1357,33 +1452,47 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(batches):
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if pdf.empty:
+            return
         vals = pdf["value"].to_numpy(dtype=np.float64)
         scaled = vals * 1e4
         cents = np.rint(scaled)
         # half-even ties: np.rint rounds the BINARY double; the decimal
         # contract rounds the exact decimal expansion. Near-tie values
-        # get the exact (slow) treatment.
+        # get the exact (slow) treatment — vectorized over ALL rows of
+        # the partition, not per group.
         near_tie = np.abs(np.abs(scaled - np.floor(scaled)) - 0.5) < 1e-7
         if near_tie.any():
-            exact = [
+            cents[near_tie] = [
                 int(Decimal(f"{v:.4f}").scaleb(4)) for v in vals[near_tie]
             ]
-            cents[near_tie] = exact
-        total = float(
-            Decimal(int(cents.astype(np.int64).sum())).scaleb(-4)
-        )
-        return pd.DataFrame(
+        pdf = pdf.assign(__cents=cents.astype(np.int64))
+        g = pdf.groupby("user_id", sort=False)
+        agg = g.agg(
+            n=("value", "size"),
+            cents=("__cents", "sum"),
+            med=("value", "median"),
+        ).reset_index()
+        yield pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n": [len(vals)],
-                "total": [total],
-                "med": [round(float(np.median(vals)), 6)],
+                "user_id": agg["user_id"],
+                "n": agg["n"].astype(np.int64),
+                "total": [
+                    float(Decimal(int(c)).scaleb(-4)) for c in agg["cents"]
+                ],
+                "med": agg["med"].round(6),
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        per_user, "user_id long, n long, total double, med double"
+    return (
+        ev.select("user_id", "value")
+        .repartition("user_id")
+        .mapInPandas(per_partition, "user_id long, n long, total double, med double")
     )
 
 
