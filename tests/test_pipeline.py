@@ -115,6 +115,52 @@ def test_per_duplicate_alert_off_by_default(spark, tmp_path):
     )
 
 
+def test_streaming_pipeline_canonicalizes_typed_payloads(spark, tmp_path):
+    """A3 ONLINE: a scrambled-field-order MqttRawMessage dedups against
+    its canonical twin through the full streaming pipeline (envelope →
+    typed canonicalize → stateful dedup), while the same scramble under
+    PassengerCount stays two records (raw-bytes identity,
+    Deduplicator.java:76-106)."""
+    import datetime as dt
+
+    from transitdata_hfp_deduplicator_spark.pipeline import build_dedup_pipeline
+    from transitdata_hfp_deduplicator_spark.sources.envelope import (
+        envelope_from_rows,
+    )
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        allow_chained_stateful,
+        parquet_stream,
+        run_to_memory,
+    )
+    from tests.test_sources import _mqtt_raw
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = _mqtt_raw(1, "/hfp/v1/journey", b'{"VP":{"spd":7}}')
+    m_scr = _mqtt_raw(1, "/hfp/v1/journey", b'{"VP":{"spd":7}}', order=(3, 1, 2))
+    mqtt = {"protobuf-schema": "MqttRawMessage", "schema-version": "1"}
+    pc = {"protobuf-schema": "PassengerCount", "schema-version": "1"}
+    rows = [
+        ("k1", m, base, mqtt),
+        ("k2", m_scr, base.replace(second=1), mqtt),  # canonical dup of k1
+        ("k3", m, base.replace(second=2), pc),  # same bytes as k1 -> dup
+        ("k4", m_scr, base.replace(second=3), pc),  # raw-bytes: unique
+    ]
+    src = str(tmp_path / "env")
+    envelope_from_rows(spark, rows).coalesce(1).write.parquet(src)
+
+    uniques_s, stats_s, _ = build_dedup_pipeline(
+        parquet_stream(spark, src), canonicalize=True
+    )
+    uniques = run_to_memory(uniques_s, "append")
+    assert sorted(r.key for r in uniques.collect()) == ["k1", "k4"]
+    with allow_chained_stateful(spark):
+        stats = run_to_memory(stats_s, "complete")
+    totals = stats.agg(
+        F.sum("primes").alias("p"), F.sum("duplicates").alias("d")
+    ).collect()[0]
+    assert (totals.p, totals.d) == (2, 2)
+
+
 def test_listener_captures_failure(spark, tmp_path):
     from transitdata_hfp_deduplicator_spark.streaming.listener import (
         DedupQueryListener,

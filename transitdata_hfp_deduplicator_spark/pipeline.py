@@ -29,8 +29,16 @@ def build_dedup_pipeline(
     config: DedupConfig | None = None,
     identity_cols: tuple[str, ...] = ("value",),
     ts_col: str = "event_time",
+    canonicalize: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Wire the full reference dataflow over any envelope stream.
+
+    ``canonicalize=True`` inserts the A3 projection before the dedup
+    state (Deduplicator.java:69-106): per-row schema-tag dispatch →
+    typed protobuf decode → canonical re-encode, raw bytes on any
+    failure — and dedups on the canonical column, so two serializations
+    of the same typed message collapse online.  Requires the envelope
+    ``value``/``properties`` columns; ``identity_cols`` is overridden.
 
     Returns ``(uniques, stats, dup_alerts)``:
       * ``uniques`` — first-occurrence rows (key/ts/identity preserved),
@@ -42,6 +50,13 @@ def build_dedup_pipeline(
         (environment.conf:33-34), else ``None``.
     """
     config = config or DedupConfig()
+    if canonicalize:
+        from transitdata_hfp_deduplicator_spark.sources.envelope import (
+            with_envelope_canonical,
+        )
+
+        envelope_stream = with_envelope_canonical(envelope_stream)
+        identity_cols = ("canonical",)
     # NOTE: the stats branch chains two stateful operators (dedup
     # tagging -> windowed agg), a shape Spark's global-watermark check
     # refuses at query START — start it inside
@@ -54,7 +69,24 @@ def build_dedup_pipeline(
         ts_col,
         ttl_ms=config.cache_ttl_ms,
     )
-    uniques = tagged.filter(F.col("is_prime")).drop("is_prime", "delay_ms")
+    # The FORWARD branch preserves the whole envelope row — key,
+    # eventTime, properties, payload — exactly what the reference
+    # re-sends (Deduplicator.java:117-123).  It deliberately does NOT
+    # reuse `tagged` (whose Python state round-trips digests only, the
+    # cheap shape for metrics): dropDuplicatesWithinWatermark keeps the
+    # row path entirely in JVM state.  Each branch is its own sink
+    # query either way, so the source is read once per branch, not
+    # twice extra.
+    from transitdata_hfp_deduplicator_spark.streaming.dedup_stream import (
+        stream_dedup,
+    )
+
+    uniques = stream_dedup(
+        envelope_stream,
+        list(identity_cols),
+        ts_col,
+        ttl=f"{max(config.cache_ttl_ms // 1000, 1)} seconds",
+    )
     stats = with_alerts(
         stream_dup_stats(
             tagged.withColumn("ts", F.timestamp_millis(F.col("ts_ms"))),
