@@ -37,6 +37,18 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT/IO
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
+    # ...and the Python worker pool: the first Arrow-UDF stage otherwise
+    # pays one worker spawn + numpy import per core (~2-3s) charged to
+    # whichever query runs it first — warm-up is excluded from timings,
+    # exactly like the JVM warm-up above
+    def _warm_worker(batches):
+        import numpy  # noqa: F401  (pre-import in every worker)
+
+        yield from batches
+
+    spark.range(0, 64, 1, 64).mapInPandas(
+        _warm_worker, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -84,6 +84,57 @@ def test_canonical_never_raises_and_preserves_identity_class(data):
     assert canonicalize_protobuf(data) == out
 
 
+# -- typed canonicalization (registered-schema path) ------------------------
+
+mqtt_parts = st.tuples(
+    st.integers(min_value=0, max_value=1 << 20),  # schemaVersion
+    st.text(max_size=30),  # topic
+    st.binary(max_size=40),  # payload
+)
+
+
+def _varint(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _field_bytes(no, wire, val):
+    out = bytearray([(no << 3) | wire])
+    if wire == 2:
+        out += _varint(len(val))
+    out += val
+    return bytes(out)
+
+
+@given(mqtt_parts, st.permutations([1, 2, 3]))
+@settings(max_examples=200, deadline=None)
+def test_typed_canonical_order_invariant(parts, order):
+    """Every field-emission order of the same MqttRawMessage
+    canonicalizes to identical bytes through the TYPED path, and the
+    canonical form equals the sorted emission."""
+    from transitdata_hfp_deduplicator_spark.operators.canonicalize import (
+        MQTT_RAW_MESSAGE_DESC,
+        typed_canonicalize,
+    )
+
+    version, topic, payload = parts
+    enc = {
+        1: _field_bytes(1, 0, _varint(version)),
+        2: _field_bytes(2, 2, topic.encode()),
+        3: _field_bytes(3, 2, payload),
+    }
+    scrambled = b"".join(enc[i] for i in order)
+    sorted_form = enc[1] + enc[2] + enc[3]
+    got = typed_canonicalize(scrambled, MQTT_RAW_MESSAGE_DESC)
+    assert got == sorted_form
+    assert typed_canonicalize(got, MQTT_RAW_MESSAGE_DESC) == got  # idempotent
+
+
 # -- dedup first-wins over randomized envelopes (one Spark round trip) ------
 
 
