@@ -959,6 +959,81 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_corpus_prep",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang, text,
+               len(string_split(lower(trim(text)), ' ')) AS n_tok,
+               length(text) AS n_ch,
+               length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS sw_hits
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, text,
+               round(0.3 * (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END)
+                     + 0.3 * coalesce(CAST(n_alpha AS DOUBLE) / nullif(n_ch, 0), 0.0)
+                     + 0.2 * (CASE WHEN CAST(n_ch AS DOUBLE) / nullif(n_tok, 0)
+                                   BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.25 END)
+                     + 0.2 * (CASE WHEN CAST(sw_hits AS DOUBLE) / nullif(n_tok, 0) > 0.01
+                                   THEN 1.0 ELSE 0.5 END), 6) AS quality
+        FROM q
+    ), kept AS (
+        SELECT * FROM scored WHERE quality >= 0.945
+    ), uniq AS (
+        SELECT min(doc_id) AS doc_id,
+               arg_min(lang, doc_id) AS lang,
+               arg_min(text, doc_id) AS text
+        FROM kept
+        GROUP BY md5(text)
+    ), base AS (
+        SELECT doc_id, lang, text,
+               CASE WHEN length(text) <= 200 THEN 1
+                    ELSE CAST(ceil((length(text) - 200) / 150.0) AS BIGINT) + 1
+               END AS nc
+        FROM uniq
+    ), ex AS (
+        SELECT doc_id, lang, text, unnest(range(0, nc)) AS i FROM base
+    )
+    SELECT doc_id, lang, i AS chunk_idx,
+           substr(text, CAST(i * 150 + 1 AS BIGINT), 200) AS chunk
+    FROM ex
+    """,
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus preparation — the operators composing
+    as a real pipeline: quality filter (drop the bottom half by the
+    length/alpha/stopword score) → exact dedup on the content digest
+    (first doc_id wins, grouping by the fixed-width md5 so the shuffle
+    key is 16 bytes however long the documents are) → overlapping
+    chunking (200/150).  Every stage is individually oracle-checked
+    elsewhere (q_text_quality, q_text_fingerprint, q_doc_chunks); this
+    query hash-checks their composition."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    kept = d.filter(TXT.quality_score(F.col("text")) >= 0.945)
+    uniq = (
+        kept.groupBy(TXT.fingerprint(F.col("text"), "md5").alias("fp"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .drop("fp")
+    )
+    return uniq.select(
+        "doc_id",
+        "lang",
+        F.posexplode(TXT.chunk_text(F.col("text"), 200, 150)).alias(
+            "chunk_idx", "chunk"
+        ),
+    ).select(
+        "doc_id", "lang", F.col("chunk_idx").cast("long").alias("chunk_idx"), "chunk"
+    )
+
+
+@query(
     "q_text_lang_id",
     oracle=r"""
     WITH tok AS (
