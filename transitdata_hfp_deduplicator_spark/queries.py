@@ -1438,10 +1438,10 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted MORE THAN ONCE — the TTL re-emissions.  Rows-only: the
     re-emission set depends on micro-batch boundaries, not on any SQL."""
     import os
-    import tempfile
     import time
 
     from transitdata_hfp_deduplicator_spark.streaming import (
+        ephemeral_dir,
         parquet_stream,
         replay_shuffle_partitions,
         run_to_memory,
@@ -1460,7 +1460,7 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One partitioned write produces all four replay files in a single
     # scan (vs. four filter+write jobs).
     cuts = [mn + span * i / 4 for i in (1, 2, 3)]
-    tmp = tempfile.mkdtemp(prefix="late_data_")
+    tmp = ephemeral_dir("late_data_")
     q = (
         F.when(F.col("ts") < cuts[0], 0)
         .when(F.col("ts") < cuts[1], 1)

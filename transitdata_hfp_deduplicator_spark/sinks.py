@@ -21,11 +21,12 @@ package the idiomatic patterns:
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from transitdata_hfp_deduplicator_spark.streaming.runner import ephemeral_dir
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -43,7 +44,7 @@ def write_stream_parquet(
         .option("path", path)
         .option(
             "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="sink_ckpt_"),
+            checkpoint or ephemeral_dir("sink_ckpt_"),
         )
         .outputMode("append")
     )
@@ -71,7 +72,7 @@ def alert_sink(
         stats_stream.writeStream.foreachBatch(handle)
         .option(
             "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="alert_ckpt_"),
+            checkpoint or ephemeral_dir("alert_ckpt_"),
         )
         .outputMode("update")
         .trigger(availableNow=True)

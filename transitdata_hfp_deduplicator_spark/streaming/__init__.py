@@ -1,5 +1,6 @@
 from transitdata_hfp_deduplicator_spark.streaming.runner import (
     allow_chained_stateful,
+    ephemeral_dir,
     parquet_stream,
     replay_shuffle_partitions,
     run_to_memory,
@@ -14,6 +15,7 @@ from transitdata_hfp_deduplicator_spark.streaming.analytics import (
 
 __all__ = [
     "allow_chained_stateful",
+    "ephemeral_dir",
     "parquet_stream",
     "scoped_conf",
     "replay_shuffle_partitions",

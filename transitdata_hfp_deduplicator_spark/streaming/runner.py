@@ -11,12 +11,44 @@ compare — ITDeduplicatorTest.java:54-55,103-112).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_EPHEMERAL_ROOT: str | None = None
+
+
+def ephemeral_dir(prefix: str) -> str:
+    """Temp dir for THROWAWAY streaming artifacts (replay spools,
+    availableNow checkpoints, symlinked source dirs) — data whose
+    lifetime is one process.
+
+    Two deliberate differences from a bare ``tempfile.mkdtemp``:
+
+    * RAM-backed when possible (``/dev/shm``): every streaming commit
+      fsyncs its offset/commit WAL and state-delta files, and on the
+      shared bench disk those fsyncs stall 10-30s whenever the page
+      cache is draining (e.g. right after a test-suite run — exactly
+      when the driver benches).  tmpfs makes fsync free, so the bench
+      measures the engine, not the disk.  Real deployments pass a real
+      checkpoint dir to the sink API; this helper is only for
+      ephemeral harness state.
+    * Registered for removal at interpreter exit — a long session
+      replays dozens of streams and would otherwise litter gigabytes
+      of dead spool dirs.
+    """
+    global _EPHEMERAL_ROOT
+    if _EPHEMERAL_ROOT is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        root = tempfile.mkdtemp(prefix="spark_graft_eph_", dir=base)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _EPHEMERAL_ROOT = root
+    return tempfile.mkdtemp(prefix=prefix, dir=_EPHEMERAL_ROOT)
 
 
 def parquet_stream(
@@ -32,7 +64,7 @@ def parquet_stream(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if os.path.isfile(path):
         # the file source requires a directory; symlink, don't copy
-        d = tempfile.mkdtemp(prefix="stream_src_")
+        d = ephemeral_dir("stream_src_")
         os.symlink(path, os.path.join(d, os.path.basename(path)))
         path = d
     batch = spark.read.parquet(path)  # schema probe (streaming needs explicit schema)
@@ -67,7 +99,7 @@ def run_to_memory(
     leaves nothing referenced when the returned frame is dropped.
     """
     spark = sdf.sparkSession
-    base = tempfile.mkdtemp(prefix="stream_out_")
+    base = ephemeral_dir("stream_out_")
     out_dir = os.path.join(base, "data")
     ckpt = os.path.join(base, "ckpt")
     schema = sdf.schema
