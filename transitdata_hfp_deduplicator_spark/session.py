@@ -39,6 +39,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata timestamps are parquet TIMESTAMP(isAdjustedToUTC=false);
+        # inferTimestampNTZ would surface them as TIMESTAMP_NTZ, breaking
+        # instant functions (unix_millis, window, watermarks).  Read them
+        # as TIMESTAMP — with the UTC session TZ the wall values match the
+        # TZ-naive DuckDB oracle exactly.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -62,6 +62,7 @@ def parquet_stream(
     from transitdata_hfp_deduplicator_spark.tables import read_parquet
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if os.path.isfile(path):
         # the file source requires a directory; symlink, don't copy
         d = ephemeral_dir("stream_src_")

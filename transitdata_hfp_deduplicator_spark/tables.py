@@ -48,6 +48,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # the session TZ; the DuckDB oracle is TZ-naive — pin UTC so results
     # agree no matter what session the caller built.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # TIMESTAMP(isAdjustedToUTC=false) columns must read as TIMESTAMP
+    # (instant), not TIMESTAMP_NTZ: instant functions (unix_millis,
+    # window, watermark) reject NTZ, and under the UTC session the
+    # instant's wall value equals the oracle's naive value.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     one_file = path
     if os.path.isdir(path):
         parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
