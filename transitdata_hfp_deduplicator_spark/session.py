@@ -47,6 +47,13 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Long-lived session hygiene: with a large heap, driver GC may
+        # not run for the whole session, so the ContextCleaner never
+        # releases finished queries' shuffle files / broadcasts — disk
+        # and heap litter accumulates and later queries degrade.  A
+        # 1-minute periodic GC keeps cleanup flowing; on a real cluster
+        # this also caps executor shuffle-dir growth between jobs.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
