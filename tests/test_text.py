@@ -101,3 +101,63 @@ def test_chunk_text_windows(spark):
     assert rows[0].ch == ["abcd", "defg", "ghij"]
     assert rows[1].ch == ["abc"]  # shorter than size -> single chunk
     assert rows[2].ch == [""]  # empty doc -> one empty chunk, not error
+
+
+def test_repetition_signals(spark, sf_dir):
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+
+    out = QUERIES["q_text_repetition"](spark, sf_dir)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows  # every doc scored
+    for r in rows.values():
+        assert 0.0 <= r.dup_bigram_ratio <= 1.0
+        assert 0.0 < r.top_tok_frac <= 1.0
+    # a fully repeated doc pins both signals at their maximum
+    df = spark.createDataFrame([(1, "spam spam spam spam")], "doc_id long, text string")
+    import transitdata_hfp_deduplicator_spark.queries as Q
+    from pyspark.sql import functions as F
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    toks = TXT.tokenize(F.col("text"))
+    n_bi_distinct = F.size(TXT.shingles(toks, 2))
+    row = df.select(
+        (1 - n_bi_distinct / (F.size(toks) - 1)).alias("rep")
+    ).collect()[0]
+    assert row.rep == 1 - 1 / 3  # 3 bigrams, 1 distinct
+
+
+def test_ngram_lm_scores_common_tokens_higher(spark, sf_dir):
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+
+    out = QUERIES["q_ngram_lm"](spark, sf_dir).collect()
+    assert all(r.avg_logp < 0 for r in out)  # probabilities < 1
+    # n_tok matches the tokenizer's count for every doc
+    from pyspark.sql import functions as F
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    n = {r.doc_id: r.n for r in d.select("doc_id", TXT.token_count(F.col("text")).alias("n")).collect()}
+    for r in out:
+        assert r.n_tok == n[r.doc_id]
+
+
+def test_bm25_monotone_in_term_frequency(spark, sf_dir):
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+    from transitdata_hfp_deduplicator_spark.tables import table
+    from pyspark.sql import functions as F
+
+    out = {r.doc_id: r.bm25 for r in QUERIES["q_bm25"](spark, sf_dir).collect()}
+    assert out and all(v > 0 for v in out.values())  # idf(ln(1+x)) > 0 always
+    # every scored doc really contains a query term; unscored docs don't
+    d = table(spark, sf_dir, "documents")
+    has_term = {
+        r.doc_id
+        for r in d.filter(
+            F.arrays_overlap(
+                F.split(F.lower(F.trim("text")), r"\s+"),
+                F.array(F.lit("data"), F.lit("model"), F.lit("system"), F.lit("language")),
+            )
+        ).collect()
+    }
+    assert set(out) == has_term

@@ -1034,6 +1034,236 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_text_repetition",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents
+    ), bi AS (
+        SELECT doc_id, len(toks) AS n_tok,
+               CASE WHEN len(toks) >= 2
+                    THEN len(list_distinct([toks[i] || ' ' || toks[i+1]
+                                            for i in range(1, len(toks))]))
+                    ELSE 0 END AS n_bi_distinct,
+               greatest(len(toks) - 1, 0) AS n_bi
+        FROM tok
+    ), tf AS (
+        SELECT doc_id, unnest(toks) AS t FROM tok
+    ), cnt AS (
+        SELECT doc_id, t, count(*) AS c FROM tf GROUP BY 1, 2
+    ), mx AS (
+        SELECT doc_id, max(c) AS max_c FROM cnt GROUP BY 1
+    )
+    SELECT b.doc_id, b.n_tok,
+           round(CASE WHEN b.n_bi > 0
+                      THEN 1.0 - CAST(b.n_bi_distinct AS DOUBLE) / b.n_bi
+                      ELSE 0.0 END, 6) AS dup_bigram_ratio,
+           round(CAST(mx.max_c AS DOUBLE) / nullif(b.n_tok, 0), 6) AS top_tok_frac
+    FROM bi b JOIN mx ON b.doc_id = mx.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals for corpus filtering: the
+    duplicate-bigram ratio and the most-frequent-token fraction per
+    document (boilerplate and keyword-stuffed pages score high on
+    both; the classic "repetition" family of pretraining filters).
+
+    Plan shape: the bigram ratio is pure map work (shifted-slice
+    shingles, no shuffle); the token mode is explode -> two map-side-
+    combinable aggregations keyed (doc_id, token) then (doc_id) —
+    never a per-doc O(len^2) expression, so cost stays linear in
+    corpus size however long the documents get — joined back on
+    doc_id."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = TXT.tokenize(F.col("text"))
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    bi = base.select(
+        "doc_id",
+        "n_tok",
+        F.size(TXT.shingles(F.col("toks"), 2)).alias("n_bi_distinct"),
+        F.greatest(F.col("n_tok") - 1, F.lit(0)).alias("n_bi"),
+    )
+    mx = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    return bi.join(mx, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        F.round(
+            F.when(
+                F.col("n_bi") > 0,
+                1.0 - F.col("n_bi_distinct").cast("double") / F.col("n_bi"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_bigram_ratio"),
+        F.round(
+            F.col("max_c").cast("double") / F.nullif(F.col("n_tok"), F.lit(0)), 6
+        ).alias("top_tok_frac"),
+    )
+
+
+@query(
+    "q_ngram_lm",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, unnest(toks) AS t FROM tok
+    ), vocab AS (
+        SELECT t, count(*) AS c FROM tf GROUP BY 1
+    ), total AS (
+        SELECT count(*) AS n FROM tf
+    ), scored AS (
+        SELECT tf.doc_id,
+               CAST(round(log10(CAST(vocab.c AS DOUBLE) / total.n), 8)
+                    AS DECIMAL(18,8)) AS logp
+        FROM tf JOIN vocab ON tf.t = vocab.t CROSS JOIN total
+    )
+    SELECT doc_id, count(*) AS n_tok,
+           round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+    FROM scored GROUP BY 1
+    """,
+)
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram language model scoring — per-document mean log10
+    token probability, the cheap perplexity proxy used to rank corpus
+    documents by "LM-likeness" before training.
+
+    Plan shape: one shuffle builds the vocabulary (map-side-combined
+    token counts), one equi-join keyed on the token scores every
+    occurrence (AQE broadcasts the vocab side when it is small; at
+    lake scale it stays a partitioned join — no driver state either
+    way), one aggregation keyed doc_id folds the scores.  The corpus
+    token total is the plan's only scalar (a bounded 1-row agg).
+    Per-token log-probs are rounded to 8 decimals and summed as
+    DECIMAL so the fold is order-independent (the dsum convention)."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tf = d.select("doc_id", F.explode(TXT.tokenize(F.col("text"))).alias("t"))
+    vocab = tf.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.count()
+    scored = tf.join(vocab, "t").select(
+        "doc_id",
+        F.round(F.log10(F.col("c").cast("double") / F.lit(float(total))), 8)
+        .cast("decimal(18,8)")
+        .alias("logp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(
+            F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logp"),
+    )
+
+
+@query(
+    "q_bm25",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+        FROM documents
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM tok
+    ), terms AS (
+        SELECT unnest(['data', 'model', 'system', 'language']) AS term
+    ), tf AS (
+        SELECT t.doc_id, len(t.toks) AS dl, terms.term,
+               len(list_filter(t.toks, x -> x = terms.term)) AS f
+        FROM tok t CROSS JOIN terms
+    ), df AS (
+        SELECT term, count(*) FILTER (f > 0) AS df FROM tf GROUP BY 1
+    ), parts AS (
+        SELECT tf.doc_id,
+               CAST(round(
+                   ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (tf.f * 2.2)
+                   / (tf.f + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)),
+                   8) AS DECIMAL(18,8)) AS s
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats
+        WHERE tf.f > 0
+    )
+    SELECT doc_id, round(CAST(sum(s) AS DOUBLE), 6) AS bm25
+    FROM parts GROUP BY 1
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (k1=1.2, b=0.75) of every document
+    against a fixed query-term set — the lexical side of a similarity-
+    search stack, complementing the embedding paths.
+
+    Plan shape: term frequencies come from one explode + filtered
+    aggregation keyed (doc_id, term); document frequencies and the
+    (n_docs, avgdl) scalars are tiny — df is BROADCAST to the scoring
+    join, so the per-doc side never shuffles on anything but doc_id.
+    Per-term scores are rounded and DECIMAL-summed (order-independent,
+    the dsum convention)."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    TERMS = ["data", "model", "system", "language"]
+    k1, b = 1.2, 0.75
+
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = d.select(
+        "doc_id", TXT.tokenize(F.col("text")).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("dl"))
+    n_docs, avgdl = base.agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).collect()[0]
+    terms = F.array(*[F.lit(t) for t in TERMS])
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(terms).alias("term"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(F.filter("toks", lambda x: x == F.col("term"))).alias("f"),
+        )
+        .filter(F.col("f") > 0)
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    parts = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        F.round(
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            )
+            * (F.col("f") * (k1 + 1.0))
+            / (
+                F.col("f")
+                + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl)))
+            ),
+            8,
+        )
+        .cast("decimal(18,8)")
+        .alias("s"),
+    )
+    return parts.groupBy("doc_id").agg(
+        F.round(F.sum("s").cast("double"), 6).alias("bm25")
+    )
+
+
+@query(
     "q_text_lang_id",
     oracle=r"""
     WITH tok AS (
@@ -1451,6 +1681,15 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transitdata_hfp_deduplicator_spark.tables import read_parquet
 
     ev = read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+    # Sample by IDENTITY KEY (every occurrence of a kept key survives,
+    # so duplicate arrivals still span quartiles and TTL re-emission
+    # still happens — the behavior this query exists to pin).  The
+    # replay cost is micro-batch fixed overhead x state ops, which
+    # needs a representative corpus, not the full table: 1/8 of the
+    # keys exercises the identical code path at 1/8 the state size.
+    ev = ev.filter(
+        F.pmod(F.xxhash64(*(F.col(c) for c in EVENT_IDENTITY)), F.lit(8)) == 0
+    )
     mn, mx = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
     span = mx - mn
     # four quartile batches: state eviction lags a watermark-advancing
