@@ -106,3 +106,25 @@ def test_text_scrub_stays_jvm(spark, sf_dir):
     plan = physical_plan(QUERIES["q_text_scrub"](spark, sf_dir))
     assert "EvalPython" not in plan, "scrub must stay in codegen"
     assert "Exchange" not in plan, "scrub is a narrow map"
+
+
+def test_bm25_broadcasts_df_side(spark, sf_dir):
+    """The document-frequency side is 4 rows — it must broadcast, never
+    shuffle the per-doc term frequencies."""
+    df = QUERIES["q_bm25"](spark, sf_dir)
+    assert_broadcast_join(df, expect=1)
+    assert_no_cartesian(df)
+
+
+def test_ngram_lm_prunes_and_partial_aggs(spark, sf_dir):
+    df = QUERIES["q_ngram_lm"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert cols <= {"doc_id", "text"}, f"reads extra columns: {cols}"
+    assert_partial_aggregation(df)
+
+
+def test_text_repetition_prunes_columns(spark, sf_dir):
+    df = QUERIES["q_text_repetition"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert cols <= {"doc_id", "text"}, f"reads extra columns: {cols}"
+    assert_partial_aggregation(df)

@@ -161,3 +161,65 @@ def test_bm25_monotone_in_term_frequency(spark, sf_dir):
         ).collect()
     }
     assert set(out) == has_term
+
+
+def test_seq_pack_respects_budget_and_order(spark, sf_dir):
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+
+    rows = QUERIES["q_seq_pack"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        run = 0
+        prev_seq = 0
+        for r in rs:
+            assert r.seq_id == run // 512, (lang, r)
+            assert r.seq_id >= prev_seq  # ids monotone in pack order
+            prev_seq = r.seq_id
+            run += r.n_tok
+
+
+def test_corpus_shuffle_deterministic_permutation(spark, sf_dir):
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+
+    a = {(r.doc_id): (r.shard, r.pos) for r in QUERIES["q_corpus_shuffle"](spark, sf_dir).collect()}
+    b = {(r.doc_id): (r.shard, r.pos) for r in QUERIES["q_corpus_shuffle"](spark, sf_dir).collect()}
+    assert a == b  # reproducible
+    # within a shard, positions are a dense 1..n permutation
+    from collections import defaultdict
+    shards = defaultdict(list)
+    for (shard, pos) in a.values():
+        shards[shard].append(pos)
+    for shard, ps in shards.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_dedup_norm_collapses_reformatted_copies(spark):
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+    import transitdata_hfp_deduplicator_spark.queries as Q
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello,   World!"),
+            (2, "hello world"),
+            (3, "HELLO WORLD."),
+            (4, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")),
+        " +",
+        " ",
+    )
+    out = (
+        df.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    groups = {r.doc_id: r.n for r in out}
+    assert groups == {1: 3, 4: 1}  # three formats of one doc collapse, first wins

@@ -1264,6 +1264,132 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_seq_pack",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               len(string_split(lower(trim(text)), ' ')) AS n_tok
+        FROM documents
+    ), pref AS (
+        SELECT doc_id, lang, n_tok,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM tok
+    )
+    SELECT lang, doc_id, n_tok,
+           CAST(floor(prior / 512.0) AS BIGINT) AS seq_id
+    FROM pref
+    """,
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: concatenate documents (in a
+    deterministic per-language order) into fixed token-budget training
+    sequences — each doc's sequence id is its exclusive prefix token
+    count divided by the budget (512 here).
+
+    Scale shape: ONE analytic window per language partition (running
+    sum over a partitioned sort) — no driver state, no iteration; at
+    lake scale the partition key would be (lang, shard) to bound the
+    sort, exactly how the deterministic-shuffle query below shards."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", TXT.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    return tok.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 512.0)
+        .cast("long")
+        .alias("seq_id"),
+    )
+
+
+@query(
+    "q_corpus_shuffle",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM documents
+    )
+    SELECT doc_id, CAST(hv % 16 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle — the global training-data
+    shuffle at lake scale: hash(seed, doc_id) assigns each document a
+    shard and a position within the shard.  Reproducible across
+    engines (md5-derived hash64, the same externalizable-digest
+    argument as the reference's fixed murmur3 seed,
+    Deduplicator.java:27-28) and across partitionings (the order is a
+    function of the data, not of arrival).
+
+    Scale shape: shard-LOCAL window sort (16-way here, thousands-way at
+    100 TB) — never a global orderBy; shards are written independently
+    and training readers consume them in shard order."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", TXT.hash64(F.col("doc_id").cast("string"), seed=42).alias("hv")
+    )
+    w = W.partitionBy(F.col("hv") % 16).orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        (F.col("hv") % 16).cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+@query(
+    "q_dedup_norm",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               md5(regexp_replace(
+                   trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')),
+                   ' +', ' ', 'g')) AS fp
+        FROM documents
+    )
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM n GROUP BY fp
+    """,
+)
+def q_dedup_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-dedup — the reference's canonicalize-before-
+    hash insight (A3, Deduplicator.java:69,96-106) applied to text:
+    case-fold, strip punctuation, collapse whitespace, THEN digest, so
+    trivially-reformatted copies collapse to one identity.  First doc
+    wins (min doc_id); the shuffle key is the fixed-width digest, not
+    the document."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")),
+        " +",
+        " ",
+    )
+    return (
+        d.select("doc_id", F.md5(norm.cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("fp")
+    )
+
+
+@query(
     "q_text_lang_id",
     oracle=r"""
     WITH tok AS (
