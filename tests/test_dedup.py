@@ -116,3 +116,26 @@ def test_dup_stats_totals(spark, sf_dir):
     assert agg.p + agg.d == ev.count()
     uniq = ev.groupBy("user_id", "event_type", "props").count().count()
     assert agg.p == uniq
+
+
+def test_incremental_dedup_excludes_history(spark, sf_dir):
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    out = QUERIES["q_dedup_incremental"](spark, sf_dir)
+    rows = out.collect()
+    # survivors are unique identities within the incoming batch...
+    ids = [(r.user_id, r.event_type, r.props) for r in rows]
+    assert len(ids) == len(set(ids))
+    # ...and none of them occurs in the historical half
+    ev = table(spark, sf_dir, "events")
+    mn, mx = ev.agg(F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))).collect()[0]
+    cut = (mn + mx) // 2
+    hist = {
+        (r.user_id, r.event_type, r.props)
+        for r in ev.filter(F.unix_millis("ts") < cut)
+        .select("user_id", "event_type", "props")
+        .distinct()
+        .collect()
+    }
+    assert not (set(ids) & hist)

@@ -204,3 +204,40 @@ def test_skew_caps_identity_and_bite(spark, sf_dir):
     assert minhash_lsh_pairs(d, max_bucket=1).count() == 0, (
         "max_bucket=1 drops every multi-doc bucket, hence no candidates"
     )
+
+
+def test_containment_detects_subdocument(spark):
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        containment_pairs,
+    )
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " eta theta iota kappa " * 8
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.src, r.dst): r.containment
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    # every shingle of doc 1 appears in doc 2 -> full containment forward
+    assert rows[(1, 2)] == 1.0
+    # the big doc is NOT contained in the small one
+    assert (2, 1) not in rows
+    assert all(3 not in k for k in rows)
+
+
+def test_containment_consistent_under_max_df_cap(spark):
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"common one two three unique{i} four five six") for i in range(6)],
+        "doc_id long, text string",
+    )
+    # cap >= corpus df-max is bit-identical to uncapped
+    a = sorted(map(tuple, containment_pairs(df, threshold=0.1).collect()))
+    b = sorted(map(tuple, containment_pairs(df, threshold=0.1, max_df=100).collect()))
+    assert a == b

@@ -125,6 +125,73 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Shingle-containment pairs: C(A→B) = |A∩B| / |A| >= threshold.
+
+    Containment is the asymmetric cousin of Jaccard — it catches
+    SUB-document duplication (doc A quoted or embedded inside a longer
+    doc B scores C(A→B)≈1 while Jaccard stays low because |B| dwarfs
+    the intersection; Broder's resemblance/containment pair, 1997).
+    The plan is jaccard_pairs' inverted index (one shuffle keyed by
+    shingle hash, same ``max_df`` skew cap, sizes counted over the same
+    retained-shingle space); only the final scoring differs: each
+    unordered intersection count emits BOTH orientations, each
+    normalized by its source side's shingle count.
+    """
+    sh = _shingled(docs, id_col, text_col, shingle_n)
+    ex = sh.select(
+        "doc_id",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    if max_df is not None:
+        kept = (
+            ex.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        ex = ex.join(kept, "s", "left_semi")
+    # per-doc sizes over the SAME (possibly reduced) shingle space the
+    # intersections are counted in — containment stays a true ratio
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    lists = (
+        ex.groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) ->"
+                " transform(slice(ds, i+2, size(ds)), y -> struct(x as i, y as j))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j")
+    inter = pairs.groupBy("i", "j").agg(F.count(F.lit(1)).alias("inter"))
+    sa, sb = sizes.alias("ca"), sizes.alias("cb")
+    both = inter.join(F.broadcast(sa), F.col("i") == F.col("ca.doc_id")).join(
+        F.broadcast(sb), F.col("j") == F.col("cb.doc_id")
+    )
+    fwd = both.select(
+        F.col("i").alias("src"),
+        F.col("j").alias("dst"),
+        F.round(F.col("inter") / F.col("ca.n_sh"), 6).alias("containment"),
+    )
+    rev = both.select(
+        F.col("j").alias("src"),
+        F.col("i").alias("dst"),
+        F.round(F.col("inter") / F.col("cb.n_sh"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",

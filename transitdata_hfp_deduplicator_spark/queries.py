@@ -1264,6 +1264,112 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sz AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    ori AS (
+        SELECT i AS src, j AS dst, round(inter * 1.0 / sa.n, 6) AS containment
+        FROM inter JOIN sz sa ON i = sa.doc_id
+        UNION ALL
+        SELECT j AS src, i AS dst, round(inter * 1.0 / sb.n, 6) AS containment
+        FROM inter JOIN sz sb ON j = sb.doc_id
+    )
+    SELECT src, dst, containment FROM ori WHERE containment >= 0.5
+    """,
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle containment C(A→B) = |A∩B|/|A| >= 0.5 — the asymmetric
+    near-dup signal that catches SUB-document duplication (a doc quoted
+    inside a longer one scores ~1 while Jaccard stays low; Broder's
+    resemblance/containment pair)."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH b AS (
+        SELECT (epoch_ms(min(ts)) + epoch_ms(max(ts))) // 2 AS cut FROM events
+    ), hist AS (
+        SELECT DISTINCT user_id, event_type, props
+        FROM events, b WHERE epoch_ms(ts) < b.cut
+    ), inc AS (
+        SELECT e.*, epoch_ms(e.ts) AS ts_ms
+        FROM events e, b WHERE epoch_ms(e.ts) >= b.cut
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, event_type, props ORDER BY ts, event_id) = 1
+    )
+    SELECT i.event_id, i.user_id, i.event_type, i.value, i.props, i.ts_ms
+    FROM inc i LEFT JOIN hist h
+      ON i.user_id = h.user_id AND i.event_type = h.event_type
+         AND i.props = h.props
+    WHERE h.user_id IS NULL
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape of the reference's
+    cache (Deduplicator.java:47-51) for batch pipelines: dedup TODAY'S
+    batch first-wins within itself, then anti-join its digests against
+    the HISTORICAL index so only never-before-seen records survive.
+    The events table is split at its time midpoint into index / batch.
+
+    Scale shape: the index side is `digest DISTINCT` (fixed-width keys,
+    map-side combined), the anti-join shuffles on the same digest both
+    sides — on a real lake the index is a digest-bucketed table so the
+    join co-locates without a shuffle, and Spark's runtime bloom-filter
+    join prunes the batch scan.  No driver state: the 1-row min/max agg
+    is the only scalar."""
+    from transitdata_hfp_deduplicator_spark.operators.dedup import (
+        dedup_exact,
+        payload_digest,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    mn, mx = ev.agg(
+        F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+    ).collect()[0]
+    cut = (mn + mx) // 2
+    digest = payload_digest(*EVENT_IDENTITY)
+    hist = (
+        ev.filter(F.unix_millis("ts") < cut).select(digest.alias("d")).distinct()
+    )
+    inc = dedup_exact(
+        ev.filter(F.unix_millis("ts") >= cut), EVENT_IDENTITY, EVENT_ORDER
+    )
+    return (
+        inc.withColumn("d", digest)
+        .join(hist, "d", "left_anti")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+            F.unix_millis("ts").alias("ts_ms"),
+        )
+    )
+
+
+@query(
     "q_seq_pack",
     oracle="""
     WITH tok AS (
