@@ -157,3 +157,19 @@ def test_agg_late_row_behavior_documented(spark, tmp_path):
     out = run_to_memory(agg, "update").collect()
     counted = sum(r.n for r in out)
     assert counted == len(batch0) + 1
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """The merging session-window state operator must converge to the
+    batch session_window result once the replay drains."""
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+
+    batch = {
+        tuple(r)
+        for r in QUERIES["q_session_window"](spark, sf_dir).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in QUERIES["q_session_window_stream"](spark, sf_dir).collect()
+    }
+    assert stream == batch

@@ -1887,6 +1887,66 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_session_window_stream",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        >= 300000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sessioned AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_ms(min(ts)) AS session_start_ms,
+           epoch_ms(max(ts)) AS last_event_ms,
+           count(*) AS n_events
+    FROM sessioned
+    GROUP BY user_id, sess_id
+    """,
+)
+def q_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native STREAMING session windows (5-minute gap, merging state
+    operator) — the stateful counterpart of q_session_window.  Complete
+    output mode flushes the final merged sessions after the availableNow
+    replay, so the result is deterministic and hash-checks against the
+    SAME islands-SQL oracle as the batch query."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        replay_shuffle_partitions,
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stream = parquet_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes").alias("sw"), "user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis("first_ts").alias("session_start_ms"),
+            F.unix_millis("last_ts").alias("last_event_ms"),
+            "n_events",
+        )
+    )
+    with scoped_shuffle_partitions(spark, replay_shuffle_partitions(src)):
+        return run_to_memory(agg, output_mode="complete")
+
+
 @query("q_late_data")
 def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-as-TTL semantics (empirical Spark 4.1 contract,
@@ -3211,6 +3271,7 @@ def q_dedup_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
 GATE_HEAVY = [
     "q_agg_approx",
     "q_window_tumbling_stream",
+    "q_session_window_stream",
     "q_dedup_minhash_lsh",
     "q_dup_stats",
     "q_minhash_simdup",
