@@ -128,3 +128,32 @@ def test_text_repetition_prunes_columns(spark, sf_dir):
     cols = read_schema_columns(df)
     assert cols <= {"doc_id", "text"}, f"reads extra columns: {cols}"
     assert_partial_aggregation(df)
+
+
+def test_containment_no_cartesian_single_index_shuffle(spark, sf_dir):
+    df = QUERIES["q_containment"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+
+
+def test_incremental_dedup_broadcast_free_anti_join(spark, sf_dir):
+    """The anti-join must key on the digest (shuffle or broadcast are
+    both fine at this SF) but never degenerate to a cartesian product;
+    the index side must partial-aggregate its DISTINCT."""
+    df = QUERIES["q_dedup_incremental"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+
+
+def test_seq_pack_single_window_exchange(spark, sf_dir):
+    """One hash exchange on lang, one window sort — no global sort."""
+    df = QUERIES["q_seq_pack"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "hashpartitioning(lang" in plan
+    assert "rangepartitioning" not in plan.lower(), "global sort crept in"
+
+
+def test_corpus_shuffle_shard_local_sort(spark, sf_dir):
+    df = QUERIES["q_corpus_shuffle"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "rangepartitioning" not in plan.lower(), "must sort per shard, not globally"
