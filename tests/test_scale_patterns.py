@@ -121,3 +121,39 @@ def test_alert_sink_callback(spark, tmp_path):
     assert received, "alert callback must fire"
     kinds = {a.alert for _, alerts in received for a in alerts}
     assert kinds == {"MORE_DUPLICATES_THAN_PRIMARIES"}
+
+
+def test_incremental_dedup_over_bucketed_index_is_shuffle_free(spark, sf_dir):
+    """The production layout for q_dedup_incremental: the historical
+    digest index and today's batch both bucketed on the digest — the
+    anti-join co-locates with ZERO exchanges, so daily dedup reads the
+    index without reshuffling 100 TB of history."""
+    from transitdata_hfp_deduplicator_spark.operators.dedup import (
+        dedup_exact,
+        payload_digest,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    identity = ["user_id", "event_type", "props"]
+    mn, mx = ev.agg(
+        F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+    ).collect()[0]
+    cut = (mn + mx) // 2
+    digest = payload_digest(*identity)
+    hist = ev.filter(F.unix_millis("ts") < cut).select(digest.alias("d")).distinct()
+    inc = dedup_exact(ev.filter(F.unix_millis("ts") >= cut), identity, ["ts", "event_id"]).withColumn("d", digest)
+    hist.write.bucketBy(8, "d").sortBy("d").mode("overwrite").saveAsTable("hist_idx_b")
+    inc.write.bucketBy(8, "d").sortBy("d").mode("overwrite").saveAsTable("inc_b")
+    try:
+        j = spark.table("inc_b").join(spark.table("hist_idx_b"), "d", "left_anti")
+        plan = physical_plan(j)
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed anti-join still shuffles:\n{plan[:3000]}"
+        )
+        # co-located result == the plain shuffled anti-join
+        expected = {r.event_id for r in inc.join(hist, "d", "left_anti").collect()}
+        got = {r.event_id for r in j.collect()}
+        assert got == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS hist_idx_b")
+        spark.sql("DROP TABLE IF EXISTS inc_b")
