@@ -232,6 +232,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs with exact-Jaccard verification.
 
@@ -251,8 +252,13 @@ def minhash_lsh_pairs(
     result is identical (pinned in tests/test_similarity.py).
     """
     rows = num_hashes // bands
+    # xxhash64 signatures are the production default (~6x cheaper);
+    # callers needing cross-engine-reproducible candidacy (the oracle
+    # gate) pass hash_family="md5".  Band bucketing below stays xxhash64
+    # either way: bucket ids never leave the plan, and bucket equality
+    # is signature-row equality regardless of how rows were hashed.
     sigs = minhash_signatures(
-        docs, id_col, text_col, shingle_n, num_hashes, hash_family="xxhash64"
+        docs, id_col, text_col, shingle_n, num_hashes, hash_family=hash_family
     )
     # all bands in ONE pass (a union of per-band selects would re-evaluate
     # the signature subplan once per band — 8x the minhash work);

@@ -1623,19 +1623,52 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(d, "doc_id", "text", shingle_n=3, num_hashes=4)
 
 
-@query("q_dedup_minhash_lsh")
+@query(
+    "q_dedup_minhash_lsh",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    ),
+    mh AS (
+        SELECT doc_id, shingles,
+               [list_min(list_transform(shingles,
+                    s -> ('0x' || substr(md5(k || '|' || s), 1, 15))::BIGINT))
+                for k in range(0, 16)] AS sig
+        FROM sh
+    ),
+    cand AS (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               a.shingles AS sh_i, b.shingles AS sh_j
+        FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ((a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]) OR (a.sig[9] = b.sig[9] AND a.sig[10] = b.sig[10]) OR (a.sig[11] = b.sig[11] AND a.sig[12] = b.sig[12]) OR (a.sig[13] = b.sig[13] AND a.sig[14] = b.sig[14]) OR (a.sig[15] = b.sig[15] AND a.sig[16] = b.sig[16]))
+    )
+    SELECT i, j,
+           round(len(list_intersect(sh_i, sh_j)) * 1.0
+                 / len(list_distinct(sh_i || sh_j)), 6) AS jaccard
+    FROM cand
+    WHERE round(len(list_intersect(sh_i, sh_j)) * 1.0
+                / len(list_distinct(sh_i || sh_j)), 6) >= 0.5
+    """,
+)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, exact-Jaccard verified —
     the 100 TB near-dup plan (signatures map-only; shuffle keys are
-    band buckets). Rows-only: LSH false-negative tail is probabilistic
-    by design; recall vs exact Jaccard is asserted in tests."""
+    band buckets).  HASH-CHECKED: the md5-derived signature family is
+    engine-independent, so DuckDB reproduces band candidacy (8 bands x
+    2 rows) and the exact-Jaccard verdicts bit-for-bit.  The engine
+    default for production stays xxhash64 (~6x cheaper, same plan)."""
     from transitdata_hfp_deduplicator_spark.operators.similarity import (
         minhash_lsh_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=8, threshold=0.5
+        d, "doc_id", "text", shingle_n=3, num_hashes=16, bands=8, threshold=0.5,
+        hash_family="md5",
     )
 
 
