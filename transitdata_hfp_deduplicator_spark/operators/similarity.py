@@ -327,6 +327,7 @@ def simhash_signatures(
     id_col: str = "doc_id",
     text_col: str = "text",
     bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash per doc: per-bit majority vote of token hashes, packed
     into one BIGINT.
@@ -341,7 +342,12 @@ def simhash_signatures(
 
     ex = spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
         "doc_id", F.explode(TXT.tokenize(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn(
+        "h",
+        # md5-derived 60-bit family reproduces in any engine (oracle
+        # parity); xxhash64 is the cheaper production default
+        TXT.hash64(F.col("tok")) if hash_family == "md5" else F.xxhash64("tok"),
+    )
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
@@ -370,6 +376,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash_i, simhash_j) <= d.
 
@@ -396,7 +403,7 @@ def simhash_pairs(
             return shifted  # single-chunk case: the whole hash
         return shifted.bitwiseAND(F.lit((1 << widths[c]) - 1))
 
-    hashed = simhash_signatures(docs, id_col, text_col)
+    hashed = simhash_signatures(docs, id_col, text_col, hash_family=hash_family)
     chunks = hashed.select(
         "doc_id",
         "sh",
@@ -505,11 +512,19 @@ def ivf_topk(
     """
     # centroid = element-wise mean, computed by posexplode + per-dim avg
     # (shuffles n_rows x dim scalar rows with map-side partial agg —
-    # scalable, unlike collecting whole vectors per group)
+    # scalable, unlike collecting whole vectors per group).  The mean
+    # is DECIMAL-routed (dsum convention) so the centroid — and hence
+    # which cells each query probes — is identical across partition
+    # orders and engines: a reproducible index, not a float race.
     centroids = (
         embeddings.select(partition_col, F.posexplode(VEC.as_double(F.col(vec_col))))
         .groupBy(partition_col, "pos")
-        .agg(F.avg("col").alias("m"))
+        .agg(
+            (
+                F.sum(F.col("col").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
         .groupBy(partition_col)
         .agg(
             F.transform(

@@ -1672,14 +1672,162 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id, ('0x' || substr(md5('0|' || t), 1, 15))::BIGINT AS hv
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               sum(CASE WHEN (hv >> 0) & 1 = 1 THEN 1 ELSE -1 END) AS v0,
+               sum(CASE WHEN (hv >> 1) & 1 = 1 THEN 1 ELSE -1 END) AS v1,
+               sum(CASE WHEN (hv >> 2) & 1 = 1 THEN 1 ELSE -1 END) AS v2,
+               sum(CASE WHEN (hv >> 3) & 1 = 1 THEN 1 ELSE -1 END) AS v3,
+               sum(CASE WHEN (hv >> 4) & 1 = 1 THEN 1 ELSE -1 END) AS v4,
+               sum(CASE WHEN (hv >> 5) & 1 = 1 THEN 1 ELSE -1 END) AS v5,
+               sum(CASE WHEN (hv >> 6) & 1 = 1 THEN 1 ELSE -1 END) AS v6,
+               sum(CASE WHEN (hv >> 7) & 1 = 1 THEN 1 ELSE -1 END) AS v7,
+               sum(CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END) AS v8,
+               sum(CASE WHEN (hv >> 9) & 1 = 1 THEN 1 ELSE -1 END) AS v9,
+               sum(CASE WHEN (hv >> 10) & 1 = 1 THEN 1 ELSE -1 END) AS v10,
+               sum(CASE WHEN (hv >> 11) & 1 = 1 THEN 1 ELSE -1 END) AS v11,
+               sum(CASE WHEN (hv >> 12) & 1 = 1 THEN 1 ELSE -1 END) AS v12,
+               sum(CASE WHEN (hv >> 13) & 1 = 1 THEN 1 ELSE -1 END) AS v13,
+               sum(CASE WHEN (hv >> 14) & 1 = 1 THEN 1 ELSE -1 END) AS v14,
+               sum(CASE WHEN (hv >> 15) & 1 = 1 THEN 1 ELSE -1 END) AS v15,
+               sum(CASE WHEN (hv >> 16) & 1 = 1 THEN 1 ELSE -1 END) AS v16,
+               sum(CASE WHEN (hv >> 17) & 1 = 1 THEN 1 ELSE -1 END) AS v17,
+               sum(CASE WHEN (hv >> 18) & 1 = 1 THEN 1 ELSE -1 END) AS v18,
+               sum(CASE WHEN (hv >> 19) & 1 = 1 THEN 1 ELSE -1 END) AS v19,
+               sum(CASE WHEN (hv >> 20) & 1 = 1 THEN 1 ELSE -1 END) AS v20,
+               sum(CASE WHEN (hv >> 21) & 1 = 1 THEN 1 ELSE -1 END) AS v21,
+               sum(CASE WHEN (hv >> 22) & 1 = 1 THEN 1 ELSE -1 END) AS v22,
+               sum(CASE WHEN (hv >> 23) & 1 = 1 THEN 1 ELSE -1 END) AS v23,
+               sum(CASE WHEN (hv >> 24) & 1 = 1 THEN 1 ELSE -1 END) AS v24,
+               sum(CASE WHEN (hv >> 25) & 1 = 1 THEN 1 ELSE -1 END) AS v25,
+               sum(CASE WHEN (hv >> 26) & 1 = 1 THEN 1 ELSE -1 END) AS v26,
+               sum(CASE WHEN (hv >> 27) & 1 = 1 THEN 1 ELSE -1 END) AS v27,
+               sum(CASE WHEN (hv >> 28) & 1 = 1 THEN 1 ELSE -1 END) AS v28,
+               sum(CASE WHEN (hv >> 29) & 1 = 1 THEN 1 ELSE -1 END) AS v29,
+               sum(CASE WHEN (hv >> 30) & 1 = 1 THEN 1 ELSE -1 END) AS v30,
+               sum(CASE WHEN (hv >> 31) & 1 = 1 THEN 1 ELSE -1 END) AS v31,
+               sum(CASE WHEN (hv >> 32) & 1 = 1 THEN 1 ELSE -1 END) AS v32,
+               sum(CASE WHEN (hv >> 33) & 1 = 1 THEN 1 ELSE -1 END) AS v33,
+               sum(CASE WHEN (hv >> 34) & 1 = 1 THEN 1 ELSE -1 END) AS v34,
+               sum(CASE WHEN (hv >> 35) & 1 = 1 THEN 1 ELSE -1 END) AS v35,
+               sum(CASE WHEN (hv >> 36) & 1 = 1 THEN 1 ELSE -1 END) AS v36,
+               sum(CASE WHEN (hv >> 37) & 1 = 1 THEN 1 ELSE -1 END) AS v37,
+               sum(CASE WHEN (hv >> 38) & 1 = 1 THEN 1 ELSE -1 END) AS v38,
+               sum(CASE WHEN (hv >> 39) & 1 = 1 THEN 1 ELSE -1 END) AS v39,
+               sum(CASE WHEN (hv >> 40) & 1 = 1 THEN 1 ELSE -1 END) AS v40,
+               sum(CASE WHEN (hv >> 41) & 1 = 1 THEN 1 ELSE -1 END) AS v41,
+               sum(CASE WHEN (hv >> 42) & 1 = 1 THEN 1 ELSE -1 END) AS v42,
+               sum(CASE WHEN (hv >> 43) & 1 = 1 THEN 1 ELSE -1 END) AS v43,
+               sum(CASE WHEN (hv >> 44) & 1 = 1 THEN 1 ELSE -1 END) AS v44,
+               sum(CASE WHEN (hv >> 45) & 1 = 1 THEN 1 ELSE -1 END) AS v45,
+               sum(CASE WHEN (hv >> 46) & 1 = 1 THEN 1 ELSE -1 END) AS v46,
+               sum(CASE WHEN (hv >> 47) & 1 = 1 THEN 1 ELSE -1 END) AS v47,
+               sum(CASE WHEN (hv >> 48) & 1 = 1 THEN 1 ELSE -1 END) AS v48,
+               sum(CASE WHEN (hv >> 49) & 1 = 1 THEN 1 ELSE -1 END) AS v49,
+               sum(CASE WHEN (hv >> 50) & 1 = 1 THEN 1 ELSE -1 END) AS v50,
+               sum(CASE WHEN (hv >> 51) & 1 = 1 THEN 1 ELSE -1 END) AS v51,
+               sum(CASE WHEN (hv >> 52) & 1 = 1 THEN 1 ELSE -1 END) AS v52,
+               sum(CASE WHEN (hv >> 53) & 1 = 1 THEN 1 ELSE -1 END) AS v53,
+               sum(CASE WHEN (hv >> 54) & 1 = 1 THEN 1 ELSE -1 END) AS v54,
+               sum(CASE WHEN (hv >> 55) & 1 = 1 THEN 1 ELSE -1 END) AS v55,
+               sum(CASE WHEN (hv >> 56) & 1 = 1 THEN 1 ELSE -1 END) AS v56,
+               sum(CASE WHEN (hv >> 57) & 1 = 1 THEN 1 ELSE -1 END) AS v57,
+               sum(CASE WHEN (hv >> 58) & 1 = 1 THEN 1 ELSE -1 END) AS v58,
+               sum(CASE WHEN (hv >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS v59
+        FROM h GROUP BY doc_id
+    ),
+    sh AS (
+        SELECT doc_id,
+               (CASE WHEN v0 > 0 THEN 1 ELSE 0 END
+               + CASE WHEN v1 > 0 THEN 2 ELSE 0 END
+               + CASE WHEN v2 > 0 THEN 4 ELSE 0 END
+               + CASE WHEN v3 > 0 THEN 8 ELSE 0 END
+               + CASE WHEN v4 > 0 THEN 16 ELSE 0 END
+               + CASE WHEN v5 > 0 THEN 32 ELSE 0 END
+               + CASE WHEN v6 > 0 THEN 64 ELSE 0 END
+               + CASE WHEN v7 > 0 THEN 128 ELSE 0 END
+               + CASE WHEN v8 > 0 THEN 256 ELSE 0 END
+               + CASE WHEN v9 > 0 THEN 512 ELSE 0 END
+               + CASE WHEN v10 > 0 THEN 1024 ELSE 0 END
+               + CASE WHEN v11 > 0 THEN 2048 ELSE 0 END
+               + CASE WHEN v12 > 0 THEN 4096 ELSE 0 END
+               + CASE WHEN v13 > 0 THEN 8192 ELSE 0 END
+               + CASE WHEN v14 > 0 THEN 16384 ELSE 0 END
+               + CASE WHEN v15 > 0 THEN 32768 ELSE 0 END
+               + CASE WHEN v16 > 0 THEN 65536 ELSE 0 END
+               + CASE WHEN v17 > 0 THEN 131072 ELSE 0 END
+               + CASE WHEN v18 > 0 THEN 262144 ELSE 0 END
+               + CASE WHEN v19 > 0 THEN 524288 ELSE 0 END
+               + CASE WHEN v20 > 0 THEN 1048576 ELSE 0 END
+               + CASE WHEN v21 > 0 THEN 2097152 ELSE 0 END
+               + CASE WHEN v22 > 0 THEN 4194304 ELSE 0 END
+               + CASE WHEN v23 > 0 THEN 8388608 ELSE 0 END
+               + CASE WHEN v24 > 0 THEN 16777216 ELSE 0 END
+               + CASE WHEN v25 > 0 THEN 33554432 ELSE 0 END
+               + CASE WHEN v26 > 0 THEN 67108864 ELSE 0 END
+               + CASE WHEN v27 > 0 THEN 134217728 ELSE 0 END
+               + CASE WHEN v28 > 0 THEN 268435456 ELSE 0 END
+               + CASE WHEN v29 > 0 THEN 536870912 ELSE 0 END
+               + CASE WHEN v30 > 0 THEN 1073741824 ELSE 0 END
+               + CASE WHEN v31 > 0 THEN 2147483648 ELSE 0 END
+               + CASE WHEN v32 > 0 THEN 4294967296 ELSE 0 END
+               + CASE WHEN v33 > 0 THEN 8589934592 ELSE 0 END
+               + CASE WHEN v34 > 0 THEN 17179869184 ELSE 0 END
+               + CASE WHEN v35 > 0 THEN 34359738368 ELSE 0 END
+               + CASE WHEN v36 > 0 THEN 68719476736 ELSE 0 END
+               + CASE WHEN v37 > 0 THEN 137438953472 ELSE 0 END
+               + CASE WHEN v38 > 0 THEN 274877906944 ELSE 0 END
+               + CASE WHEN v39 > 0 THEN 549755813888 ELSE 0 END
+               + CASE WHEN v40 > 0 THEN 1099511627776 ELSE 0 END
+               + CASE WHEN v41 > 0 THEN 2199023255552 ELSE 0 END
+               + CASE WHEN v42 > 0 THEN 4398046511104 ELSE 0 END
+               + CASE WHEN v43 > 0 THEN 8796093022208 ELSE 0 END
+               + CASE WHEN v44 > 0 THEN 17592186044416 ELSE 0 END
+               + CASE WHEN v45 > 0 THEN 35184372088832 ELSE 0 END
+               + CASE WHEN v46 > 0 THEN 70368744177664 ELSE 0 END
+               + CASE WHEN v47 > 0 THEN 140737488355328 ELSE 0 END
+               + CASE WHEN v48 > 0 THEN 281474976710656 ELSE 0 END
+               + CASE WHEN v49 > 0 THEN 562949953421312 ELSE 0 END
+               + CASE WHEN v50 > 0 THEN 1125899906842624 ELSE 0 END
+               + CASE WHEN v51 > 0 THEN 2251799813685248 ELSE 0 END
+               + CASE WHEN v52 > 0 THEN 4503599627370496 ELSE 0 END
+               + CASE WHEN v53 > 0 THEN 9007199254740992 ELSE 0 END
+               + CASE WHEN v54 > 0 THEN 18014398509481984 ELSE 0 END
+               + CASE WHEN v55 > 0 THEN 36028797018963968 ELSE 0 END
+               + CASE WHEN v56 > 0 THEN 72057594037927936 ELSE 0 END
+               + CASE WHEN v57 > 0 THEN 144115188075855872 ELSE 0 END
+               + CASE WHEN v58 > 0 THEN 288230376151711744 ELSE 0 END
+               + CASE WHEN v59 > 0 THEN 576460752303423488 ELSE 0 END) AS sh
+        FROM votes
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 over 64-bit token-majority
-    hashes; pigeonhole chunk join = exact recall for d<=3)."""
+    hashes; pigeonhole chunk join = exact recall for d<=3).
+    HASH-CHECKED: with the md5-derived token-hash family the signature
+    is engine-independent, and full pigeonhole recall means the result
+    equals DuckDB's brute-force hamming join exactly.  Production
+    default stays xxhash64 (same plan, cheaper hashing)."""
     from transitdata_hfp_deduplicator_spark.operators.similarity import simhash_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(d, "doc_id", "text", max_hamming=3, hash_family="md5")
 
 
 # ---------------------------------------------------------------------------
@@ -1719,11 +1867,52 @@ def q_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, q, k=5)
 
 
-@query("q_embed_ann_ivf")
+@query(
+    "q_embed_ann_ivf",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ),
+    cent AS (
+        SELECT label, i,
+               CAST(SUM(CAST(v[i] AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+        FROM e, (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY label, i
+    ),
+    centv AS (SELECT label, list(m ORDER BY i) AS c FROM cent GROUP BY label),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    probes AS (
+        SELECT q_id, qv, label
+        FROM (
+            SELECT q.q_id, q.qv, cv.label,
+                   list_dot_product(q.qv, cv.c)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(cv.c, cv.c))) AS c_sim
+            FROM q CROSS JOIN centv cv
+        )
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, label) <= 3
+    ),
+    scored AS (
+        SELECT p.q_id, e.vec_id AS item_id,
+               round(list_dot_product(e.v, p.qv)
+                     / (sqrt(list_dot_product(e.v, e.v))
+                        * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos_sim
+        FROM e JOIN probes p ON e.label = p.label
+    )
+    SELECT q_id, item_id, cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, item_id) AS BIGINT) AS "rank"
+    FROM scored
+    QUALIFY "rank" <= 5
+    """,
+)
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: label-cell centroids, nprobe=3 — the scale path
-    (each query scans nprobe/ncells of the data). Rows-only; recall vs
-    q_embed_cosine asserted in tests."""
+    (each query scans nprobe/ncells of the data).  HASH-CHECKED: the
+    DECIMAL-routed centroid mean makes the coarse quantizer identical
+    across engines and partition orders, so probe selection and the
+    exact in-cell scores reproduce in DuckDB; recall vs q_embed_cosine
+    additionally asserted in tests."""
     from transitdata_hfp_deduplicator_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
