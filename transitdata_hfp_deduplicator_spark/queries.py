@@ -2890,12 +2890,120 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(e, threshold=0.45)
 
 
-@query("q_embed_neardup_rplsh")
+@query(
+    "q_embed_neardup_rplsh",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id,
+           (CASE WHEN list_dot_product(v, [0.4967141530112327, -0.13826430117118466, 0.6476885381006925, 1.5230298564080254, -0.23415337472333597, -0.23413695694918055, 1.5792128155073915, 0.7674347291529088, -0.4694743859349521, 0.5425600435859647, -0.46341769281246226, -0.46572975357025687, 0.24196227156603412, -1.913280244657798, -1.7249178325130328, -0.5622875292409727, -1.0128311203344238, 0.3142473325952739, -0.9080240755212109, -1.4123037013352915, 1.465648768921554, -0.22577630048653566, 0.06752820468792384, -1.4247481862134568, -0.5443827245251827, 0.11092258970986608, -1.1509935774223028, 0.37569801834567196, -0.600638689918805, -0.2916937497932768, -0.6017066122293969, 1.8522781845089378, -0.013497224737933921, -1.0577109289559004, 0.822544912103189, -1.2208436499710222, 0.2088635950047554, -1.9596701238797756, -1.3281860488984305, 0.19686123586912352, 0.7384665799954104, 0.1713682811899705, -0.11564828238824053, -0.3011036955892888, -1.4785219903674274, -0.7198442083947086, -0.4606387709597875, 1.0571222262189157, 0.3436182895684614, -1.763040155362734, 0.324083969394795, -0.38508228041631654, -0.6769220003059587, 0.6116762888408679, 1.030999522495951, 0.9312801191161986, -0.8392175232226385, -0.3092123758512146, 0.33126343140356396, 0.9755451271223592, -0.47917423784528995, -0.18565897666381712, -1.1063349740060282, -1.1962066240806708]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.812525822394198, 1.356240028570823, -0.07201012158033385, 1.0035328978920242, 0.36163602504763415, -0.6451197546051243, 0.36139560550841393, 1.5380365664659692, -0.03582603910995154, 1.5646436558140062, -2.6197451040897444, 0.8219025043752238, 0.08704706823817122, -0.29900735046586746, 0.0917607765355023, -1.9875689146008928, -0.21967188783751193, 0.3571125715117464, 1.477894044741516, -0.5182702182736474, -0.8084936028931876, -0.5017570435845365, 0.9154021177020741, 0.32875110965968446, -0.5297602037670388, 0.5132674331133561, 0.09707754934804039, 0.9686449905328892, -0.7020530938773524, -0.3276621465977682, -0.39210815313215763, -1.4635149481321186, 0.29612027706457605, 0.26105527217988933, 0.00511345664246089, -0.23458713337514692, -1.4153707420504142, -0.42064532276535904, -0.3427145165267695, -0.8022772692216189, -0.16128571166600914, 0.4040508568145384, 1.8861859012105302, 0.17457781283183896, 0.25755039072276437, -0.07444591576616721, -1.9187712152990415, -0.026513875449216878, 0.06023020994102644, 2.463242112485286, -0.19236096478112252, 0.30154734233361247, -0.03471176970524331, -1.168678037619532, 1.1428228145150205, 0.7519330326867741, 0.7910319470430469, -0.9093874547947389, 1.4027943109360992, -1.4018510627922809, 0.5868570938002703, 2.1904556258099785, -0.9905363251306883, -0.5662977296027719]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.09965136508764122, -0.5034756541161992, -1.5506634310661327, 0.06856297480602733, -1.0623037137261049, 0.4735924306351816, -0.9194242342338032, 1.5499344050175394, -0.7832532923362371, -0.3220615162056756, 0.8135172173696698, -1.2308643164339552, 0.22745993460412942, 1.307142754282428, -1.6074832345612275, 0.1846338585323042, 0.25988279424842353, 0.7818228717773104, -1.236950710878082, -1.3204566130842763, 0.5219415656168976, 0.29698467323318606, 0.25049285034587654, 0.3464482094969757, -0.6800247215784908, 0.23225369716100355, 0.29307247329868125, -0.7143514180263678, 1.8657745111447566, 0.4738329209117875, -1.1913034972026486, 0.6565536086338297, -0.9746816702273214, 0.787084603742452, 1.158595579007404, -0.8206823183517105, 0.9633761292443218, 0.4127809269364983, 0.82206015999449, 1.8967929826539474, -0.2453881160028705, -0.7537361643574896, -0.8895144296255233, -0.8158102849654383, -0.0771017094141042, 0.3411519748166439, 0.27669079933001905, 0.8271832490360238, 0.01300189187790702, 1.4535340771573169, -0.2646568332379561, 2.720169166589619, 0.6256673477650062, -0.8571575564162826, -1.0708924980611123, 0.4824724152431853, -0.2234627853258509, 0.714000494092092, 0.47323762457354485, -0.07282891265687277, -0.846793718068405, -1.5148472246858646, -0.4465149520670211, 0.8563987943234723]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.21409374413020396, -1.245738778711988, 0.173180925851182, 0.3853173797288368, -0.883857436201133, 0.1537251059455279, 0.058208718445999896, -1.142970297830623, 0.3577873603482833, 0.5607845263682344, 1.083051243175277, 1.053802052034903, -1.377669367957091, -0.9378250399151228, 0.5150352672086598, 0.5137859509122088, 0.5150476863060479, 3.852731490654721, 0.570890510693167, 1.135565640180599, 0.9540017634932023, 0.651391251305798, -0.3152692446403456, 0.7589692204932674, -0.7728252145375718, -0.23681860674000887, -0.48536354782910346, 0.08187413938632256, 2.3146585666735087, -1.867265192591748, 0.6862601903745135, -1.6127158711896517, -0.47193186578943347, 1.088950596967366, 0.06428001909546277, -1.0777447779293061, -0.7153037092599682, 0.6795977489346758, -0.7303666317171367, 0.21645858958197486, 0.045571839903813784, -0.6516003476058171, 2.1439440893253257, 0.6339190223180112, -2.025142586657607, 0.18645431476942764, -0.661786464768388, 0.852433334796224, -0.7925207384327007, -0.11473644146689901, 0.5049872789804571, 0.8657551941701215, -1.2002964070557762, -0.3345012358409484, -0.4749453111609562, -0.6533292325737119, 1.7654542402810969, 0.40498171096095553, -1.2608839543350452, 0.9178619470547761, 2.1221561970126332, 1.0324652605511468, -1.5193699659540134, -0.48423407286625136]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [1.2669111491866227, -0.7076694656187807, 0.44381942814622843, 0.7746340534293368, -0.926930471578083, -0.05952535606180008, -3.2412673400690726, -1.0243876413342898, -0.2525681513931603, -1.2477831819648495, 1.6324113039316352, -1.4301413779606327, -0.44004448669698376, 0.13074057728609134, 1.4412732890661155, -1.4358621511794394, 1.1631637521549596, 0.010233061019587049, -0.9815086510479509, 0.46210347426327075, 0.19905969557347003, -0.6002168771587947, 0.06980208499001891, -0.3853135968617602, 0.11351734525124804, 0.6621306745210467, 1.586016816145352, -1.237815498826849, 2.1330333746562666, -1.9520877995225019, -0.15178509503558332, 0.5883172064845765, 0.28099186773503265, -0.6226995198205938, -0.20812225035727522, -0.4930009346588328, -0.5893647569442115, 0.8496020970210246, 0.35701548596504734, -0.6929095952606542, 0.8995998754332507, 0.30729952087660933, 0.8128621188389601, 0.6296288419236122, -0.8289950109220723, -0.5601810401969696, 0.7472936051232618, 0.6103702654334648, -0.020901593964148132, 0.117327383308782, 1.277664895788425, -0.5915713888358299, 0.5470973811700379, -0.20219265243389406, -0.2176812032272203, 1.09877685198719, 0.8254163489880298, 0.8135096360006385, 1.305478807154329, 0.02100384163275905, 0.6819529712949639, -0.31026675659345604, 0.3241663524884421, -0.13014305436768459]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.09699596499271819, 0.5951570254369136, -0.8182206832334725, 2.0923872756854602, -1.006017381499702, -1.2141886127877322, 1.1581108735000678, 0.7916626939629359, 0.6241198170521551, 0.6283455092642799, -0.012246772846914623, -0.8972543714858315, 0.07580455819372633, -0.6771617115121117, 0.9751197334177512, -0.14705738150213865, -0.8254971967925115, -0.32138584165299344, 0.41293145427562433, -0.5637245528039747, -0.8222203955664315, 0.2436872114919123, 0.24496657110872277, -0.5069431753711298, -0.4710383056183228, 0.2320499373576363, -1.4480843414973241, -1.4074637743765552, -0.718444221252436, -0.21344715171184725, 0.3109075655980046, 1.475356216949552, 0.8576596232020194, -0.1599385299634271, -0.01901620790268883, -1.0025293646378088, -0.01851313599238993, -0.2886586389201383, 0.3227185603380895, -0.827230943552323, 0.5193465142411723, 1.5327389130025777, -0.1087601484568576, 0.40171172209894146, 0.6901439917111125, -0.40122047188583626, 0.22409248181041677, 0.01259240078179486, 0.09767609854883172, -0.7730097838554665, 0.024510174258942714, 0.49799829124544975, 1.4511436077950417, 0.9592708260852069, 2.1531824575115563, -0.7673475628880495, 0.8723206367206782, 0.18334200573835174, 2.1898029332176723, -0.8082982853551515, -0.8397218421807761, -0.5993926454440222, -2.123895724309807, -0.525755021680761]) >= 0 THEN 32 ELSE 0 END) AS bv0,
+           (CASE WHEN list_dot_product(v, [-0.759132661553698, 0.15039378647620763, 0.34175597577715944, 1.8761708392158862, 0.9504238381860503, -0.5769036556624031, -0.898414671348358, 0.4919191715065057, -1.3202332070206422, 1.8314587658543537, 1.179440120721287, -0.4691756521047048, -1.7131345290908775, 1.3538723741654128, -0.11453984525261789, 1.2378163119734618, -1.594427658794367, -0.5993750229537729, 0.005243699718183166, 0.046980593764742055, -0.45006547147924364, 0.6228499323474987, -1.0676204293825944, -0.1423794850212935, 0.12029563171189886, 0.514438834058749, 0.7116148780888898, -1.1246420918378692, -1.5341141707356223, 1.277676821898509, 0.33231401197959165, -0.7484865365565536, 1.551151975522523, 0.11567463429285867, 1.1792971840638264, 0.06751848141010895, 2.060747924881987, 1.7553408424432044, -0.2489641484790735, 0.9715709509543554, 0.6453759495851475, 1.3686315575323487, -0.9649234605801045, 0.6860514599984393, 1.0584244868495878, -1.7587394864231143, -1.183258512665775, -2.0392321777601006, -0.26940683444455776, 0.7175422557959623, 1.502357052096028, 0.07409478041977519, 1.6286155455712918, -1.3801014582148914, -1.7033824393551547, -0.05554769889661878, 0.3840654489393073, -0.03269474809409311, -2.0674421000398766, -0.08912003951278841, -1.3044695005048532, 0.6696725488300385, 0.36659824609684827, -0.9398797863273552]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.5138669173366935, -1.0592135218889516, -0.06267909727317188, 0.9551423205012383, -0.9857260463355437, 0.5040465155178444, -0.5302576183724408, -0.7928728322623442, -0.10703035995455783, -1.035242322419374, -0.553649305347182, -1.1978778925888485, 1.9647251329163893, 0.03526355197172861, -0.6997255079925856, 0.213979910734222, -0.11232804969082982, -0.22096959953322298, 0.6141667000434252, 0.7575077100473051, -0.5305011476105275, -0.57581824064468, -0.275051697151644, -2.301921164735585, -1.5151910621985523, 1.3668742674445247, 1.6449677135012837, -0.24903603955637832, 0.5765569630557664, 0.3112501545435361, 3.0788808084552377, 1.1195749114345768, -0.12791759148076653, -0.9555404406004258, -1.6064463202575725, 0.2034636358672231, -0.7563507452843033, -1.4222537095976742, -0.6465728842425266, -1.081548003614395, 1.6871416350725648, 0.8816397569494505, -0.007972641316617372, 1.4799441388900259, 0.0773683076476183, -0.8612842013282637, 1.5231240772696573, 0.5389100436846587, -1.0372461543264564, -0.1903386780836082, -0.8756182533847572, -1.382799730964336, 0.9261775475316414, 1.9094166404701305, -1.3985675738191412, 0.5629692366905709, -0.6506425691218269, -0.48712538376469605, -0.5923939242388692, -0.863990769679816, 0.04852162794482699, -0.8309501164110378, 0.2704568257798388, -0.05023810944913695]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.23894804686640975, -0.9075636620415979, -0.5767713305683327, 0.755391225825756, 0.5009171876243808, -0.977555244798551, 0.09933230542922587, 0.751387123371789, -1.6694052811213718, 0.543360192379935, -0.6626237589458467, 0.5705986685931593, -0.7632591565425169, -1.804882100664519, -1.6275424378831627, 0.048084946661381994, 0.25972250172148187, -0.9043166251044086, 0.6385924587773739, -1.6615200622689599, -0.06607979864731657, -1.2110161997624567, -0.6518361078021592, 0.047398671316414016, -0.8604133652839524, -0.38455554422982535, 1.0062928092144405, -0.5768918695231487, 0.8356921120651418, -1.129706854657618, 0.5298041779152828, 1.4415686206579004, -2.4716445001272893, -0.7968952554704768, 0.57707212718054, -0.2030453860429927, 0.37114587337130883, -0.6039851867158206, 0.08658978747289992, -0.15567723539207948, 1.1677820616598074, 0.2544208433012131, 0.3376026620752022, -0.4118769661224674, -0.48760622407249354, -0.4325581878196209, 0.39445214237829684, -0.42098448082026296, 0.2897748568964129, 2.075400798645439, 0.8711247034316923, -0.32602353216784113, 1.2012139221639448, -0.4080753730215514, -2.038124535177854, -1.008086310917404, -1.8707919210258557, -0.35151348404130867, 0.0184183791895517, 1.6764373122752827, 0.32692737376416264, -0.21910052880886424, 0.8294055811834892, -2.211135309007885]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.23561455810856594, 0.7708651938869668, -1.4785862457798415, 1.143754043206929, 0.3384964074944141, -0.4152879139008013, 0.6327818661062848, 2.270692857804396, 0.18186625505849516, 0.24822058630033608, -0.4593608995402441, -0.8498443694647918, 0.8303358165442456, -0.8560838259088672, 0.07156623721939247, -0.4776574467651167, 0.47897982574639186, 0.3336621052869483, 1.0375399442578992, -0.510016398854747, -0.26987493529337125, -0.9787637157823074, -0.4442932600761116, 0.3773004930448522, 0.7569886166453519, -0.9221653241776254, 0.8696059201056602, 1.355637858804951, 0.41343490322370086, 1.876795812558066, -0.773789199103573, -1.244654703311417, -1.7787202489042786, 1.496044311489183, 0.6543656563540577, -0.05558467091045507, 0.2799686263198203, -1.1254890472983765, 2.4457519796168263, 0.1292211819752275, 0.10939479460489289, 0.725766623898692, 0.4810092317367132, 0.22388402427913137, -0.7904744554453119, 0.4714683571359957, 1.8820244964750337, 1.3454200461549777, 1.593186626639397, -0.5112156764311852, -0.9896048202585809, -0.12578692009964815, 0.055724912288694604, 1.0941915184709485, -1.6924646297148194, 1.5295503194606137, -0.15800789857898942, -0.42688106994742003, -1.0121043752601675, -1.6548566718657693, 0.8231705839619146, 0.07331796718840389, -1.2899608997410539, -1.295078772063616]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.3357846992901282, 1.669021525289393, -0.2595913513636048, -1.5031429531181062, -0.24574306408594432, -0.2727235697476705, -2.6968866429415717, -0.05429486651781221, -0.23093453020867796, 0.6962063648134184, 1.8489560949453452, 1.1265650295477574, -0.26888869055483056, -1.1065259087416703, 2.5733598032498604, 0.05921843401448826, 0.013929291912946203, -0.024125087110003277, 0.19808476076785494, -0.14436041192394247, -0.5736620068802363, -0.5468589412403921, -0.03275327021599839, -0.543424771133765, -0.7128457826771644, 0.10643022769189683, -0.2549772174208553, 1.5039929885826886, -2.650969808393012, 1.0915068519224618, 1.246085192497629, -2.0733902324081495, -0.34268759408034877, -0.37144086599579146, -1.4075116947178212, -0.7778166875908753, -1.1105758454658288, 1.7522704434236227, 0.9356783931474612, 1.2715550949941588, 0.7216720640432351, -1.1290517712172292, -0.5245202662797737, 0.48937456122791806, -1.2221278088919454, 0.7129984301723881, -0.24032539815813503, -0.3748208075495975, 0.7109599682034915, 0.44426331148603976, -0.3609661658190799, 1.159329803364248, -1.0810633275998973, 0.6159356069442637, 0.5931012579683838, -0.3095464393139903, 0.326133022242118, -1.251113576385303, 0.924027019206901, -0.18490213644298903, -0.5227230205190395, 1.0490092258368893, -0.7043436905427592, -1.4084612963635597]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-1.5566291735239037, 0.6060099513456396, -1.280429352496283, 1.7547941819843647, -2.081929407883722, 1.6964563682900382, 0.2110174672026184, -0.09671311187039239, -0.5449190868089497, 0.39913611435207086, -0.037634702424848364, 1.1033018820165215, 0.11422764866203965, 0.1503017614618776, -0.36361221221385587, -0.056945623721067457, 0.3078017688920592, -1.7101683926566256, -1.348185422105713, 0.743264094022715, 0.17086543812794186, -0.18398333635267913, 0.01843393306539316, 0.34758170536167105, -0.5397596803093615, -0.7783047254023127, 0.19584525509768155, -0.978372777615032, 0.40825275571447184, -1.7025836042378404, 1.0291556373256436, 0.472597482413043, 0.25602973431387566, 0.9826909839455139, 1.6654744444625766, 1.0143700650181304, -1.8408742313316453, -1.2795769667357015, -0.6248185776956788, 0.026091050210833786, 0.517659020469123, -0.7257438131534656, 0.18676676447707832, -0.7553829323533225, -0.6115178029919482, -1.4066610968482223, -0.9232332461109043, -1.3516846056163336, -0.9758732529773327, 1.0536417966078395, -0.949398888831943, 2.632382064837391, 0.4933179008808892, 0.1848361236948739, -0.8583577801812136, 0.7003098794089914, -0.5756378262377739, 0.12200981464536144, 2.5600845382687947, -0.09605989972464987, 1.1492733262856758, -0.7031764251258874, -0.0349884904969617, 1.77080063563551]) >= 0 THEN 32 ELSE 0 END) AS bv1,
+           (CASE WHEN list_dot_product(v, [-0.6269670577877674, 1.8124485579969287, 0.7077519354554754, -0.5624667758942676, 0.632407739055521, 0.9725544496267299, 0.6218099622171964, -1.5702247198904564, -0.7271371758248686, -0.24751863555150475, -0.07443342910004629, 0.620672097550678, 0.17770100093325383, -1.3353443587101013, 0.3801978510059632, 0.6105857452838231, 0.5597904479310398, 1.0807807255546218, 0.8339221545489041, 0.4591800792284367, -0.07016571145864703, -1.6609609335159914, 0.42961821913258585, 0.20768768716311115, 0.27157883719537346, -1.2767485758203094, -1.0810565404082624, 1.0531528533329035, -0.03955515385665504, 0.6815006973726244, 0.028318376130461172, 0.02975613949574519, 0.9382838059759977, -0.5160447282173739, 0.09612077694098337, -0.4622752887050425, -0.4344962274323156, -0.30917212346863937, 0.22213377163371284, -0.4787486216634773, 1.2557561255735208, -0.8946073022195039, -0.18687164416135904, -0.4397310582741749, 1.4469778843537329, 0.19655477651157463, 1.0318445394686349, -1.485560373036972, 0.26705026586925884, 0.889630795623437, 0.08228398927542419, 1.0654803750653512, -0.5172884501003722, 1.40934744018558, 2.2988981236192503, -0.36283856043965906, -0.4455025214007718, 1.453384477117701, 1.5795721457307124, -0.5228600271532683, -0.42018681709585726, -0.2817846088605072, -1.344450511034277, -0.9186519464841982]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-1.0041407667520679, -0.7677975651041284, -0.03468488738678118, 0.23421473253652075, 1.5505004928140769, -0.998354040738791, 0.9843223984765838, -0.21398884422550896, -0.04946370965243295, 0.6748194921666038, -1.1227220215622986, 0.3824097461840506, 0.1664522082130561, 0.4924512640081491, 0.2891686439078181, 2.4553001399108942, -0.637739984251316, -0.5309969550018176, -0.6231405264247644, -0.5554771191602547, -0.6373871273065177, 1.1890165311075518, 1.4205042479898549, -0.5707462937494763, -0.8323555731042287, 0.4714155563864041, -0.5522230442809712, 0.6329318177555108, 0.2029230208512997, -1.515744114997232, 1.5475052013300616, 1.7958776730955217, -0.6127886904843862, -0.38770155993598415, 0.28586539072490497, 0.334456789987025, 0.6585442726728304, 2.0102045387663496, -0.1769472274940494, -0.7982972445384537, -1.3793192280145272, -0.7309300399419191, -0.033126972873797095, 1.7945578635177877, -0.5176112990361714, 0.2237879516388985, -0.016422896072752075, 1.188393273448084, 2.5269324258736217, -0.5308687729203206, -0.48943944251822213, 1.044160877069072, 0.6818914896263114, 1.8467073257360336, 0.5839281853259639, -0.35929209078705954, 0.5906548306923093, 1.1087035805829077, 0.820482181197364, 0.5072740311072977, 1.066674689589154, 1.1692955904456728, 1.3821589910375272, 0.6487098875896427]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.16711808031685435, 0.14671368643332283, 1.2065089665083568, -0.8169356709872361, 0.3686733088729012, -0.3933388123273607, 0.028744822934817487, 1.2784518626072987, 0.19109906801990334, 0.04643654815614881, -1.3598561409799192, 0.7462535660272207, 0.6454841811410754, 2.16325472330546, -0.30777823495300083, 0.21915032766393897, 0.24938368371075526, 1.5774532797634744, -0.0952955323869521, 0.27902152577033923, 0.6078965097165392, 0.1866091231563581, -0.44643361455052827, 0.19408999289830758, 1.073631749859772, -1.0265152994110602, 0.132969674146876, -0.7001208149391732, 1.1950466289248425, -1.5231869047837747, -0.5589218472715883, 0.37721187506452086, 1.5655240292343404, -0.0657502610729878, -0.5551995266931984, 1.8811570694405901, -1.448013900416244, -2.198805956620082, 0.4400144500533324, -0.5020542243526112, -1.0212328171307132, 0.7083564472993533, 0.24380071377119883, -0.5640786307367284, -1.2803043986708944, 0.8724573282801447, 0.650201177958661, -0.09917586377938291, 1.8466369960476658, -1.0700847663261526, -1.5255251709247388, -0.6919080698812444, -0.045586016355497805, 0.24333944932269183, -0.24123605785632987, 0.3520553965142968, -1.251539424190444, 1.4437646040732595, -0.0821511783925688, 1.1172958315881276, 0.34272534637770413, 0.4567532191537839, 0.5697672802322039, 0.44770856001731496]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.6427227598675439, 1.3291525301324314, 0.19652116970147013, 0.7090037575885123, -0.08973569428722672, 1.4401172154494728, -0.6763923020592697, 1.8009404329108156, -0.04015795064434341, -1.4307751021180481, 0.12810441491078928, -0.6810516574748808, 0.8406435489887241, -0.6526239793023909, -0.4461834332147797, -1.889540730945531, -0.4523063192490767, -2.4238793266289567, -1.5839028234857233, 0.7604146561442974, 0.7858001586508322, 0.42545756178496474, -0.966976143129213, -0.047711356141979855, -0.0036025390905684044, -1.1583646891925428, 1.5033983017671506, 0.8773622905756714, -0.22096417382966393, 0.02688583899453078, 0.20838280794755248, -2.0417348684242906, -0.24717738252059693, -0.6819842479977986, -1.0016200098949155, -0.2811002928859549, 1.7976865268495226, 0.6408428612670098, -0.5711789897827968, 0.5725827813561586, 1.3993554365860021, 0.9246336829127688, 0.05963036992017413, -0.6469367777055739, 0.6982233136135899, 0.3934853854217496, 0.8951932200277323, 0.6351718016819695, 1.0495527153193351, -0.535235211560568, 1.3173940656343257, 0.19759960469239965, 2.0752608726252655, -0.6891878180895679, 1.7359638031652493, 0.1979107834626478, -0.6514180036144483, -0.48388583405432156, -0.32034730819432017, 0.4241659464019164, 0.5228354880354996, -0.573700003938579, -0.02435459226098284, 2.1422703586118637]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [1.7275431701007113, 0.4363236696740321, 0.03800347816820029, 0.1200313267182613, 0.6135179727304166, -1.0227925651984056, -0.2573765374233451, -1.6685840738775894, 0.39922312260527926, 0.647195939702741, -0.483186462299374, 1.5739867632900328, -1.2257656630023412, -1.4643748802098202, 0.22445181855997204, 1.0470983026121545, 1.6839276914578687, -0.45888426286894, 1.0786808334312956, -0.03850846950070721, -0.17262729994081963, 0.8836599374866724, 0.6523228784134196, -1.5763921569842494, 1.4765403497258958, 1.3800913541474515, -0.6255627015095294, 0.39580353343740904, 0.4940301862827388, 0.2606737658239071, -0.5503051538454201, -0.6716233679380516, -0.025554070991445278, 1.1727290192593647, 0.5436001545944323, -0.37061433208610595, 0.7716987106483447, -2.8485426206300755, 1.1487657003721035, -1.7397137787780996, -0.36244094140313216, -1.1196698946261439, -1.2946814757209058, 1.1608267873785194, -0.46770120131189136, 0.3465038817307158, -0.04692057887918407, 0.47704082722312147, 0.07682189106025536, -1.2829922241885696, 0.99626681944714, -0.4937565831613125, -1.556581898659751, -0.4281151609659125, 1.5007597906343109, 0.8502217421134929, -0.3486521344078592, -0.3492577043184288, -0.3216350512173826, 2.076747983560841, 0.38193545223155334, 0.43004164719106963, 1.0302834540318422, 0.23878915902651351]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.2590421458207031, -0.19634984908497827, -0.07160125941406395, -0.03722223650984159, 0.7276295436369798, 0.05194588580729943, 0.7326400772155792, -0.08071658010858232, 0.07863519031609059, -1.9982006845321076, 0.9163276747024814, 0.3464884758979927, 0.9980101098596522, -2.8962553781936893, 2.0883747047807275, -0.13958962815517376, 1.1081828167375165, -1.0399059271255309, 0.6127739050625697, -1.0534155631736561, -0.6237689606958051, 1.9140313538667861, -0.19068240076334658, 0.21743287317972287, 0.8700677306887542, 0.49568188797260465, 0.15041890514357642, 0.3649610024662254, 2.403415585238275, -0.05761879703358539, 0.2010990467149675, 1.050654396007612, 1.1055259329579838, 1.1870303055603801, 0.6387302220291846, -1.1430049127304835, 1.633431532301096, -1.146345393018688, 0.30263546523903323, -0.7542758500193579, -0.06413834659299254, 0.3287624103034804, 0.32135721545027307, 0.42192075423528475, 1.613711269058647, 0.45353430151397983, -0.24415663529064868, 0.9640871682883573, 1.1894704889246406, -1.2276078151369925, 0.597400069849858, 0.7011727423108983, -0.29756350335999193, 1.3757068133116195, -0.15005558703252672, 0.12557645347154225, -0.1730718242838696, 0.015579047581467534, -1.0962750868952018, -1.4400508825942944, 1.5945050632249722, -0.8469613483183278, -0.9913923494563072, -2.153390113603715]) >= 0 THEN 32 ELSE 0 END) AS bv2,
+           (CASE WHEN list_dot_product(v, [-0.6389617476895022, -1.3230897934074983, 1.642015160136369, 1.0098170893426341, -0.6881503451777238, 2.2524358053443088, 0.9817654869915943, -0.32483138350862245, -2.499405714873573, 2.2909425725907417, -1.389572466763596, -1.6453987469568918, 1.0225704320096403, 2.439752406339273, 1.3842728185105182, 0.5639091200523596, 0.594754341665286, 0.8534155587803077, 0.7589285897867651, 0.2811914239693758, 0.10420110395187607, -0.06259312789952241, -0.7539645888666763, -0.28067507686677406, -1.6929568141953855, -0.09833962679474989, -0.9885911071509175, -1.103589317215771, 0.17989415115347845, 1.3920022863445993, 0.918316606002313, -1.570500603623177, -0.9896281365703375, 0.9407711879882159, -0.9824873935383096, -0.2246331499970246, 0.5500520990245519, -0.9683444548636353, 0.1053755061459599, -1.3340254949182044, -0.6013676439512137, 0.31978193414253697, -1.5929937335316693, 0.440474737960399, -0.019637798926681216, 0.5524899544171478, 0.22391413406466143, 1.3641404299738442, 0.12522450264790727, -0.429405541125253, 0.12229750303228377, 0.5432980290363879, 0.04886007032570433, 0.04059169120388238, -0.7019916878067554, -0.6629009175509482, -1.4026052717996935, 1.7495767431869393, -1.243863235391285, -0.6929051977959073, -0.7184072655691974, 0.8949243769444413, -0.2949496782920278, 1.2477420726737338]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.6734906242438685, 0.27899416222380197, -0.8353470532597573, 2.1451491277733883, -1.1875984190295128, 0.3098207102270275, 0.6337768809320985, 0.41379909745149823, -0.1852876588777083, -0.12982069973342616, 0.0438114719791096, -0.14700200162848862, 0.9638791167949097, 2.2105230015913513, -0.5574917850078336, -1.3698029795790778, -0.08828204835125482, 2.5797093376543185, -0.8036745679697308, 1.6391168054440675, 1.6777008140764407, -0.5535882417079946, 0.5689830791852754, 1.628396623128538, -0.3791277409874871, -0.20358036010236177, -0.5816809139486437, -1.0147567306928669, -0.6492775450660071, -1.2239402667622565, 0.03408346825922607, -0.7699732310586418, 0.2337859117907477, -1.5558956462036273, 0.33088023221445706, 0.8335289616089246, -1.9937356425714554, 0.37405656984757213, 1.2276689924732922, -1.2096410186912054, 1.6725723868377034, 0.4190190093660452, -0.7050118557584089, -0.05576907765770601, 0.5583269125217224, 0.0760053914124115, 0.5387559924463692, -0.9206735930793662, 0.169360824036078, -1.4137144969049802, -0.11122606134870032, -0.9039076414647897, -0.7355299425897666, 1.2360931752104374, 1.091310120594269, 0.609138120907177, -1.092312764672579, -0.3164084496948019, 1.2130976999791834, 0.14171691363990474, 2.319329539981694, 0.39331783939437187, 0.1920491164900316, -0.3091164642025014]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.1335409047822823, -0.1524698363805439, 0.7081086766885905, 0.9567023167945841, -0.7859894605079495, -1.331232953557778, -1.8362053731032966, 0.5079913269125437, -1.1033666061738736, -2.152890592952483, 0.3885786045309641, 2.4929995174327906, -0.006070911539893324, 0.8384907744516419, 0.08182935854756501, -0.09888965319114267, 0.9190764829877686, -0.29027454418865134, 0.26739231407190295, 0.3216978061960136, -0.6680904536430488, 0.9920423495365228, -0.17495975669540864, -0.7557451594928447, 0.5365098435704035, -0.8984679817910373, 0.028181157369128247, -0.009118996644203544, 1.085895565831578, 0.4746982328799528, -0.025026958745143917, 0.8177662992002871, 1.3902075490173134, 0.5578103063518622, 0.010352619843380607, -1.3118362323501596, -1.0651136630753726, -0.30522470435466764, -0.6095122021592831, -0.186971302985446, 0.056649924897107164, 0.5296927543567308, -0.07049877805909122, 0.4865016438262019, 0.06447441481012024, -1.9754665663538713, -0.9393353938187543, -0.14408755572161547, -1.2096947428411076, 0.5999287299962045, 1.5307508323436974, 1.2187618516973167, -0.213442870930208, 1.490726136849952, 0.14866745720211155, -0.33708597111803934, -0.6134026635409398, -0.30246968648812833, -0.38817681854122876, 0.1704162223754877, 0.1605739810498646, 0.0030460201534144695, 0.43693816974634986, 1.1906462747863413]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.9495541354413237, -1.4848979684499035, -2.553921134901955, 0.9343199112392737, -1.366878698415421, -0.22476540189268354, -1.1701130260593595, -1.8019804375800197, 0.541462728204788, 0.7591551603026468, -0.5765104007267194, -2.59104229214491, -0.5462444482524828, 0.3918040054025465, -1.4789115687741288, 0.18335991977915564, -0.015309849172995557, 0.5792914996010884, 0.11958036841415326, -0.9730689408815555, 1.1965715016644913, -0.15852957302697002, -0.02730453950993186, -0.933267959073196, -0.4432822511915103, -0.8848027140269009, -0.172946059923423, 1.7117084801423434, -1.3719011429313563, -1.6135613978767411, 1.4711703274936085, -0.20932367715186612, -0.6690727386599166, 1.0399046873960764, -0.6056155397368641, 1.8260097135469362, 0.6779258713392691, -0.48791140814570266, 2.1573082132655035, -0.6057149230033384, 0.742095372009307, 0.2992925804064919, 1.301741289398798, 1.5615111967268527, 0.032004149065766624, -0.7534178703461835, 0.4599721429391164, -0.6777153697521061, 2.013387247526623, 0.13653533108273744, -0.3653215513121087, 0.1846803058649084, -1.3471262895296965, -0.9716140385106515, 1.2004139079444254, -0.6568942789713957, -1.0469109826819396, 0.5366527525272862, 1.185704154662997, 0.7189533106650667, 0.9960476858058164, -0.7567950885694608, -1.4218106667418438, 1.5013336519554867]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.32267983884213575, -0.25083301645504735, 1.328194141849058, 0.5562300094006599, 0.45588777208160763, 2.165002344901084, -0.643518230380143, 0.9278401280812372, 0.0570131248970845, 0.26859227886325693, 1.5284684264125317, 0.5078357562896237, 0.538296079049633, 1.0725073373098022, -0.3649527295428853, -0.8392096673390064, -1.0448091940210336, -1.9663565893760018, 2.056207129940322, -1.1032083657216831, -0.221253623585772, -0.27681329988892067, 0.30740669780910074, 0.8157372125392968, 0.8604734883597454, -0.5830774385689385, -0.1671217137864115, 0.28257995048829965, -0.24869112618354708, 1.6073455760199926, 0.49097495163825133, 0.7348777860498175, 0.6628812686674127, 1.173473857485325, 0.18102155870370695, -1.2968319479558466, 0.3996879517526416, -0.651356893791829, -0.5286166817497568, 0.5863640187550933, 1.2382830714336357, 0.02127157673606165, 0.3088330125989638, 1.702214944635238, 0.24075317948856828, 2.601683114180395, 0.5655096456315442, -1.7607627591558177, 0.7533416211045325, 0.38115838488277776, 1.2897527540827456, 0.6731813512699584, -0.13845598398377382, -1.2242982362893657, -0.20902325728602528, -0.8505204542093001, -0.5805234498047227, 0.5885784044206096, 1.6699045043514062, 0.3946715298229811, -1.1958830620351844, 0.4446026682201407, 1.196631486645651, -0.6097829043193822]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.1340171666729177, 0.014688194729197093, -0.78489831308224, 0.648280433843859, -0.12094814860778157, 0.41953244390702776, -0.8874921778021001, -0.43745830032341043, 0.7223813578277714, -0.372833152091767, 1.7269638512334051, -0.39963618561460235, 0.22468472575188592, 0.9325908318730899, -1.4183657329330317, -1.7608088119807759, -1.5256563145700948, 1.262584103427182, -0.5518581458924467, 2.5581992856682523, -0.5642475986573886, 0.18455130319703697, 1.5421099525678756, 2.006092888159123, 2.061503576636398, 1.2083662305931424, 1.0240625258114624, 0.5925269492011831, 0.7783610761666377, -0.5511857163285334, -0.8181988834223072, -0.0033744574109520514, -0.17018462252492844, -0.4532280493272752, 0.6963874474567153, 0.9553052085705107, 0.08840688629184736, 1.4775300810552618, -1.141689114133505, -0.19365945927971812, -0.7168223206028049, -1.86653661707306, -0.08268068584269925, -0.12174750838328353, 1.513449743242131, 0.6308116845547775, -1.024186824329205, 1.8540925663341883, 1.221033695525353, 0.5820977034686158, -0.22648409884983192, -0.9594392367234797, -0.372206776071053, 1.088748619704186, 1.884586305934609, 1.543243528272189, -0.4888494217862741, -1.1196174332890112, 0.14088624691120394, -1.7684393655628516, 0.32316771418478146, -0.14760258629866868, -0.46603650186824225, -1.5947030672667954]) >= 0 THEN 32 ELSE 0 END) AS bv3,
+           (CASE WHEN list_dot_product(v, [0.5136001065697166, -0.5327008396619114, -1.169916835710288, -2.8722622132816493, -0.027514905050636255, 1.772251596669744, 1.66125921454787, -0.45709625658627184, -0.6022120603617805, 0.46877425607502377, -0.9983854391882915, 0.30179189981946597, 0.7660802783846903, 1.2269332238843076, -0.10015407647995278, -0.20367375017696587, -0.877982586756561, -0.82688035403986, -0.22647889190152676, 0.3673655068161781, 0.9135846262332494, -0.8031789506803448, 1.4926885689595217, -0.2711236010425688, -0.021367294348436157, -0.7472116791478234, -2.4242402602729416, 0.8840453963610497, 0.7368438970924334, -0.2813275571182134, 0.06699071722487192, 0.5159392177040995, -1.5625458568865427, -0.5290526773462948, 0.7942646796218271, -1.2542894231692494, 0.2935579321666293, -1.356581804623405, 0.46642998243352635, -0.03564148229748357, -1.6151318159055095, 1.1647393544571714, -0.7345915767980492, -0.810252437014381, 0.20056919723094285, 1.1486373494287152, -1.015821818978397, 0.06167984984797165, 0.42881650033057295, 0.6931056072631441, 0.1764415552772252, -0.3670278390833223, -0.8275902206487197, 0.08614388304637476, -1.072139011985607, -2.9213504834946074, 0.4365598041576678, 0.9039348410861953, -2.3629324355418384, -1.0097307047099375, 0.6191542610051978, 2.0574954697116987, 0.020793707675407894, -0.7280029412291344]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.18289644110484016, 1.3748764191481848, -0.6459641791245353, -0.7991920066502536, -0.4827435221820324, -0.9533286082587124, 0.12267031599479553, 1.6246784584695606, 0.3230792731160291, -0.2523535021262876, -0.2918112689155441, -1.563190808696657, 0.883109777147159, -0.07783719701280203, -0.18047991359062565, 3.193107567844861, 0.29875290836568624, -0.7517910500951843, -0.4263575962055433, 1.1484457091967548, 0.11327041053776446, -1.4382779783173667, 0.9192289345752035, -0.668144085538994, 1.8732977762175456, 1.0800480657146485, -0.4473218956587512, 1.281016361735113, 0.0678555105274033, 0.8527736751222195, 0.48473281729447476, -0.8463566549908735, -0.643549832317462, 1.0299608175811612, -0.33477533210654087, -0.4036484632419967, -0.955122579349353, 0.42359906559346105, 2.062524919243145, -1.0675329142542729, 0.02421945667275807, 1.4122205554154292, -0.07964139124571515, 0.4523717962497339, -1.0623935281468797, 0.4283070972076486, -0.18714426500454878, 0.985729995679863, 1.1873860515647512, 2.589563642018614, 0.5796331732135757, 0.32579631658216646, 0.19438430157733602, -0.35316629281068834, 0.33848384346169114, -0.29540141013902943, 0.1684609762696143, 1.3175975356079597, -1.0065425652796411, 1.1398785611290454, 1.3171150673398653, -0.11806852699107874, -2.1218548990085946, -0.6078219870944325]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [1.2969945465611092, -0.022868062298882122, -0.9993022322949108, -0.5047749212282174, 0.840620026504553, 0.5467335682013793, -0.23893209916969432, -0.36682441181468756, -0.3917581490438219, -0.9224101844985025, 1.6153756894694418, -0.3223204692113399, 1.2171585208254965, 1.5213160519224513, 0.9983108981479604, -0.4316203127180484, 0.40373009033660945, -0.024195606390916165, -0.9037018607301281, 0.324359281721603, -1.1790397911598025, 1.1876793884615637, -0.4646172972983931, 0.2011596558728393, 0.28328787154614216, -0.25890497370407733, 0.5866938014752747, -0.47490365662252443, 0.8712972974572442, -1.3459796802467485, 0.12637957954641182, 1.9389289990582848, -1.0003313246055747, -0.6777449705248515, 0.513907849658915, 0.17958178193959795, 0.3506300992735592, 0.4891871301476635, 0.6347214685617699, 1.1096998419562232, 0.40981865692851255, -0.24125765461854246, 0.6725737012027313, 1.8998819348952156, -0.13263374638257355, -0.9745293046706415, 1.1070806692869728, -0.12038116395359824, -2.172669546014036, 0.8474216771504216, -0.5353281859539227, -0.09053328230416077, 0.33198033056901455, 0.1904996797790664, 0.7094518171390395, -0.43548637056984335, 0.5131057981760827, -0.2595466775839172, 0.738810480887503, 0.6153674840130534, -0.9354387020445953, 1.0859821161750323, -0.535963445114048, 0.8080577982811451]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.36728731340134063, 1.8381836767951225, -0.22346598237185214, -0.3493167961181975, -0.01941960588773261, -0.30317978283427544, 0.7999419019420501, -1.616310608436588, -1.053682419146354, -1.067802921579193, 0.9503075919735757, 1.7106133725819253, -0.1044492185374715, -0.16882172319001063, 0.07005216311318138, 1.1618783026081905, -0.9273531341905741, 0.23836898273478513, 0.9751976297824297, 0.5010941699398452, 0.1895816165987434, 1.0010460925671412, -2.703232292999237, 0.6778753195309076, -0.6540756831274238, -1.830632896856457, 0.5112025995249807, 1.3736585451629577, -0.13744851462769186, 0.9528745472029388, 1.6122782579886454, 1.3149144535840473, 1.639964529371393, 0.7421274910718922, 0.0754336389015928, -1.6019658118971685, -0.24606248812994858, -0.8432465953161917, 2.1709427174978138, -0.1758858124323366, 0.12320480678448567, 0.5514853760404675, 0.043602446372453724, 1.695051040430753, -0.622649361734452, 0.1946074552372427, -0.7424705856980482, -1.3200225112207058, -0.6117690909052854, -0.03703679704841202, -0.42930222451725997, -0.692420979873856, -1.4063174636718339, -0.08310557262869477, -1.5047203740310022, 0.7600559636896026, 0.08243975293450329, -1.4575514994649306, -0.30920907704986345, -0.7521564055905832, 0.31917451041918043, 1.3404504460231446, -1.8751724696457446, 0.11502607914741717]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.1601327955666404, 0.6713400764504657, 0.21319662823768915, -0.7519693317388191, -0.31905393566661816, -0.796025856803489, 1.0760071385985983, 0.02131164867194222, 1.9011906857530074, -0.060660813814620775, -0.7084067669104628, -1.5137143926128271, -1.803139676255945, -1.5841359430054898, 0.2671266510114834, 0.5087250232299338, -1.5811907020321334, 0.8950383140761154, -0.4830610516834395, 0.14679301198554937, 1.6122206282554243, 0.8968393158655319, -0.2685306479058323, -0.8911922254152874, -2.151815401329305, -0.7191533192424201, -0.21113023882769444, -0.987179527151184, -0.13125696709230472, 0.07685188295876821, -0.22485598180807856, -0.6500025808234597, 0.16865467196672768, 0.44194064956940904, -1.090399077442846, 1.41093237974627, -0.09858813228426173, 0.018849622944847662, 0.7082144232565571, 0.23321613126350166, 0.9531366339132451, 0.2871241652018242, -0.6124373746404379, 0.36150352520610163, -1.1437262073206618, 0.10855970577652314, -0.0332299906444608, -0.2081168572725397, -0.12853751143893075, -1.881849045497639, -0.5487249077409615, 0.09284490114111471, 0.15985639199740037, -1.0276751409259581, 1.2657078408647007, -0.8661748482145009, 0.9694572005267368, 0.42719436187168486, -0.646227309843803, 1.775310892609512, -1.19363683175648, 0.9191541736100015, 1.0005823180429783, -0.6706202090766449]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [1.3924653000643288, -0.2500465145989528, 0.28869362927985703, 0.2603218387712207, -0.1343087414705478, 0.8108082731597821, 0.793488720552213, -1.7485319732381808, 1.3043402428781525, -1.6624919880356743, 1.0325462043416573, 1.1267051368275833, -1.0909664302151982, -0.4108142879545848, -1.1057046684859357, -0.21492103028873533, -0.30803428418574125, 0.7796605322693398, 1.3103087461196083, 1.395683810789956, -0.5621680265783021, -0.20922187374452778, -1.6834381922209503, -0.8058700664961888, 0.9648516330974576, 1.6155828235482317, -1.234348871879922, -0.5924642591528942, -0.02640575695892703, 0.2801611588196068, -0.8096035199216461, 0.4240610444640897, -0.47383934707091613, -0.014452270878279104, 0.5462842480036996, 0.0064222698109378164, -0.4363858905265686, -0.10960980392583083, -0.08836295920533532, -0.3700110298821277, -0.25879606266710237, 1.598647170504717, 0.5609194479412387, -0.29548031802916036, 0.6969544045107356, -0.33381948975600995, 1.1731246375866413, 0.3696421921980939, -0.10730214400422888, 0.4477169258102776, -1.5708761520684993, -1.1267674689098053, -1.1939250063990554, 0.14294309476370676, 1.732514999485092, 2.2313001461926323, 0.6380511014407572, 0.5008444749444569, -1.801057734152739, -0.5426737997340217, -0.7877837519082389, -0.620847598251116, -0.1681438185847896, -0.47209057769712737]) >= 0 THEN 32 ELSE 0 END) AS bv4,
+           (CASE WHEN list_dot_product(v, [-1.9792998103757877, 0.7479102561175338, -1.0727430257398065, 0.23924686411114954, 2.0740826697499735, -0.9193845915864234, -2.5302875227463297, -0.2860042218801108, 1.100959634998571, 1.9583474542205939, -1.2295495944524168, 0.4966992232365217, -0.46531045678005334, -0.10594835430413566, 2.6443433470170348, -1.5029703283951532, 0.25373966149457344, 0.4676931717654332, 1.0857863249393471, 0.09798315347089544, 0.3080505395041023, -0.3916485674217911, 0.26912694124510733, -0.3431922754974105, 0.6215718898560508, -0.36961033604363397, 0.37710039390218647, -0.029262813684978354, 1.1260502507721681, -0.05139372358848624, -1.7730324682068814, 1.2619215007139917, -0.9057323008626189, -0.6537663386488198, -0.5956612940434921, 1.3744380931708173, -2.1356742139786955, 3.1377485336599937, 1.0560568090660518, 0.22323891412915967, -0.05489400061628639, 0.28555407485765694, 0.5211224283793383, 0.645215585950057, 0.5556044660034485, 0.08958068125524882, -0.1973384203073261, -0.1512732836535117, -0.194908280352681, 1.1337700968670645, 0.5935567222808619, -2.9403886346642802, 0.655900776529761, 0.19473619471877485, -0.018708756445897416, -0.38851845308888583, 1.1241127199860135, 0.9475264621228578, -0.7728776678236091, 0.4070522871245351, -0.971656734541286, -1.3796181647889305, -0.6267172245899651, 0.8623934723827588]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.9531250453760867, 0.513085420097293, 0.7250957868479971, 0.5161782871149584, -0.6414815952229522, 0.43192254467394064, 0.8004095252276823, 0.7542913298135743, 1.188913371474643, 0.7083038472010638, 0.3514482075415829, 1.0701502383164274, -0.026521259249060063, -0.8818746512277178, -0.16306696394376388, -0.7449026448064491, -0.6751782749743815, -0.14451867071551783, -0.7924199209999613, -0.3079615296390403, -1.8936146669537857, 0.21329370737293857, 0.0012054753622242368, -0.8170886310681906, 0.6592456684324051, 0.9375701376265584, -1.6075598643689741, -0.7627247785662142, -0.7691423497872982, -0.9399031011088647, 0.8294748419317485, -0.19382613877280352, -0.26451484131061076, -2.0038623644067535, 0.6354180302092264, -1.2392583948534726, 0.05993263026632825, 0.2773769379581917, 1.360658595838651, -1.308820399119112, -3.0195121558208253, 0.18384954475369486, 1.8005111815108537, 1.2389463529394373, 0.20965941527462578, -0.49163618563204736, 0.8071225966373103, -0.9735461997044687, 0.47635776935621926, 0.5054701591666269, 1.0602099074988798, 2.7596600389110777, 0.39241596717876703, -0.5089636257074988, -0.025574312191994436, -1.7690759048891183, -0.6947131310890582, -0.409282438113104, -0.5240883979345925, 0.152354872033722, -0.8224199323822006, 1.1210306673244714, 0.00020706491819709385, -0.009300321138614417]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.32789471651291785, 0.15519068385897913, 0.8250982646676347, -0.8671302157109003, -0.6581164890752567, -0.30372602877666466, -1.345870923473215, -0.8192578597214978, -0.47622087354465903, 0.8743891807127275, 0.26256132900192497, 0.19358991136754436, 0.8508979621679722, -0.13737178839939665, 0.3904648499288896, -0.10322175293249623, 0.26536234939962844, -0.5827586576115821, -2.438817158276429, -0.13427916218630415, 1.42274813609994, 0.9262154022415924, 0.9653974845911707, 1.2361307218062179, 0.08865759096143744, 0.1973157074055956, -0.6176518954343502, -0.31607285602704976, 0.6157711497711416, 1.2038844371688162, -0.13944627568099954, -0.4501892648514116, 0.0005279588565972928, 0.6012067489291149, -1.4438548161335418, -2.296180953137238, -0.5505368494915835, -1.2207124259141586, -0.5081401976473109, -0.14778031881747153, -0.4532484090230134, 1.4524675344707454, 0.32674476460232005, 0.30047435961082836, 0.6222071440434019, -1.1388331177807691, 1.0391117874202687, -0.07576428653545988, 0.6704806172412126, -1.0718572330401555, -1.5537587660160643, 0.8178896580250287, 0.3764095260975166, -0.9020515543575104, -0.8696630812746944, 1.1254347844147694, -1.1894118928673278, 1.6426729532559634, -0.9006207346478687, 0.638391925608383, -0.3286184757489846, 0.6031874310823431, -0.5441140021141926, -0.1627929060722942]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.04091917539572113, -1.0021874557814727, 0.7408243454201259, -0.5132135664715852, -0.22859991534001858, -0.9943493746085122, -2.5623336587953105, -0.19102776260016902, 2.412615421612916, 0.7846042878980238, -0.01926037973439464, -0.2628908292082677, 0.02246589281204638, 0.54711911517521, -1.1808128153088449, 1.114321694668872, 0.7153813154412441, 0.7181857257079345, 0.4384757388097273, 0.019616657693989903, 0.6728612359668199, 0.591814133741378, -0.3540407109410238, -0.573601772896901, 0.1018562952619867, 1.5490201514951873, -1.2391070756539009, -1.46752526575244, 0.16476084123651674, 0.05088770185601806, 0.1733416643704082, 0.24395319790850026, -0.22320225463480511, 1.4898634386020821, -1.6009039784765156, -0.828497024780246, -0.10325476014904739, -1.6431888111541673, -0.17585440443207118, 1.6614701657280182, 0.020886488295961788, 0.23070090571868349, -1.2601647651725802, -0.6163614080394775, -0.375196380323937, -0.31771509675623405, 1.2816437950037687, 0.5576910607251245, -1.111457956937032, 0.24650477843200488, 0.49822174849678513, 1.1401490385212665, 1.5805406865683735, -1.0150941918278686, -0.8108575112103382, -1.2575778589146163, -0.23401985910698136, 0.4663583744463345, 0.9873345165891019, -0.07595102364252276, -0.31984752325484395, 0.15175799224874037, -0.835142901630023, 2.0895387216947734]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-1.6076610271180587, 0.18474057889572446, 2.0236062192296393, 0.006799844559997769, -0.19003903500149447, -0.3574454228104272, -0.18039168176240783, 1.3728484746765302, -2.211861911329507, 1.5334337012963255, -1.423957152450145, -0.2666523292344148, -0.42924442029866183, 0.5885532697707198, -1.5981243518837476, 0.46217266608194285, 2.0243096232868525, -1.3631740045928105, 0.18970616761039566, -0.6619821777966091, 0.42588720619303577, 0.01914777741575206, -0.6414869090443096, 0.487872284871074, 1.804348109786743, -0.19090379172729868, 0.7197579421481819, -1.2932729578711637, -0.9564363768180087, 0.47240627788037737, 1.484116028535965, 0.35561334878566, -0.31305803052315434, -0.0007085945766459172, -1.2504077339697175, 0.6045153263553668, 0.8823330623234091, -0.45209033283308037, -0.4700421477595015, 0.2658782296520485, -0.4367197360405955, -0.06613261462582246, 2.0997217891665154, -0.24702570074599667, -0.3583401520212222, -0.6475418056351592, 0.7441919714999368, -0.181224173218103, -0.649373038321426, 1.321304032273012, 1.4196030045136372, -0.6004235657387051, -1.8665399513606162, 1.0075136898369221, -0.684629825760004, 0.7906255991627686, -1.9701038177118355, 0.8925973382993092, -1.2111719292807812, 0.7307641190665245, 0.014273067836434106, -0.9539394193966448, -0.4070363129267805, 0.6863184569567008]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.10589445311523424, 0.5844129804724842, 1.9764405845154855, -1.5642416117110514, 1.617212574968624, 0.10435593752321293, -0.8987840483231282, -1.3303136257389898, -0.1891203907770335, 0.9216501119244593, -0.12754912037753421, 1.5111549302473475, -1.4511756900515589, -0.01208894784605456, -1.252393444413119, 0.3636318826249679, 0.8868873900973003, -0.42076179368105326, -2.6042138566271342, 0.19894814679649453, 0.4367385517335095, 0.40429475496169764, 1.235782191822154, -1.0710536796490489, 0.6802161054504494, 1.192507512477975, -1.7785875840065168, 0.31965182591897723, -0.5041798310076715, -0.08152267310164589, 0.34767648353833636, -0.4872285641135523, -0.6757080791616118, 0.0341524174880246, -1.0872459388628026, -1.0858251288851855, 0.6793732829565033, -1.148794035158656, 0.6663125009092119, 0.4625912928539512, -1.7258067287905967, -0.6775646523356551, 1.1941094030473725, -0.9811655311396816, -0.46440426230938764, 0.4620608932518965, 0.7833905092825955, -0.2515388860444957, -0.5975101946916416, 1.4223698616985077, 1.7388996637975789, 0.9788580507817954, 0.08531814256502405, -0.8082657216409264, -0.8304444065565653, 0.5225141052657575, 0.4183982208886837, 1.4015985929464294, 0.6504500925361392, -1.503080301759818, 1.0519476177229186, -0.9980606273144129, -0.3839712719523516, 0.2502002062516945]) >= 0 THEN 32 ELSE 0 END) AS bv5,
+           (CASE WHEN list_dot_product(v, [1.9956674897839644, 3.109918556005361, 0.6067230591361827, -0.18319661872038787, 0.5345056484805503, 0.8876554258738361, -0.3206676255571917, 1.7952113559123222, 0.23007075919140207, 0.49774308909139425, 0.6659242520544614, 0.4215866106144557, 0.8389405004696122, -0.6172531865469232, -0.5583017539460305, -1.100154232971695, 0.4395012306202264, 0.7789365035121141, 0.4577728661518858, 1.6744924333475373, -0.005596018829046555, 0.6687416555925126, -1.0917008761393143, -0.387099702474401, 0.6955377575657775, 0.849102110743144, -0.29396694766418224, -0.07159925185806683, -1.5178737466808094, -0.3570292008066094, 0.8903831635197862, 0.5752050161065663, 0.5006657213812097, 0.04977368718096008, 0.007063158628176452, -0.6603211394734471, 0.6988284202025348, 0.4209729443893898, 0.49201884799279927, -0.5260348426675804, -2.1533429198712444, 1.0971527117536957, -0.47883745600840416, -0.8627757640431206, 0.6934789119139937, -0.3920126399191296, 1.0599363840466218, 0.6170059495766975, 0.6835693232004776, -1.3659557112005343, 1.2119439853864005, 0.26125053123385605, -0.36927713924620315, 0.14338846734225108, -1.77623523289832, 0.40865281148067084, -1.0293715081820716, -1.3526702858435344, -1.5223591862178911, 1.1126883749899252, -0.6292633936927887, 1.5337277099164992, -0.5358014630522978, -1.7073579575929467]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-1.1165244399486591, 1.2358116200069387, -0.15589817793666752, -0.5482872964906009, 0.1600182258527877, 0.501782736167545, 1.1173988159024608, 1.4484992298929262, -0.35976864578908574, -1.3260476860820383, -0.413465161123276, 0.26028050658288615, -0.9637589262106109, -0.9571509148950429, 0.34378788154988543, -0.04865235157045115, 0.03279699541158651, -0.7584953347000695, -0.23040071420576733, -0.9242331442683044, 0.8901984111247868, 1.0352493347237526, -1.8461878622380938, -0.92951086019241, -1.496529255090079, -0.6500239344068982, -0.08343796979036086, -1.44964521969853, -0.9218598131253132, -1.0039573720814985, 0.20726732939894396, 0.06934433703625043, -0.7217375533372533, 0.17682087213939798, -0.5466800845872654, -0.2716551103260533, 1.673452090298537, 1.340461051790348, -1.2995812369275976, 0.8297324178791745, 0.8113965544915921, -1.1482632887526183, 0.8187776437548606, 1.5379319184125528, -1.1225448062444139, -0.9175028210142636, 1.0176614668435024, 0.271495310825648, 0.5514762752395233, 0.3405892164004968, 0.39069592092814415, -1.326472128311083, 1.0473177066214483, 1.1695899924277735, -0.22939074406802776, -0.04347694981386243, -1.5311075025557221, 0.5142547560178349, 0.5720574417141441, -0.062191016999311004, 1.1243533598705027, -0.3340772309799405, 0.5646059258936003, -1.0196643386921156]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.02355215087423812, -0.17435425790283585, 0.22530792204094158, -0.3695269288333586, -0.1314725956716678, 0.8260471714415063, -0.43676423723821745, -1.6065771007386793, 1.7495839042054206, 1.3814540786904865, -1.2922626951056186, 0.6897078052451944, -0.5029747705513431, 0.26348721533105957, 0.2942241290134937, -0.234407800316322, -0.7837656655863965, -0.6905410523162594, -0.9161919154812425, -0.8318222082304447, -0.06717829004935526, -0.7157599891107518, 0.6820520657126199, 1.4872461553359273, -0.580053241370043, 0.23940450053537707, 0.49968511030293383, 0.4720022709192744, 0.07595526791608741, 0.7426824183597224, 0.4822489526806572, -1.2376624223272978, 0.8691560643892732, 0.8872908372667421, -0.7632861041785816, 0.03793783544760203, 0.6833289928110694, -0.20931381957936157, 1.0729780477660118, 2.3638724946193608, -0.7859860326349823, -1.3810446031537749, 0.30381859560487573, 0.7215625051261435, -0.23086637384476896, 1.4532606633210343, -1.3386057997232488, 0.6929186230316111, -0.6058608207588934, 1.7193779062072967, 1.9925153531681183, -0.7666565877833479, -0.5495571359085801, 0.8595878869798019, -0.3871306497895146, -0.04541121793223822, 0.02538842054241018, -1.9196731561976563, -0.01383774609423725, -0.6897277740641738, -0.493122822399772, 1.4436320034688142, -1.2565068942792563, 0.8132051867479773]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.2789629303318085, -0.2797601684958344, 0.7903718960517113, 0.34005129456889044, 0.570612997219531, 0.9681846605328611, -0.33130838318332273, -0.6122367345077503, -1.085150526557798, -0.8254105299789551, 2.9490944253087252, 1.2446795807367868, -1.3510743662080213, -1.3224579567435701, 0.4818660617184915, 0.547264797377967, 0.5488838353173644, -0.25495579355369785, -0.12545426000290022, 0.3278795241593574, 0.08589300629333041, -2.219300372747535, -0.22979963057519381, -0.8514064342603136, 0.17521141890851205, 2.98525900260341, 0.3674816654743044, -0.3135296861723979, 0.9218015019772522, 0.4826878872092127, 0.4200944904518413, 0.606850593215671, 2.0565435648295414, -1.1308884353259157, 0.47363207681145447, -0.9263811299815384, 0.5555126463422483, -0.9186865114860944, -0.4173668136050844, -0.2950899142379063, 0.975816719344709, 0.9184544439424138, -1.2457173764463845, 0.054934110999848726, -0.7095798547491726, -1.2585049106753345, -0.21701705042437042, -0.3084827884558197, 2.4267164863455224, 0.43295982536069616, -1.3776175007542373, -0.5647740041709423, 1.0213832954293984, 2.088442772869925, -1.5859833122379583, -1.879924385139045, 1.8709651753717822, 0.38961417737090387, -0.8682927318763665, 0.5346290861224353, -2.6357477390168778, 0.003375506597160999, 0.32782117284308526, 0.9242701395378298]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-1.0138959522925377, 0.08568716140335904, -0.9254246260595873, 0.2553837556743171, -0.8953463223630241, -0.4081008391602206, -0.9958153947902291, 0.651136241823657, 0.8584511166566653, -0.2346205699574138, 0.03823799496002834, -1.4485914146335441, -0.29967664800678706, -0.05020461704174478, 2.620793091029975, -1.1119670257741636, 1.4641772387524374, 0.996858773465808, 0.2806364044901364, 1.7586204841951334, 0.3721054726068629, 0.3891591956679287, -0.053120653017545344, 1.2235688824186275, 1.0964692338108837, -0.6256772874962124, -1.3192471945987674, -0.20298063739565708, -0.8000385643976464, -0.0635245746153551, 1.2374381346841392, -0.45730165508679, -0.04282338131157488, 0.058022734808395225, 0.8484308822052846, -2.246889333984605, -0.6067002947652967, 0.21128369227947272, 1.2000789564268612, -0.49190244750620515, -1.876552706041874, 0.6197114459661363, -0.6353623888256293, -1.1896666590903613, -0.6243453897132241, -0.18452535765584954, -0.6047446645382127, -2.205566057099069, 0.8970661968871322, 1.2748750412787222, 0.6515219913395057, -1.1376856704248166, -0.20149153394751798, -0.006521315229458062, 0.5987943895619102, 0.6683404887180808, -0.7341737987784958, 0.08199555641356042, 0.4572804046152411, 1.4558223221467665, 0.7045065398247231, 0.7890566873755189, 0.08382662792936094, 1.4104591452035038]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.4097627959594974, -0.8610879101735704, 1.4033699701251907, 0.6979032725390276, -0.4430440211284823, -0.47949296739924335, 0.2965755451407618, 0.4631847952675847, 0.19729226563120644, 0.3113086734428849, 1.6999573745763805, 1.0715431522348857, 0.19063559126502433, 0.9413105807674833, -1.0325239035275395, 0.39792704994680894, 1.80930634973311, -0.21804589539237385, -0.8476339286190848, -0.6520888885930607, -1.0896330373423884, -0.7847619081277034, -0.370508098590029, -1.405567019178642, 0.015618333949603047, 0.9022771737866472, -0.9077561801469204, 1.5192839236417688, 0.5107920885275947, 1.0305805856240573, -0.6578345538521371, 0.8545252270666157, -1.091933900395313, 0.8902475008365087, 0.17183933979353122, 0.5532512199847837, -1.1755946056248516, -0.8950698422766047, 0.5972282182533848, -0.9483480042242007, 0.46320629209912306, -1.3671378064602457, 0.8481742126666681, -1.232523314768509, 0.5522999376795232, 0.6256309336460009, -0.6967718184295749, 0.5820265670847269, 0.26044226333355597, -0.5388418561927383, -1.008554684076208, -1.962625691672579, 0.3496500472996937, -1.5648027713620551, 0.0953441994413082, -0.2634482160822491, 0.6791427754381955, -0.3020454994898642, -0.3294477863470914, 0.7318707042882956, 0.3350580290841175, 0.3161559571827783, 0.46926758980852623, -1.5355721232071058]) >= 0 THEN 32 ELSE 0 END) AS bv6,
+           (CASE WHEN list_dot_product(v, [0.756788679986982, 0.6124687940136023, -1.0166831285764972, -0.2440804736742013, -0.039307287627631186, -0.1344967844017327, 0.33385996656853467, 1.4313667818311835, 1.0817667276728287, -1.3122191934314063, 0.6220699903060487, 1.3289333195354096, 0.38680852068920263, 1.090980425185967, 2.012270445700765, 1.0237095461069814, 0.24930859564172886, 1.0450884740847535, 0.14488783309689118, 0.02390304328495547, -0.35141423571373254, 1.5634133588321082, -0.8184286659420014, 1.532367724678116, 0.49986412374037137, -1.3993061748019415, 0.3676492929914216, -2.100026507651624, 0.6255080168310357, 0.885231482988991, -0.5923559556520536, 0.12354769595558233, 1.9541574337502863, -0.5057467042619367, -1.0589075870566005, 1.4816634024625988, 1.9625871905307948, 0.0036956718478473255, 1.0114630354083562, 1.341475915530881, -0.742484232538384, -0.4853058353678683, 1.230874513154735, 1.6850142787085094, 0.5628808601743548, -0.8798143535020543, 1.9870611116994412, -0.5309708978119645, -0.33513778117145177, 0.34233783448962146, 1.5541604207147741, 0.8539759765522237, 0.41486550036191044, 0.4632885301181062, 0.04351466864346608, 0.5581395145185063, -2.529560077694303, -0.29660745906979835, 0.241321934916781, -1.151014083619507, 0.38632331781156, -0.20447122098612153, 1.75547569831549, 1.5730197252148563]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.46580556911816284, -0.15083771156669531, -0.0739475656083926, -0.4516594761596227, 0.19502498402812674, -0.7582820688875902, -1.1306153349375263, 0.6227112239002686, 0.6295295842218108, -0.8043157596599924, 0.8953554307625996, -0.6315777291653314, 0.2531652380379812, 0.820344012612456, -0.03361256470371301, 0.4547409121411344, -0.5164296438875717, -0.19646658342809717, -0.20585943088034037, -0.7465783465402389, -0.1767741631157821, -1.5486182988637467, -0.4911537471421047, -0.28487549336967083, -0.2561797524953801, -0.24149744587077882, -0.061764199860128925, 0.4794415180860639, 0.8745170741325226, -0.6497652268482671, -1.2032008553891445, -1.042044412243103, -0.48720292119492714, -0.3519213178165091, -0.7699960661974573, -1.2961166642498945, -0.4561208274741882, 0.18142662011397137, 0.5950294658355647, -0.5574230531083212, -0.41299782214343406, -0.9266983088473107, -0.03143917037477642, -0.8484286341908146, 0.5731278132412001, -1.7858664919341112, -0.3596296724524624, 0.3011073391917421, 0.18383451632250436, 2.6930336639804966, 0.34980002456790754, -1.0040545968420103, -0.09546424708907303, -1.7762463334664518, -0.08059974929676088, -0.8330560570007587, 0.9153902755601617, -0.5495402745955349, -0.11676591579524663, -0.6355578414044034, 1.7388513518533313, -0.3212427661179117, 1.8325570434792018, 0.8141517621182666]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.48206672733538614, 0.3687331473175197, 0.39379729821625153, -1.92767257934561, -0.2788833941507565, 0.8451579711843216, -0.04889718347410554, -1.405189846803575, -0.05240445057746945, 1.7041055162554912, 1.2468917155347194, -0.062004009366031745, 0.9514492770580866, -0.36650702036805183, -1.703871586826719, -0.9244659881295544, 1.5628887685081978, -0.2739930818293042, -0.24338397937501807, -0.29983819627488056, 1.904136589573007, 1.6259589153620633, 2.218780233448134, -0.1590452104000513, 0.29562448874709507, -1.5166425494207911, 1.4769344261182744, -1.167779551267935, 0.2167755637626291, -1.097302527632844, -0.5888668267386961, -0.8372624310497003, -0.6078752606758179, -0.5391227031489786, -0.5482687949250771, 0.8333339117803071, -1.10486279306252, 0.22054142701386686, 1.2179591523055584, -0.513196364513396, -0.7179188907476018, -0.23052462518025083, 1.1797252083607102, 0.1941076309533577, -0.5312142946075985, 0.48387665118803974, -1.1022921498364233, 0.681359510442948, 0.4086073077017676, -0.3078084711388841, -0.838585798447231, -0.8866809222834573, 0.5348173363459102, 1.2289805024890619, -0.6373077470287948, 0.45838670355148425, -2.0870270186020687, -0.5846177306571996, -0.031058932870901952, -0.9096834169818336, -0.936506374789596, -0.6677795564688862, 0.29219272832637316, -0.1873290184063747]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-2.238231233324972, -2.120700152635066, -0.6068651778571754, 0.45768658605355206, -2.7475048427252347, -0.4997301761516306, -0.5262478565174211, 1.3883377782084478, -0.38502181171286365, 0.38298898474092846, 0.14125714008746323, -2.1305664798072006, 0.7682072166317373, 0.21539650545628794, 0.5082686396745896, 3.9262377064363267, -2.0841129394985884, 1.7246966497611085, -0.28744751940035557, 0.2873289044030093, -0.04551224530124217, -0.4242363333980435, -0.5698329282387588, 0.32950873557300914, -1.5171736966716791, 0.7505791675217656, -0.41619440488525394, -1.1300693390403578, -0.4500128579958137, 1.2571492168625729, -0.5353350870162231, 0.35845361820962024, -0.7309562757154733, 0.7579218499236196, 0.6855077387902041, 1.8486088332964115, -0.1755639454992155, 0.6686548047579066, 0.09806753953894455, 1.2958717818630143, -0.7188323876087304, 0.7450053128772811, -0.19469729611668168, -0.06418817710849775, 0.09175248444837286, 0.2522403964266774, -0.11622904312195817, 0.21471318317052634, 1.5781180575621845, 0.9854496856152184, 0.8691545924968965, -0.4555395260238707, -0.8892408282283243, 0.9553005582377528, 0.8760467925297942, 1.472670675750982, -0.6039806259692295, -0.22954865536034708, -1.6394841625254342, -0.39247110606087293, 0.9965705105794472, -0.46649537922819795, 0.6404797952008238, -0.19050310599781134]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.32405702822156063, -1.1476913898156673, 0.08520944963390106, -2.9911359709007233, -0.18689615816198485, -1.6304732437151401, 1.205994516546816, 0.7774073527645112, 0.46667098196608103, 1.52100622715938, -0.9489165208248372, 1.7473631979155582, 0.9321915642603847, -0.23655528721894603, 1.1356201471829441, -1.1062935124116342, -0.8245141615276735, -0.6085897232397004, -0.5289777080640152, -1.0565576427602528, 1.223083067095325, -0.25885440036983165, 0.35250496835687956, -0.5703513664136806, -1.8206033005485172, 0.2700573583914221, -1.9122549754197768, -0.06863404608546861, -1.3683150388328105, 1.987275999230808, 0.9113627221747217, 0.10575379127148042, 1.2637066776546686, -0.8463159774657358, 0.543479378670093, 0.1998104337187135, 0.26402008133367, 1.2723535001067678, 0.7324921027798023, 0.28872366282502326, -1.6548874362282961, -0.9600462952794637, -0.12270893359572414, 0.09337237427665124, -1.1302037246739238, 2.411676675578421, 1.5163940552535728, 0.6021183203924835, 0.07203686128374476, -0.21220896990115168, -0.9519184600222356, 0.07748051851886253, 0.2577525401427507, -1.2417605754816243, 0.33417641724489744, -0.15525904882474875, -1.907807557877391, -0.8603850107795019, -0.41360553342164424, 1.8876876573401904, 0.5565531245337582, -1.3354815690998914, 0.486036289417637, -1.5473039889383655]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [1.0826910538870733, -0.4711246518178786, -0.09363618873917084, 1.32579664754219, -1.28716356858425, -1.3971181851129912, -0.5835993263460049, 1.0383788510193166, -1.5193460754768424, -2.832155598110569, -0.4511588584089988, 0.5517407999109204, 1.2002617497388293, -0.463161362085399, -0.41142660711600243, 1.1539007342557472, -1.8697416996954206, -0.38852077518300926, 0.19042388992505774, 0.44921872128503426, -0.5098066931908826, 0.03444101170584135, -2.4883273534129895, -0.6582484123338483, 0.4535087125544674, -0.9822940342546795, 0.058984221589597374, 0.446872500802698, -0.34254920085776497, 0.1704637709965709, -0.9627325652846123, -0.20661127969604665, 0.6102161695892225, 0.15697296096843422, -0.5865312695639355, 0.224216404290793, 0.714609790636618, -2.049941278577478, 1.1590740649558977, -0.336254738681072, 0.42548993324023027, 1.197246923645228, -1.371673697230466, -0.7094410024275466, -0.2885486958757048, -0.7837535211244283, 1.7349365758368085, -0.8567720938267928, -0.5555467794868666, 0.20438903160297678, -1.2021495260760888, -0.39568071175626385, 0.31745326125017514, -0.33286040438251124, -0.09338685889994829, -0.5293321124483709, -1.514470309180767, 0.32159321133923857, 1.7549330716472415, 0.01840163078343813, 0.22526411724754952, 0.6927227551168594, -1.2693304965466992, 1.7025146581296056]) >= 0 THEN 32 ELSE 0 END) AS bv7,
+           (CASE WHEN list_dot_product(v, [0.20232879642280202, 1.631856899089109, -0.7330329955239894, 1.8180619225578247, 0.7751554940347831, 0.5530400858523584, 0.23402445435314795, -0.24852861807444937, 1.2005316584738726, 0.14035986984804696, -1.9670697035871523, -1.1171864617070024, -0.1858457521927473, 0.3099989831655551, -0.05658848889989584, 1.2189707897936632, -1.9511018640386248, 0.1435879365051602, -1.8179792253871547, 0.7597122954841684, -0.09445871444200275, 0.41960997202411815, -0.8638829605897661, 1.279464931657751, 1.0417246640588513, 0.5835443030118876, -0.12951724686344077, 0.5798572852951321, -0.7068925679873489, 0.8555556590207121, 1.649480894323921, 1.0706105599791862, -0.7296024698074095, 0.3614173172731029, -1.2931415437586478, 0.5723903111756757, 0.45060341286253885, -1.869816339532164, -1.1617838439123638, -0.28313889674376713, -0.30085974714082625, -1.2094769354188053, 0.38897872935218375, 0.2514736089405121, -0.1942691319785193, -0.7557915001583629, 1.0487071264165635, 1.6554071130882952, -0.4835614838465371, -0.6121669171548207, 0.4912076654119963, -0.35802937974698623, -0.13939720066323416, 0.7396531517246714, -1.9093560875072928, 1.3183023248526693, 0.07268052432934134, -0.4114931445621802, -0.08923415422144892, -0.03757064497948127, -1.7312013034449254, 1.494938227453236, 0.041325632270618466, 0.4430021304473752]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.9515497705740428, -1.0211624575603002, 0.47347189903522846, -0.26764109089879357, 0.8467707752164937, -2.1272274203514954, -0.099094300241269, -0.6028206557839616, 0.4322629506341555, 0.47004418736820214, -0.7076258948220261, -0.7121738641760436, -0.11066536855732945, -0.8966422273152082, 0.8419836954521269, -0.36920720044744615, -2.9069882193216414, -0.3748220566218061, -1.0385438208439723, -1.6312758154609455, -1.2374266382225725, 0.10940847183297006, 1.3286408282482312, 0.31318447386498, -0.6065033882157397, 0.4559041951707027, -0.45909031021899177, -0.6946003691631446, -1.1543626682329844, -1.7518288067517191, -0.3899237065594453, 0.15805348992013185, -0.09662367001488972, -0.4159669279473586, -0.9457460606967811, 0.6082461916849685, -1.317131919946585, 0.7760279138434754, -1.0022170189267248, -0.752435237353035, -1.466785190615677, -0.5014021468856367, 0.9753124584779789, 0.5156280884439565, 0.9784221120280351, 0.5221425459339358, -1.1036698285303692, -0.33078922432755736, -0.7801991291174627, 1.3305749040390402, -1.1967886464263116, 0.8936976893891109, 0.8929538701087693, 1.8296202017160872, -0.40968659262949736, 0.7123221595801621, 2.2816518365388427, -0.6176416769336966, -1.5350402475323597, -1.8800100339077637, 0.7127120288613313, -1.8831502080585838, -0.37231905293792283, 0.4373131870389607]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.18517553682991406, 0.42544486418417227, 0.22228985580085406, 1.2788658133133932, -0.952316380738797, -0.6769951384585313, -0.772659445270824, 0.8301918118626102, 0.9003985883950636, 0.4512253193185082, 1.1834936668899279, -1.1780408673763807, 1.667224111551137, 1.5232386217122582, 0.7356219972457467, 1.78179890877106, -1.6566232076777738, -0.5244481362626519, -0.7353034606819523, 0.7214793237573432, -1.0501407396021456, 0.7574951493374855, 1.3705361439967134, 0.6952029000839993, 0.2837510236615011, -0.9878733409007492, -0.8468509661253646, 1.2496189052966666, 0.7793490039053323, -0.03901951937754412, -0.41790954576589057, -2.025807873111377, -1.0708524186844388, 1.9114190871397234, -1.2804555710024668, 0.18947982122108065, 1.0074439731951985, -1.2549226680022925, 0.1847104747810833, 0.937915537510655, 0.012499321907250335, 2.8684030556667683, -1.6685992588781953, 1.0587285298838789, -0.17280173739646437, 0.7719201548366751, 0.44130715169924584, -0.7331561971099966, 0.22899639245934025, -1.8579014513982872, 0.6032475005713938, 0.29815846599052565, 0.6386601686431024, 1.0581183250871502, 0.3676198402097109, 0.1480894197982762, -0.8810683366612923, -0.712220763649051, 1.186734620177331, 1.4363354057059785, -0.23811043631205406, 0.04600274725327412, -0.9046143749937661, 1.1727568452674448]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.6654168236917787, 1.9412174364637491, -0.8783230771797389, -0.3780078990182172, 0.2314459225255723, 0.6464895377257707, -0.21566763754763232, -0.8729610904537004, 0.8814075289235711, 0.7211353625455816, -0.9162741005637249, 1.3554428011054958, 1.1701987091966037, 0.13429649724779288, 0.07959786237603639, 0.5540577711159071, -0.8617030702562581, 0.03003147916408217, -2.1523835446091804, 0.8764556455029355, -1.5614932224418594, 1.503419828428999, -0.3301200939664503, -0.2116669819311769, -0.6277339060845056, -0.2880388739220764, 1.4185313451480366, -2.4878086565350794, 1.2769653860881878, 0.33802348110170816, -1.2070216478572156, -1.0753123930492379, 1.676393027208203, -0.9455068799427312, -1.1533505105959594, 1.1373145423647293, 0.33855287628591424, -0.9379255765363989, 0.216624975404619, -1.0257526836402773, 1.1008213984226052, 1.0613709648731335, 0.5320061988219431, 0.3616610612470166, 1.7611881248673737, -0.0003136726117747121, -1.1818741254208012, 0.44947391283230687, 2.0860470495371137, -1.0147594931858521, -0.36146276669398575, 0.41644603810145264, -0.05390484900573916, -0.9823035803773146, 1.1218578562304709, 2.3200407220172594, 0.19613145902390733, -0.9040682897360003, -1.548960525053475, 0.2579759812211809, 1.1038773433162576, 0.4751677464953816, -0.002403840918853844, -0.5892716517893062]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-1.0921636327180897, 0.8347513263248821, 0.9137716213855857, -1.5457297866907331, 1.5898389781806839, 0.5740712208940013, 1.3995946451457935, -1.342127748485115, -1.365824155415439, -0.14896930976729691, 0.5027844268951942, 1.7963608229269636, 0.7060789138151315, -0.24268127681203333, -1.0263692076658921, 1.23000057271915, -0.9647054257507148, 1.6284685547723217, -0.28438464960650933, 1.5905820726178503, 0.6789312900592783, -0.13699548944245826, -0.5193963718261266, -0.3409078773460798, 0.4283166923752375, 0.07715649621771674, -0.5938114080687051, -0.16563141031763223, 0.0785770297191498, -2.128734094414812, 0.4581681147886987, -0.9797212247168068, -1.153332403205745, -1.6873443471107104, -1.7938924978678903, -1.3554475031122892, -0.7090209576304904, 1.9532591375265682, -0.5258796758952039, 0.17775010626803134, 0.4004813865063287, 0.13106518621584873, -0.07744346072599365, -1.1952937635992447, 1.4509275482792119, 1.8071966436378852, -1.6826586941226858, -1.0240285908863795, -0.2798103423770061, -0.9645377949101913, 0.5059655534558652, -0.7282722024066131, 2.1650560678066024, 1.190548594343596, 0.2125740306322149, 1.0269862633197322, 1.105900424357309, -0.5639474880582432, -0.8162172445419648, 0.07814306296964744, 0.861636124497944, 0.13906039865341766, -1.5769964821909972, -0.8028244439508423]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-0.07397286359437803, -0.07566560432583026, 1.9725421767898081, -1.385987942398998, 0.5055892418358746, 1.4891131083282896, 2.271449745422796, -0.40439742318396127, 0.4914294527201998, 0.5697603571986469, 0.19548173155329082, -0.09884520123930605, 0.4359753895000459, -2.5322460852196853, 0.6820694900626313, 0.12617790366196718, -0.22247489677826537, 2.046862195719558, -0.6749340187905523, -0.4030759890650308, 1.991553302204734, -0.8320613048498566, -0.5501152829365389, -0.14702542343084998, 0.8407344821295493, 0.2078025073533134, -1.2926253471522626, -0.5321685631271895, -0.6073544332122114, -0.07722104522304557, 0.4258436586298291, 0.4182057558879721, -1.7760117540484022, 1.063940987560856, 0.2525688459966235, 1.3845320475939062, 0.4441983272906719, 1.1013229577357622, 0.46654531145012695, 1.3462257562027482, 0.5222506360177785, -0.09791524644290406, 2.2724347204468818, 0.8890371222798921, 0.5737444210044131, -1.276304416538336, -1.2883076174635377, 0.2927154821418534, 0.1455211977682408, -0.6141225650083162, 0.14098269961206, 1.5886269280435958, 0.6954024745502987, -1.1410085097527383, -0.1115088271429437, -0.8049664808525608, -0.38769991640856116, -0.41361566562964275, -0.4776455826040052, -1.2551353719733949, -0.12765468151819012, -0.56060763684731, -2.929448690002268, 2.052972024501663]) >= 0 THEN 32 ELSE 0 END) AS bv8,
+           (CASE WHEN list_dot_product(v, [1.088769654216672, -0.37630072492499606, 0.018819049740598424, -1.1716543473175618, 1.6957228778108653, 1.8972886947731116, 0.1566937282465246, 1.0235306441853447, 0.17528677893392386, -1.3367254388759306, -0.4118233689636573, 0.13192796677195706, -0.4545477187434442, -0.218653277435036, -0.09139955750911445, -0.08087849786546131, 0.05225849049748321, -1.060605066396601, -0.7170161491279362, -1.2845842656999693, 0.9778155496862003, -2.1056469418403245, 1.1535903433169254, 1.3863493972628433, -0.3021805869826214, -2.6031370878272986, -0.3613105619672905, -0.06418416128881928, -1.0105982199289134, -0.5152183938082427, 1.5301951988633513, 0.664927162301741, -0.9245641143780999, -1.5975991695954321, -0.3270173176097711, -0.21345677935043825, 0.4961991873633163, -0.535316712567659, 0.5114995753618614, 1.9351540400602292, 0.8155010224442626, -0.048088507330772585, -0.18315047105329468, -0.35667313417987123, 1.1806409124521446, -0.6273134459513029, 0.04522270899998256, 0.05119790188108534, -0.501784192811532, -1.3724655478841008, 0.32297450361766816, -0.06100397185538355, 0.5002404694365699, -0.5336003064391669, 1.2208212988130478, -0.8767737812118448, 1.7120402840178925, -1.7476365098282616, 0.43477006455689116, 0.47543068252662346, -0.7955570679408823, 0.4243939378610126, 1.2795186697601588, -2.2168188393540644]) >= 0 THEN 1 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.5027448074908146, -2.4932708203300775, -0.965664803523208, 1.6291663649009451, -0.581782033392054, -1.1738799644089726, -0.19793772898468187, 2.067906338163552, -1.8316822472060261, -1.0513099116393445, 1.4974316831796264, 1.8577023435377324, -0.10343122429028392, -1.2390527025266425, 2.095843501809159, 1.5944423917491968, 0.678946987762233, -0.81240234893742, -0.049029340838036735, -0.16036008104483077, 0.33085130461557777, 1.451001438131336, 0.8794170411374032, -1.0773760769847582, 1.3764964500195378, 0.3131321400131553, 0.6870657958589163, 1.466540859278603, -1.1115802495135512, -0.035825578706462934, -0.531454551359215, -1.5678594253654559, 0.3467099776049199, 2.5115565515844236, -1.8400777445057528, -0.032280611049470324, 0.6405429350747734, 0.12307820165618115, -0.1131280525157404, -1.2992163634458243, 0.23278674294016363, -0.7567639770159263, -2.1899217049785533, 1.1945922205137307, 0.9583858198420424, 0.0516609768510798, 0.22907468820570256, 1.0743180127155614, 0.2243396567780826, 0.9040175547613144, -0.29748220087385013, 1.3119837385739466, 0.3207857259326839, 0.19405194360587402, -1.270061088712032, 0.2869558543017087, -0.8319549174944512, -0.6382827265284942, -0.8153756283161211, -1.066234931899225, 2.1247714030169615, 1.3313390619884031, 1.9203675021442612, -1.222895019555564]) >= 0 THEN 2 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.07125374991089249, -1.2935076252040958, -0.695694877197064, -0.9181269834165748, 1.2395840064415615, -0.39622967810175985, 1.0683793336940164, 0.604120889588518, 2.303638752104789, -1.479444223139724, 1.259233239786799, 1.1464408704007276, -0.9733788380270346, 1.0071333364731596, 0.3361449630262288, -0.22747625995340778, -0.8239354869719996, -0.7191094514491859, 2.049812095785926, 0.000682818957482628, 0.7821300015314592, -0.7908993816675531, -0.7798529462216388, 1.0819848092499422, -1.3495762115515322, -0.41521376790527154, 0.03402741107223205, 0.11137260184005242, -0.17909328501615626, 0.3958197810959231, 0.6928557558178116, 0.73463754545933, -0.9858038086678267, -0.2841550979287972, 1.1947628618769377, 0.8946471875738723, -1.372859451481064, 0.35147990035220167, -1.9782252493748103, 0.04693490206036963, 1.897767016745977, -0.9478927172689863, -0.8343230454915821, 0.7640297815728595, -1.542801515209646, -0.6327550298850391, 0.5964411375817527, -0.6342858476894031, -0.23596998721097162, 0.7441857103150346, 0.42154608353656126, 0.2668183962954019, -0.33912227927003874, 0.37006111526895535, -0.12373268009975662, 0.45780560992578473, -0.49693202511797824, -0.18256897437954112, -0.9899577925520139, -0.0350076100062359, -0.8110008636288448, -1.1140464501619933, 0.25866114785538813, 0.21273977585766032]) >= 0 THEN 4 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.7828737349485725, -0.43112556957509907, 0.4080528468367557, 0.5507975722736632, 0.44477380783159476, -0.8256536828021421, 0.1493634822711889, 0.36414029605466136, 0.007178466907941942, -2.0864776583710847, 0.16048962397348007, 2.212531039397242, -0.3600392687569827, -0.7280770978553212, 0.3733485597113982, 0.3123782104665717, 1.1927351654164144, -1.2578681559088878, 0.7313802525749924, 0.5904220612514635, -0.1421465369405461, 0.33868731792169, 1.0294574815983573, 0.8723153800284503, -1.1430193120737286, 0.8201581867554845, -0.06468860503251848, 0.07287409801551539, 0.0731969910016945, -0.15024298879825998, 1.191707497107065, -0.08371795984921201, -1.1195461283831687, -0.39352985596972884, 0.1786947168104756, 1.2292147842970504, 0.6030946849488336, -0.8505352787470439, 2.4851899166788916, 0.2647753109779796, 1.2753907379990148, -0.15171443357722914, 0.5333592447054494, 0.8394685045184047, 1.218194711754256, 1.057368305378225, 0.8721970000729778, -0.3150867311941086, -0.5717460419560614, 0.33260751032419755, 0.9331280723410693, -0.22272070077660705, 1.0651719657143865, 1.4526167454861794, -0.9163209190734197, -0.8369207037962799, -0.14037505890533644, 0.3076126681891964, -0.524567013767051, 1.3522026788671444, 0.4240668615184512, 0.03944704824073949, -1.4359095238685275, -1.3158158164275071]) >= 0 THEN 8 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [0.2810092502818063, -2.132595626154836, 1.0126374096440718, -0.1581538443723203, 3.2430929695947333, 2.3079162506161106, -0.18144906924751675, -0.10633700253131496, 0.9955815140020298, 1.7031726099180378, -1.6380290574360168, -1.7863754653546866, -0.6220348055543814, 0.5827375831738644, 0.4968735905075971, 1.0697714549838502, -1.1996975283653082, -2.3161438629688766, 0.8580141953021454, -0.8281962729652346, -2.018487864388638, 0.14506374595938162, 0.7931756882186773, -0.12205713212127726, -0.45784838618248924, -0.15936223214590656, -0.37058276240078286, -1.3480471119401671, -0.7146806769904318, 0.5212799050138145, 0.3216785413765001, 0.16805980596682024, -0.9951484818533795, -0.18150316213566714, -2.1770650464428547, 0.17847666388538974, 1.4288577078135674, -1.4741321320421057, -0.5859276733177553, 0.32910677871012955, 1.2528426344274837, -0.4482246163001494, -0.6922503292658964, -1.9689231424160831, 0.10343812930810638, 2.042076040143744, 0.2773584619646759, -0.022278979183713316, 0.32208231076698546, -0.01109200394860206, -0.8130143722601298, 0.8232799156777053, 0.2257615231117544, 0.017613251933657315, -0.97536602727825, 1.3035079319347591, 0.6647027453331099, -0.552920837367302, 1.0018248536819372, -0.49757083838520716, -0.782003492511037, -0.7597031174802871, -1.7710685530880912, 0.47154238041820573]) >= 0 THEN 16 ELSE 0 END
+            + CASE WHEN list_dot_product(v, [-1.8311448783383502, -1.2284438312657626, -2.0755880090785332, -0.08606969279089306, -0.15032046027187207, -0.32669621318636405, -1.0425776946705763, -1.17223375343664, 0.46436986354657417, -0.5505519317084877, 0.31635832153614474, -0.8852486861242225, 0.18106274277108234, 1.3032780373160637, 0.5861658003927833, -0.4124138182164804, 0.25719897035592737, -0.24066517453021302, 0.007880184694728152, -0.3256110521485036, -0.1643352058853912, 0.21209335307417523, -0.9933586995819507, -1.0158788269899783, -1.388542553831211, -1.60027110450371, -1.2172826922204794, 0.15946250680412918, -0.8927875154918841, 0.5136144642310962, 0.03471374875256186, -1.9685042134380537, 0.6549755842216898, 0.8107986455917099, -0.9938626748348534, 0.4201915428949916, -0.856498237409199, 0.0976703767483354, -1.2644984069549656, -1.7931064525345768, -0.3828171896129687, -0.12372894627483615, -0.39767969361460404, -1.1840305582225594, -0.3998990621311371, 0.269294752580734, -0.04489303012253698, 0.1825010305992134, -0.6701152004542329, 1.1717179147161596, -1.1761733365547806, 0.4875602970867186, 1.1818910929599615, 0.4809080927488954, -0.20252422706483003, -0.5282970466629792, 1.036087651046256, -1.422974925261673, -0.9701242603796436, -0.3975577654917214, 1.2376537575119981, 0.37976763604089603, -0.9680457585102453, -0.31030770538490365]) >= 0 THEN 32 ELSE 0 END) AS bv9
+        FROM e
+    ),
+    banded AS (
+        SELECT vec_id, 0 AS band, bv0 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 1 AS band, bv1 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 2 AS band, bv2 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 3 AS band, bv3 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 4 AS band, bv4 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 5 AS band, bv5 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 6 AS band, bv6 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 7 AS band, bv7 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 8 AS band, bv8 AS bits FROM sig
+        UNION ALL
+        SELECT vec_id, 9 AS band, bv9 AS bits FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bits = b.bits AND a.vec_id < b.vec_id
+    )
+    SELECT c.i, c.j,
+           round(list_dot_product(x.v, y.v)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(y.v, y.v))), 6) AS cos_sim
+    FROM cand c JOIN e x ON c.i = x.vec_id JOIN e y ON c.j = y.vec_id
+    WHERE round(list_dot_product(x.v, y.v)
+                / (sqrt(list_dot_product(x.v, x.v))
+                   * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.45
+    """,
+)
 def q_embed_neardup_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH cosine near-dup (banded sign bits ->
     posting-list candidates -> exact verify) — the linear-scale path.
-    Rows-only: the LSH false-negative tail is probabilistic; recall is
-    asserted on clustered data in tests."""
+    HASH-CHECKED: the hyperplanes are seeded-deterministic
+    (_hyperplanes, seed 42) and embedded as literals in the oracle, so
+    DuckDB reproduces band candidacy and the exact cosine verdicts;
+    the LSH false-negative tail is identical by construction.  Recall
+    vs exact cosine additionally asserted in tests."""
     from transitdata_hfp_deduplicator_spark.operators.similarity import rp_lsh_pairs
 
     e = _t(spark, sf_dir, "embeddings")
