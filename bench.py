@@ -62,6 +62,12 @@ def main() -> None:
         best = None
         try:
             for _ in range(2):
+                # GC BETWEEN queries, outside the timed region: the
+                # ContextCleaner only releases finished queries' shuffle
+                # files/broadcasts when a GC runs, and letting the JVM
+                # pick the moment means the pause lands inside whichever
+                # query runs next.
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
