@@ -1634,17 +1634,33 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents)
         WHERE len(tokens) >= 3
     ),
-    mh AS (
+    mh AS MATERIALIZED (
         SELECT doc_id, shingles,
                [list_min(list_transform(shingles,
                     s -> ('0x' || substr(md5(k || '|' || s), 1, 15))::BIGINT))
                 for k in range(0, 16)] AS sig
         FROM sh
     ),
+    ids AS (
+        SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[9] = b.sig[9] AND a.sig[10] = b.sig[10] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[11] = b.sig[11] AND a.sig[12] = b.sig[12] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[13] = b.sig[13] AND a.sig[14] = b.sig[14] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[15] = b.sig[15] AND a.sig[16] = b.sig[16] AND a.doc_id < b.doc_id
+    ),
     cand AS (
-        SELECT a.doc_id AS i, b.doc_id AS j,
-               a.shingles AS sh_i, b.shingles AS sh_j
-        FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ((a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]) OR (a.sig[9] = b.sig[9] AND a.sig[10] = b.sig[10]) OR (a.sig[11] = b.sig[11] AND a.sig[12] = b.sig[12]) OR (a.sig[13] = b.sig[13] AND a.sig[14] = b.sig[14]) OR (a.sig[15] = b.sig[15] AND a.sig[16] = b.sig[16]))
+        SELECT ids.i, ids.j, a.shingles AS sh_i, b.shingles AS sh_j
+        FROM ids JOIN mh a ON ids.i = a.doc_id JOIN mh b ON ids.j = b.doc_id
     )
     SELECT i, j,
            round(len(list_intersect(sh_i, sh_j)) * 1.0
