@@ -67,7 +67,10 @@ def main() -> None:
                 # files/broadcasts when a GC runs, and letting the JVM
                 # pick the moment means the pause lands inside whichever
                 # query runs next.
-                spark.sparkContext._jvm.System.gc()
+                try:  # classic local JVM; not reachable on Connect
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:  # noqa: BLE001
+                    pass
                 t0 = time.perf_counter()
                 materialize(fn(spark, sf_dir))
                 dt = time.perf_counter() - t0
