@@ -162,3 +162,53 @@ def test_dedup_first_wins_random_envelopes(spark, payload_seq):
     for p, seq in sorted(payload_seq, key=lambda t: t[1]):
         expected.setdefault(f"p{p}", (f"p{p}", seq))
     assert out == set(expected.values())
+
+
+# -- containment vs a pure-python reference ---------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "omega"]
+_doc = st.lists(st.sampled_from(_WORDS), min_size=2, max_size=8).map(" ".join)
+
+
+def _py_containment(texts, n=2, threshold=0.26):
+    """Reference implementation: distinct n-shingle sets, both
+    orientations, round-6 ratio >= threshold — mirrors the operator's
+    contract exactly."""
+    sh = {}
+    for i, t in enumerate(texts):
+        toks = t.lower().strip().split()
+        if len(toks) >= n:
+            s = {" ".join(toks[k : k + n]) for k in range(len(toks) - n + 1)}
+            if s:
+                sh[i] = s
+    out = {}
+    for i in sh:
+        for j in sh:
+            if i == j:
+                continue
+            inter = len(sh[i] & sh[j])
+            if inter:
+                c = round(inter / len(sh[i]), 6)
+                if c >= threshold:
+                    out[(i, j)] = c
+    return out
+
+
+@given(st.lists(_doc, min_size=2, max_size=6))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_containment_matches_reference(spark, texts):
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        containment_pairs,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.src, r.dst): r.containment
+        for r in containment_pairs(df, shingle_n=2, threshold=0.26).collect()
+    }
+    want = _py_containment(texts)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
