@@ -143,3 +143,44 @@ def test_lru_state_survives_restart(spark, tmp_path):
     assert by_key[(dg["a"], ms(60))] is False, (
         "duplicate after restart must be tagged by RECOVERED LRU state"
     )
+
+
+def test_lru_deterministic_across_arrow_chunk_sizes(spark, tmp_path):
+    """A state group larger than arrow.maxRecordsPerBatch arrives as
+    several pandas chunks; the operator must concat-then-sort so the
+    replay order (and therefore every verdict, delay, and eviction) is
+    identical however the rows are chunked."""
+    import random
+
+    rng = random.Random(7)
+    keys = [f"k{i}" for i in range(40)]
+    rows = [
+        (rng.choice(keys), _sec(i)) for i in range(600)
+    ]
+    results = []
+    for chunk_size in (10_000, 37):
+        src = str(tmp_path / f"src_{chunk_size}")
+        _write_batch(spark, src, rows)
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_size))
+        try:
+            out = _run(
+                spark,
+                src,
+                str(tmp_path / f"ck_{chunk_size}"),
+                str(tmp_path / f"out_{chunk_size}"),
+                max_size=16,
+                buckets=1,
+            )
+            results.append(
+                sorted(
+                    (r.digest, r.ts_ms, r.is_prime, r.delay_ms, r.hit_no)
+                    for r in out.collect()
+                )
+            )
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert results[0] == results[1]
