@@ -96,3 +96,42 @@ def test_state_ttl_eviction_reemits_prime(spark, tmp_path):
         "post-TTL occurrence must be prime again: "
         + str([(r.ts_ms, r.is_prime) for r in out])
     )
+
+
+def test_dedup_tag_deterministic_across_arrow_chunk_sizes(spark, tmp_path):
+    """Chunked state groups (group rows > arrow.maxRecordsPerBatch)
+    must replay in the same deterministic event-time order as a single
+    chunk — identical verdicts, delays, and hit counts."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        (f"u{rng.randrange(20)}", base + dt.timedelta(seconds=i))
+        for i in range(500)
+    ]
+    results = []
+    for chunk_size in (10_000, 41):
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(chunk_size))
+        try:
+            stream = _replay(
+                spark, tmp_path / f"c{chunk_size}", [rows], "user string, ts timestamp"
+            )
+            out = run_to_memory(
+                dedup_tag_stream(stream, ["user"], "ts", ttl_ms=3600_000, n_buckets=1),
+                "append",
+            )
+            results.append(
+                sorted(
+                    (r.key, r.ts_ms, r.is_prime, r.delay_ms, r.hit_no)
+                    for r in out.collect()
+                )
+            )
+        finally:
+            if old is None:
+                spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+            else:
+                spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert results[0] == results[1]
