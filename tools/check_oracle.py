@@ -91,6 +91,10 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        try:  # GC between queries so cleanup pauses don't skew timings
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
