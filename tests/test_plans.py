@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from transitdata_hfp_deduplicator_spark.plans import (
     assert_broadcast_join,
+    assert_no_broadcast_join,
     assert_no_cartesian,
     assert_partial_aggregation,
     assert_pushed_filter,
@@ -134,6 +135,44 @@ def test_containment_no_cartesian_single_index_shuffle(spark, sf_dir):
     df = QUERIES["q_containment"](spark, sf_dir)
     assert_no_cartesian(df)
     assert_partial_aggregation(df)
+
+
+def test_jaccard_containment_scoring_broadcast_free(spark, sf_dir):
+    """The uncapped exact-Jaccard / containment scorers must carry
+    per-doc sizes through the posting-list structs — NO broadcast of a
+    per-corpus-document sizes frame anywhere in the plan (at ~10⁹ docs
+    a forced broadcast there is a driver OOM; r3 verdict finding #1)."""
+    for name in ("q_minhash_simdup", "q_containment", "q_dedup_clusters"):
+        assert_no_broadcast_join(QUERIES[name](spark, sf_dir))
+
+
+def test_capped_jaccard_scoring_unhinted(spark):
+    """The capped path joins sizes back at the pair level WITHOUT a
+    broadcast hint: under autoBroadcastJoinThreshold=-1 the planner
+    must fall back to a non-broadcast join, proving no forced hint."""
+    from pyspark.sql import functions as F
+
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id")).alias(
+            "text"
+        ),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (
+            jaccard_pairs(docs, shingle_n=2, threshold=0.1, max_df=50),
+            containment_pairs(docs, shingle_n=2, threshold=0.1, max_df=50),
+        ):
+            assert_no_broadcast_join(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_incremental_dedup_broadcast_free_anti_join(spark, sf_dir):

@@ -79,7 +79,12 @@ def main() -> int:
     from transitdata_hfp_deduplicator_spark.session import get_spark
     from transitdata_hfp_deduplicator_spark.tables import TABLE_NAMES
 
-    spark = get_spark("oracle-check")
+    # explicit GC runs between queries below — disable the session's
+    # 1-min periodic FULL GC so its pause never lands inside a timed query
+    spark = get_spark(
+        "oracle-check",
+        extra_conf={"spark.cleaner.periodicGC.interval": "3600min"},
+    )
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.sql(

@@ -1,5 +1,6 @@
 from transitdata_hfp_deduplicator_spark.plans.inspect import (
     assert_broadcast_join,
+    assert_no_broadcast_join,
     assert_no_cartesian,
     assert_partial_aggregation,
     assert_pushed_filter,
@@ -9,6 +10,7 @@ from transitdata_hfp_deduplicator_spark.plans.inspect import (
 
 __all__ = [
     "assert_broadcast_join",
+    "assert_no_broadcast_join",
     "assert_no_cartesian",
     "assert_partial_aggregation",
     "assert_pushed_filter",

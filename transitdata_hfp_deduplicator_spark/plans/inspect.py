@@ -53,6 +53,15 @@ def assert_broadcast_join(df: DataFrame, expect: int = 1) -> None:
     assert n >= expect, f"expected >={expect} BroadcastHashJoin, found {n}\n{plan[:2000]}"
 
 
+def assert_no_broadcast_join(df: DataFrame) -> None:
+    """The plan must contain NO broadcast exchange at all — used where a
+    would-be broadcast side scales with the corpus (e.g. a per-document
+    sizes frame): a forced hint there is a driver OOM at 10⁹ docs."""
+    plan = physical_plan(df)
+    n = plan.count("BroadcastExchange")
+    assert n == 0, f"expected 0 BroadcastExchange, found {n}\n{plan[:2000]}"
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = physical_plan(df)
     assert "CartesianProduct" not in plan, "plan contains a cartesian product"

@@ -55,6 +55,10 @@ def get_spark(
         # this also caps executor shuffle-dir growth between jobs.
         .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.ui.enabled", "false")
+        # \r console-progress spam interleaves with stdout and can push
+        # bench.py's final JSON line past the driver's tail-capture
+        # window (BENCH_r03 recorded "parsed": null) — keep stdout clean.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
