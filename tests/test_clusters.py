@@ -47,7 +47,7 @@ def test_long_chain_converges(spark):
 
 
 def test_distributed_path_matches_unionfind(spark):
-    """Force the distributed label-propagation path (small_graph_edges=0)
+    """Force the distributed large/small-star path (small_graph_edges=0)
     and check it agrees with the driver union-find fast path."""
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
@@ -59,3 +59,56 @@ def test_distributed_path_matches_unionfind(spark):
         for r in connected_components(edges, small_graph_edges=0).collect()
     }
     assert fast == dist
+
+
+def _py_components(edge_list):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_large_small_star_deep_chain(spark):
+    """Diameter 120 ≫ max_iter 25: label propagation would need 120
+    rounds; large/small-star must converge in O(log² n) — the property
+    the 100 TB path depends on (quoted-paragraph chains A~B~C~...)."""
+    n = 120
+    edge_list = [(i, i + 1) for i in range(n)]
+    edges = spark.createDataFrame(edge_list, "i long, j long")
+    dist = {
+        r.id: r.component
+        for r in connected_components(edges, small_graph_edges=0).collect()
+    }
+    assert dist == _py_components(edge_list)
+    assert set(dist.values()) == {0}
+
+
+def test_large_small_star_random_graphs(spark):
+    """Distributed path vs pure-python union-find on random graphs of
+    mixed shape (chains, stars, cliques, singletons-by-pair)."""
+    import random
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        nodes = list(range(0, 400, rng.choice([1, 3, 7])))
+        edge_list = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+        ]
+        edge_list = [e for e in edge_list if e[0] != e[1]]
+        edges = spark.createDataFrame(edge_list, "i long, j long")
+        dist = {
+            r.id: r.component
+            for r in connected_components(edges, small_graph_edges=0).collect()
+        }
+        assert dist == _py_components(edge_list), f"trial {trial}"

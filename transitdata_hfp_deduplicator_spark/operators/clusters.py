@@ -2,21 +2,73 @@
 pair graph — the step that turns pairwise similarity into dedup GROUPS
 (keep one canonical document per component).
 
-Iterative min-label propagation: each vertex repeatedly adopts the
-minimum label among itself and its neighbours; converges in
-O(graph diameter) join rounds.  Each round is one shuffle keyed by
-vertex id; ``localCheckpoint`` truncates the lineage so round N's plan
-doesn't replay rounds 1..N-1 (the classic Spark iterative-algorithm
-trap).  For web-scale graphs the round count drops to O(log n) with
-the large-star/small-star variant (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC 2014) — same join shapes,
-different edge rewrites; the hook is noted inline.
+Distributed path: alternating large-star/small-star edge rewrites
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC 2014) — converges in O(log² n) rounds regardless of graph
+DIAMETER, unlike min-label propagation whose round count is the
+diameter itself (a 10⁹-doc near-dup graph can chain: think quoted
+paragraphs A~B~C~…).  Each phase is ONE shuffle of the edge list
+keyed by vertex (a window min — no join), and ``localCheckpoint``
+truncates the lineage so round N's plan doesn't replay rounds 1..N-1
+(the classic Spark iterative-algorithm trap).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _large_small_star(sym: DataFrame, max_iter: int) -> DataFrame:
+    """One (id, component) row per vertex of the symmetric edge list.
+
+    Per round (Kiveris et al. 2014, Algorithm 2):
+      large-star: every vertex u links its LARGER neighbours to
+        m = min(Γ(u) ∪ {u})   — emitted as (v, m) for v ∈ Γ(u), v > u
+      small-star: over the downward edges, every vertex u links its
+        smaller neighbourhood N ∪ {u} to m = min(N ∪ {u})
+    Both phases are a window-min partitioned by u — one exchange each,
+    no self-join — and both strictly orient edges (big, small), so the
+    edge list shrinks toward stars; fixpoint = all edges (v, root).
+    """
+    w = W.partitionBy("a")
+    e = (
+        sym.filter(F.col("b") < F.col("a")).distinct().localCheckpoint()
+    )
+    for _ in range(max_iter):
+        s = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        ls = (
+            s.withColumn("m", F.least(F.col("a"), F.min("b").over(w)))
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .distinct()
+        )
+        ss = ls.withColumn("m", F.least(F.col("a"), F.min("b").over(w)))
+        new_e = (
+            ss.filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(ss.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = (
+            new_e.count() == e.count()
+            and new_e.exceptAll(e).limit(1).count() == 0
+        )
+        e = new_e
+        if converged:
+            break
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))
+    # roots never appear on the left of a downward edge — label them
+    # with themselves (also covers vertices isolated by self-loop input)
+    return (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
 
 
 def connected_components(
@@ -34,18 +86,15 @@ def connected_components(
     least one match), so below ``small_graph_edges`` the edge list is
     pulled to the driver and solved with union-find in one pass — the
     same small-side contract as a broadcast join (1M edges ≈ 16 MB).
-    Above the bound, distributed min-label propagation runs as
-    documented below.
+    Above the bound, distributed large-star/small-star runs — round
+    count O(log² n), independent of graph diameter (``max_iter`` is a
+    safety bound, not a correctness knob: 25 rounds covers any graph
+    that fits on hardware).
     """
     sym = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
     sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # right-size the iteration: the near-dup graph is usually a tiny
-    # fraction of the corpus, and looping a 50-vertex frame across the
-    # session's full shuffle-partition count is pure task-scheduling
-    # overhead (measured 13s -> ~4s at sf0.1). Scale the partition
-    # count with the edge count instead of inheriting the global conf.
     sym = sym.localCheckpoint()  # materialize the (possibly expensive)
     n_edges = sym.count()        # edge pipeline ONCE; count reads it back
     if n_edges <= small_graph_edges:
@@ -71,38 +120,7 @@ def connected_components(
                     parent[ra] = rb
         out = [(v, find(v)) for v in parent]
         return edges.sparkSession.createDataFrame(out, "id long, component long")
-    n_parts = max(1, min(32, n_edges // 10_000 + 1))
-    sym = sym.repartition(n_parts, "b").localCheckpoint()
-    vertices = sym.select(F.col("a").alias("id")).distinct()
-    labels = (
-        vertices.withColumn("component", F.col("id"))
-        .repartition(n_parts, "id")
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy(F.col("a").alias("id"))
-            .agg(F.min("component").alias("nbr"))
-        )
-        # old + new label in ONE checkpointed frame: the convergence
-        # check becomes a scan of materialized data instead of a
-        # re-join of two label frames (one shuffle less per round)
-        joined = (
-            labels.join(nbr_min, "id", "left")
-            .select(
-                "id",
-                F.col("component").alias("__old"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()  # truncate lineage: round N must not replay 1..N-1
-        )
-        labels = joined.select("id", "component")
-        if joined.filter(F.col("component") != F.col("__old")).limit(1).count() == 0:
-            break
-    return labels
+    return _large_small_star(sym, max_iter)
 
 
 def dedup_clusters(
