@@ -49,14 +49,15 @@ COMMENTARY = {
         "automatic and AQE can demote it if the estimate was wrong."
     ),
     "q_minhash_simdup": (
-        "MinHash+LSH near-dup: signatures are a single Project over the "
-        "scan (no explode, no shuffle — one array_min fold per hash), "
-        "banding explodes to bands rows/doc, and the only Exchanges are "
-        "the band-bucket groupBy and the verify joins — every shuffle "
-        "key is a derived equi-key, nothing quadratic.  Candidate "
-        "fan-out is bounded by max_bucket; exact-Jaccard verification "
-        "re-derives shingles map-side rather than caching the shingle "
-        "table cluster-wide."
+        "Exact n-gram-Jaccard pairs via inverted index: explode "
+        "shingles, hash AFTER the explode (top-level xxhash64 stays in "
+        "whole-stage codegen; inside transform() it would be an "
+        "interpreted CodegenFallback), posting lists under ONE "
+        "shingle-keyed Exchange, ordered pairs from each list.  Per-doc "
+        "sizes ride inside the posting-list structs, so |A∪B| scoring "
+        "needs NO join — in particular no broadcast of a per-corpus-"
+        "document sizes frame (a driver OOM at 10⁹ docs).  The plan "
+        "contains zero BroadcastExchanges; pinned in test_plans.py."
     ),
     "q_dedup_simhash": (
         "SimHash pigeonhole: signature = explode(tokens) + 64 "
