@@ -3131,8 +3131,11 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream enriched against a static (batch) dimension: purchases
-    joined to per-user batch aggregates — the static side is planned as
-    a broadcast per micro-batch, no stream state needed."""
+    joined to per-user batch aggregates — stateless per micro-batch.
+    The static side is NOT broadcast-hinted: it has one row per user
+    (corpus-scaled), so a forced broadcast is a driver OOM at 10⁹
+    users; un-hinted, Catalyst broadcasts below the stat threshold and
+    shuffle-joins above it."""
     import os
 
     from transitdata_hfp_deduplicator_spark.streaming import (
@@ -3151,7 +3154,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     stream = parquet_stream(spark, src).filter(F.col("event_type") == "purchase")
-    joined = stream.join(F.broadcast(static_totals), "user_id").select(
+    joined = stream.join(static_totals, "user_id").select(
         "event_id", "user_id", "n_events", "user_total"
     )
     return run_to_memory(joined, "append")
