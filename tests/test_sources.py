@@ -204,3 +204,89 @@ def test_canonical_payload_dispatch(spark):
     out = df.select("key", canonical_payload().alias("canon")).collect()
     got = {r.key: r.canon for r in out}
     assert got == {"a": b"x", "b": b"y", "c": b"z"}
+
+
+def test_socket_replay_golden(spark):
+    """hfp-5000.txt replayed over a REAL TCP socket (Spark's built-in
+    receiver-backed socket source — no connector jar) through
+    parse → dedup: 4956 uniques.  This is the closest executable analog
+    of the reference's live-broker integration test, which sends the
+    corpus over a Pulsar connection and awaits the deduped output
+    (ITDeduplicatorTest.java:64-113): a true unbounded network source,
+    not a file replay."""
+    import os
+    import socket
+    import threading
+    import time
+
+    import pytest
+
+    from transitdata_hfp_deduplicator_spark.sources import hfp
+    from transitdata_hfp_deduplicator_spark.sources.broker import (
+        socket_line_stream,
+    )
+    from transitdata_hfp_deduplicator_spark.streaming import ephemeral_dir
+
+    corpus = "/root/reference/src/integration-test/resources/hfp-5000.txt"
+    if not os.path.exists(corpus):
+        pytest.skip("reference corpus absent")
+    with open(corpus, "rb") as f:
+        lines = f.read().splitlines()
+
+    done = threading.Event()
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve() -> None:
+        conn, _ = srv.accept()  # Spark connects when the query starts
+        with conn:
+            conn.sendall(b"\n".join(lines) + b"\n")
+            done.wait(120)  # hold the connection until the query stops
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    out_dir = os.path.join(ephemeral_dir("socket_golden_"), "data")
+    parsed = hfp.dedup_identity(
+        hfp.parse_lines(socket_line_stream(spark, "127.0.0.1", port))
+    )
+    deduped = parsed.dropDuplicates(["identity"])
+
+    def spool(batch_df, _bid):
+        batch_df.select("identity").write.mode("append").parquet(out_dir)
+
+    q = (
+        deduped.writeStream.foreachBatch(spool)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(ephemeral_dir("socket_golden_ck_"), "ckpt"),
+        )
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        stable_since = None
+        last = -1
+        while time.time() < deadline:
+            time.sleep(1.0)
+            try:
+                n = spark.read.parquet(out_dir).count()
+            except Exception:  # noqa: BLE001 - no batch committed yet
+                continue
+            if n != last:
+                last, stable_since = n, time.time()
+            elif n >= 4956 and time.time() - stable_since > 3:
+                break
+    finally:
+        q.stop()
+        done.set()
+        srv.close()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 4956  # ITDeduplicatorTest.java:92-93
+    assert got.select("identity").distinct().count() == 4956

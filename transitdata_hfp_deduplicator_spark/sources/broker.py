@@ -63,6 +63,26 @@ def kafka_envelope_stream(
     return kafka_to_envelope(raw)
 
 
+def socket_line_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Unbounded line stream over TCP via Spark's built-in socket source
+    — the one network source that needs no connector jar, so it is the
+    executable stand-in for a live broker subscription: a real
+    receiver-backed unbounded source driving the same micro-batch /
+    incremental-execution machinery a Kafka/Pulsar subscription would
+    (the reference's integration test sends the corpus over a live
+    Pulsar connection and awaits the deduped output,
+    ITDeduplicatorTest.java:64-113; tests/test_sources.py replays
+    hfp-5000.txt through this source and asserts the same 4956).
+    Single ``value: string`` column, exactly ``spark.read.text``'s
+    shape, so ``sources.hfp.parse_lines`` applies unchanged."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )
+
+
 def pulsar_envelope_stream(
     spark: SparkSession,
     service_url: str,
