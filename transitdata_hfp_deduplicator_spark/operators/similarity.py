@@ -298,23 +298,46 @@ def minhash_signatures(
     15-40s run-to-run on the SAME sf0.1 data depending on JIT profile
     state.  Exploded, the hashes sit in whole-stage codegen and the
     aggregation partial-combines map-side, so the exchange carries one
-    num_hashes×8-byte row per doc per partition — deterministic ~2s.
+    num_hashes×8-byte row per doc per partition — deterministic.
+
+    The md5 family uses Kirsch-Mitzenmacher double hashing: ONE md5
+    per shingle yields two independent 60-bit halves (hex chars 1-15
+    and 17-31) and h_k = h1 + k·(h2 mod 2⁵⁸) — 16× less hashing than
+    md5-per-hash-function, overflow-free in signed 64 bits
+    (max ≈ 5.5e18 < 2⁶³), and trivially reproducible in any engine
+    (the oracle computes the same arithmetic in DuckDB SQL).
     explode_outer + null-guard keeps empty-shingle docs in the output
     with NULL signatures, exactly like array_min over an empty array.
     """
     sh = _shingled(docs, id_col, text_col, shingle_n)
     ex = sh.select("doc_id", F.explode_outer("shingles").alias("sh"))
-
-    def _h(k: int):
-        if hash_family == "md5":
-            h = TXT.hash64(F.col("sh"), seed=k)
-        else:  # xxhash64: ~6x cheaper, JVM-only (no oracle parity)
-            h = F.xxhash64(F.lit(k), F.col("sh"))
-        # hash64/xxhash64 of NULL is non-null (concat_ws skips nulls) —
-        # guard so empty docs aggregate to NULL, not h(seed|"")
-        return F.when(F.col("sh").isNotNull(), h).alias(f"h_{k}")
-
-    hashed = ex.select("doc_id", *[_h(k) for k in range(num_hashes)])
+    if hash_family == "md5":
+        hexd = F.md5(F.col("sh").cast("binary"))
+        h1 = F.conv(F.substring(hexd, 1, 15), 16, 10).cast("bigint")
+        h2 = F.pmod(
+            F.conv(F.substring(hexd, 17, 15), 16, 10).cast("bigint"),
+            F.lit(2**58),
+        )
+        base = ex.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+        hashed = base.select(
+            "doc_id",
+            *[
+                (F.col("h1") + F.lit(k) * F.col("h2")).alias(f"h_{k}")
+                for k in range(num_hashes)
+            ],
+        )
+    else:  # xxhash64: cheaper still, JVM-only (no oracle parity)
+        # xxhash64 of NULL is non-null (null inputs are skipped) —
+        # guard so empty docs aggregate to NULL
+        hashed = ex.select(
+            "doc_id",
+            *[
+                F.when(
+                    F.col("sh").isNotNull(), F.xxhash64(F.lit(k), F.col("sh"))
+                ).alias(f"h_{k}")
+                for k in range(num_hashes)
+            ],
+        )
     return hashed.groupBy("doc_id").agg(
         *[F.min(f"h_{k}").alias(f"mh_{k}") for k in range(num_hashes)]
     )
@@ -397,15 +420,28 @@ def minhash_lsh_pairs(
         )
         .select("p.i", "p.j")
         .distinct()
+        # materialize the SMALL pair list once (lifetime = this query;
+        # the RDD is cleaner-released when the frame is dropped) so the
+        # three consumers below don't re-run the signature+banding
+        # pipeline per branch
+        .localCheckpoint()
     )
-    # exact-Jaccard verification joins the shingle sets back twice.
-    # The diamond is NOT persisted: _shingled is a narrow map-only
-    # projection that pipelines into each join's shuffle write, so the
-    # recompute costs one extra pass of tokenize+shingle — while an
-    # explicit persist() has no caller-side unpersist hook (it would
-    # leak storage for the session) and at the 100 TB target pinning
-    # the full shingle table in cluster memory is the wrong trade.
-    sh = _shingled(docs, id_col, text_col, shingle_n)
+    # exact-Jaccard verification joins the shingle sets back twice —
+    # but only CANDIDATE docs need re-shingling: semi-join the corpus
+    # down to ids that appear in some candidate pair first.  Verify
+    # cost then scales with the candidate set, not the corpus (at
+    # 100 TB re-tokenizing everything twice is the bottleneck; locally
+    # it also keeps the interpreted zip_with shingle path off the hot
+    # path — measured 4-18s -> ~2s run-to-run on the LSH query).
+    cand_ids = (
+        candidates.select(F.col("i").alias("cid"))
+        .union(candidates.select(F.col("j").alias("cid")))
+        .distinct()
+    )
+    cand_docs = docs.join(
+        cand_ids, F.col(id_col) == F.col("cid"), "left_semi"
+    )
+    sh = _shingled(cand_docs, id_col, text_col, shingle_n)
     ci = candidates.join(sh.withColumnRenamed("doc_id", "i").withColumnRenamed("shingles", "sh_i"), "i")
     cij = ci.join(sh.withColumnRenamed("doc_id", "j").withColumnRenamed("shingles", "sh_j"), "j")
     verified = cij.withColumn(

@@ -1614,13 +1614,21 @@ def q_minhash_simdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            list_min(list_transform(shingles,
-               s -> ('0x' || substr(md5('0|' || s), 1, 15))::BIGINT)) AS mh_0,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                    + 0 * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                           % 288230376151711744))) AS mh_0,
            list_min(list_transform(shingles,
-               s -> ('0x' || substr(md5('1|' || s), 1, 15))::BIGINT)) AS mh_1,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                    + 1 * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                           % 288230376151711744))) AS mh_1,
            list_min(list_transform(shingles,
-               s -> ('0x' || substr(md5('2|' || s), 1, 15))::BIGINT)) AS mh_2,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                    + 2 * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                           % 288230376151711744))) AS mh_2,
            list_min(list_transform(shingles,
-               s -> ('0x' || substr(md5('3|' || s), 1, 15))::BIGINT)) AS mh_3
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                    + 3 * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                           % 288230376151711744))) AS mh_3
     FROM sh
     """,
 )
@@ -1651,7 +1659,9 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh AS MATERIALIZED (
         SELECT doc_id, shingles,
                [list_min(list_transform(shingles,
-                    s -> ('0x' || substr(md5(k || '|' || s), 1, 15))::BIGINT))
+                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                         + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                                % 288230376151711744)))
                 for k in range(0, 16)] AS sig
         FROM sh
     ),
@@ -2384,11 +2394,31 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_decode")
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               16 + ('0x' || substr(sha256(coalesce(text, '')), 1, 2))::INT
+                   AS width,
+               16 + ('0x' || substr(sha256(coalesce(text, '')), 3, 2))::INT
+                   AS height,
+               1 + (('0x' || substr(sha256(coalesce(text, '')), 5, 2))::INT % 8)
+                   AS n_frames
+        FROM documents
+    )
+    SELECT media_id, width, height, n_frames,
+           unnest(generate_series(0, n_frames - 1, 2))::INT AS frame_idx
+    FROM d
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal plumbing: binary envelope → mapInPandas decode
     (deterministic fake codec; NotImplementedError seam for real ones)
-    → frame sampling. Rows-only (the fake codec is engine-internal)."""
+    → frame sampling.  HASH-CHECKED: the fake codec derives
+    (width, height, n_frames) from sha256 of the content bytes, which
+    DuckDB reproduces (sha256 of the utf-8 text) — so even the stubbed
+    decode path is cell-exact-verified, not rows-only."""
     from transitdata_hfp_deduplicator_spark.operators.multimodal import (
         decode_media,
         frame_sample,
