@@ -66,7 +66,12 @@ def _parse_fields(buf: bytes) -> list[tuple[int, int, bytes]]:
             raise ValueError("field number 0")
         if wire == _VARINT:
             v, npos = _read_varint(buf, pos)
-            fields.append((field_no, wire, buf[pos:npos]))
+            # normalize: re-emit the MINIMAL encoding of the value.  A
+            # decode→re-encode runtime (the reference's typed path,
+            # Deduplicator.java:96-106) collapses over-long varints
+            # (e.g. 0x80 0x00 == 0x00); preserving the raw slice would
+            # make padding-only-different wire images dedup apart.
+            fields.append((field_no, wire, _write_varint(v)))
             pos = npos
         elif wire == _FIXED64:
             if pos + 8 > len(buf):
