@@ -196,3 +196,30 @@ def test_corpus_shuffle_shard_local_sort(spark, sf_dir):
     df = QUERIES["q_corpus_shuffle"](spark, sf_dir)
     plan = physical_plan(df)
     assert "rangepartitioning" not in plan.lower(), "must sort per shard, not globally"
+
+
+def test_corpus_mix_corpus_never_shuffled(spark, sf_dir):
+    """The corpus scan flows map-side into the sampling filter: the
+    #langs-row fraction table broadcasts onto it, and the only corpus
+    exchanges are partial-agg shuffles (per-lang rows), never a
+    row-level repartition of the documents."""
+    df = QUERIES["q_corpus_mix"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert_broadcast_join(df)
+    assert_partial_aggregation(df)
+    assert "rangepartitioning" not in plan.lower()
+    # the 1-row budget aggregate joins via broadcast nested loop (1 row
+    # x #langs), never a row-level cartesian over the corpus
+    cols = read_schema_columns(df)
+    assert "text" in cols and "n_chars" not in cols, f"over-read: {cols}"
+
+
+def test_decontaminate_eval_side_broadcast(spark, sf_dir):
+    """The eval n-gram set is the small dimension: it must broadcast;
+    the training corpus must never be shuffled row-level by the join
+    (SortMergeJoin would shuffle every corpus shingle)."""
+    df = QUERIES["q_decontaminate"](spark, sf_dir)
+    assert_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"
+    assert_partial_aggregation(df)

@@ -1471,6 +1471,162 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# target corpus mixture by language (training-data domain weights);
+# plain config — the operator is the constrained-sampling plan below.
+MIX_WEIGHTS: dict[str, float] = {
+    "en": 0.5,
+    "zh": 0.2,
+    "de": 0.15,
+    "fr": 0.1,
+    "es": 0.05,
+}
+
+
+@query(
+    "q_corpus_mix",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS toks,
+               ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 1000000 AS hv
+        FROM documents
+    ),
+    wts(lang, w) AS (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(MIX_WEIGHTS.items()))}),
+    avail AS (
+        SELECT d.lang, w, CAST(SUM(toks) AS BIGINT) AS avail_toks
+        FROM d JOIN wts ON d.lang = wts.lang GROUP BY d.lang, w
+    ),
+    t AS (SELECT MIN(avail_toks / w) AS total FROM avail),
+    frac AS (
+        SELECT lang, avail_toks,
+               w * total / avail_toks AS f
+        FROM avail CROSS JOIN t
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS n_tokens,
+           round(any_value(f), 6) AS frac
+    FROM d JOIN frac ON d.lang = frac.lang
+    WHERE hv < f * 1000000
+    GROUP BY d.lang
+    """,
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing — sample each language toward a target mixture
+    under availability constraints (the data-mixing step of LLM corpus
+    prep): find the largest total token budget T such that
+    ``weight_l * T <= available_l`` for every language, then keep each
+    language's documents with probability ``weight_l * T / available_l``
+    (the binding language keeps everything).  Selection is by
+    deterministic per-doc hash, so the sample is reproducible across
+    engines and partitionings — the same externalizable-digest argument
+    as the reference's fixed murmur3 seed (Deduplicator.java:27-28).
+
+    Scale shape: one partial-agg shuffle for the per-language token
+    totals (#langs rows), a 1-row budget aggregate crossJoined back
+    (never collected), and a broadcast of the #langs-row fraction table
+    onto the corpus scan — the corpus itself is never shuffled."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        TXT.token_count(F.col("text")).cast("long").alias("toks"),
+        F.pmod(TXT.hash64(F.col("doc_id").cast("string"), seed=7), F.lit(1000000)).alias("hv"),
+    )
+    wts = F.broadcast(
+        d.sparkSession.createDataFrame(
+            sorted(MIX_WEIGHTS.items()), "lang string, w double"
+        )
+    )
+    avail = (
+        d.join(wts, "lang")
+        .groupBy("lang", "w")
+        .agg(F.sum("toks").alias("avail_toks"))
+    )
+    total = avail.agg(F.min(F.col("avail_toks") / F.col("w")).alias("total"))
+    frac = avail.crossJoin(total).select(
+        "lang", (F.col("w") * F.col("total") / F.col("avail_toks")).alias("f")
+    )
+    return (
+        d.join(F.broadcast(frac), "lang")
+        .filter(F.col("hv") < F.col("f") * 1000000)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("n_tokens"),
+            F.round(F.any_value("f"), 6).alias("frac"),
+        )
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                    for i in range(1, len(tokens) - 1)])) AS s
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('11|' || s), 1, 15))::BIGINT AS hv
+        FROM sh
+    ),
+    ev AS (SELECT DISTINCT doc_id AS eval_doc, hv FROM h WHERE doc_id % 53 = 1),
+    tr AS (SELECT doc_id, hv FROM h WHERE doc_id % 53 <> 1)
+    SELECT tr.doc_id,
+           CAST(count(DISTINCT tr.hv) AS BIGINT) AS n_shared,
+           CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_eval_docs
+    FROM tr JOIN ev USING (hv)
+    GROUP BY tr.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — flag training documents that share any
+    n-gram with a held-out eval set (the benchmark-leakage scrub every
+    large-scale training pipeline runs; the n-gram-overlap method of the
+    GPT-3/Llama decontamination appendices).  The eval set here is the
+    deterministic ``doc_id % 53 == 1`` slice — in production it is the
+    actual benchmark corpus.  n = 3 here so the synthetic corpus
+    exercises the hit path (283 contaminated docs at sf0.01);
+    production pipelines use n in 8..13 — n is config, the plan is the
+    operator.
+
+    Scale shape: the eval side is the SMALL dimension by construction
+    (benchmarks are MBs against a 100 TB corpus), so its distinct
+    n-gram hashes broadcast; the training corpus streams map-side
+    through the broadcast join — the corpus is never shuffled, and the
+    only exchange is the final per-contaminated-doc aggregate (hit rows
+    only).  Shingles join on a 60-bit md5-derived hash, not the string:
+    10x smaller broadcast, engine-reproducible (the externalizable-
+    digest argument of Deduplicator.java:27-28), and any false positive
+    is a 2^-60 event inherent to hashed decontamination."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(TXT.shingles(TXT.tokenize(F.col("text")), 3)).alias("s"),
+    ).select("doc_id", TXT.hash64(F.col("s"), seed=11).alias("hv"))
+    is_eval = F.col("doc_id") % 53 == 1
+    ev = sh.filter(is_eval).select(F.col("doc_id").alias("eval_doc"), "hv").distinct()
+    tr = sh.filter(~is_eval)
+    return (
+        tr.join(F.broadcast(ev), "hv")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("hv").alias("n_shared"),
+            F.countDistinct("eval_doc").alias("n_eval_docs"),
+        )
+    )
+
+
 @query(
     "q_dedup_norm",
     oracle="""
@@ -3698,6 +3854,9 @@ GATE_ROTATION = [
     "q_dup_stats_stream",
     "q_late_data",
     "q_dedup_clusters",
+    # -- new this round (no prior evidence possible) --
+    "q_corpus_mix",
+    "q_decontaminate",
     # -- previously-evidenced, cheap-first (fills the tail slots) --
     "q_multimodal_bytes",
     "q_array_ops",
