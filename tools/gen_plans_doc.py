@@ -98,6 +98,23 @@ COMMENTARY = {
         "join (quadratic in events-per-key) and not a broadcast of "
         "either side."
     ),
+    "q_corpus_mix": (
+        "Constrained mixture sampling: the corpus scan is exchanged "
+        "only as partial-aggregate rows (per-language token totals); "
+        "the 1-row token-budget aggregate rejoins by broadcast nested "
+        "loop (1×#langs, never a collect) and the #langs-row fraction "
+        "table broadcasts back onto a SECOND corpus scan, so corpus "
+        "rows never shuffle.  Selection is a deterministic hash "
+        "predicate evaluated map-side inside codegen."
+    ),
+    "q_decontaminate": (
+        "Benchmark decontamination: the eval slice's distinct n-gram "
+        "hashes are the small dimension (benchmarks are MBs against a "
+        "100 TB corpus) and sit under the plan's only BroadcastExchange; "
+        "the training side streams map-side through the BroadcastHashJoin "
+        "— no SortMergeJoin, no corpus shuffle — and only HIT rows reach "
+        "the per-doc partial+final aggregate."
+    ),
 }
 
 
