@@ -23,6 +23,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _default_warehouse() -> str:
+    import tempfile
+
+    d = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if d:
+        return d
+    return tempfile.mkdtemp(prefix="spark_graft_warehouse_")
+
+
 def get_spark(
     app_name: str = "transitdata-hfp-deduplicator-spark",
     cpus: int | None = None,
@@ -60,6 +69,12 @@ def get_spark(
         # window (BENCH_r03 recorded "parsed": null) — keep stdout clean.
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # saveAsTable (bucketed-layout writes, sinks.write_bucketed)
+        # must not litter ./spark-warehouse in the repo — park the
+        # default warehouse in a throwaway dir.  Real deployments set
+        # this to the lake path; table writers can also pass an
+        # explicit path per table.
+        .config("spark.sql.warehouse.dir", _default_warehouse())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

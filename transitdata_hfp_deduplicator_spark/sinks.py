@@ -80,6 +80,41 @@ def alert_sink(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist as a BUCKETED parquet table: rows are hash-partitioned
+    into ``n_buckets`` files per write task by ``bucket_cols`` and the
+    layout is recorded in the catalog, so any later equi-join or
+    aggregation on the bucket key plans WITHOUT an Exchange on this
+    side — the co-located-join layout for 100 TB fact tables (shuffle
+    the table once at write time, never again at read time).
+
+    The reference has no storage layer at all (its only persistence
+    idea is "hashes could later live in Redis", Deduplicator.java:27);
+    this is the Spark-native answer to the same externalize-the-index
+    need: the DIGEST-bucketed dedup index joins against new batches
+    with zero index-side shuffle (see q_dedup_incremental for the
+    anti-join shape).
+
+    ``sort_cols`` additionally sorts within each bucket file so
+    bucket-key joins skip the Sort as well (SortMergeJoin reads
+    pre-sorted runs).
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if path is not None:
+        writer = writer.option("path", path)
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def envelope_to_kafka_columns(df: DataFrame) -> DataFrame:
     """Envelope (key, value, event_time, properties) → Kafka sink
     columns: key/value binary + headers array<struct<key,value>>.
