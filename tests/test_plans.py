@@ -223,3 +223,26 @@ def test_decontaminate_eval_side_broadcast(spark, sf_dir):
     plan = physical_plan(df)
     assert "SortMergeJoin" not in plan, "corpus-side shuffle join crept in"
     assert_partial_aggregation(df)
+
+
+def test_promo_share_broadcasts_part(spark, sf_dir):
+    """Q14 shape: part is the dimension — lineitem must not shuffle
+    before the month aggregate."""
+    df = QUERIES["q_promo_share"](spark, sf_dir)
+    assert_broadcast_join(df)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, "fact-side shuffle join crept in"
+    assert_partial_aggregation(df)
+
+
+def test_top_supplier_aggregates_before_joins(spark, sf_dir):
+    """Q15 shape: the supplier-revenue aggregate must sit BELOW the
+    dim joins (joins see #suppliers rows, not line items), and the
+    max-revenue filter must be a broadcast of the 1-row aggregate."""
+    df = QUERIES["q_top_supplier"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert_partial_aggregation(df)
+    assert "SortMergeJoin" not in plan
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert 0 <= agg_pos and 0 <= join_pos, plan

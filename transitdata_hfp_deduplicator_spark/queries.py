@@ -468,6 +468,84 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_promo_share",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+           CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                     AS DECIMAL(30,6))) AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue,
+           round(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                     AS DECIMAL(30,6))) AS DECIMAL(30,6))
+                 / SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(30,6))), 6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month — the
+    conditional-aggregate-over-broadcast-join pattern (part is the
+    dimension; lineitem never shuffles before the month aggregate)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    promo_dec = F.sum(promo.cast("decimal(30,6)"))
+    total_dec = F.sum(rev.cast("decimal(30,6)"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            promo_dec.cast("double").alias("promo_revenue"),
+            total_dec.cast("double").alias("total_revenue"),
+            F.round(promo_dec / total_dec, 6).cast("double").alias("promo_share"),
+        )
+    )
+
+
+@query(
+    "q_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, n_name, total_revenue
+    FROM rev
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """,
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue, keep the max-revenue
+    supplier(s) via a 1-row aggregate crossJoin (never a collect), then
+    decorate with the broadcast supplier/nation dims.  The fact table
+    is aggregated FIRST — the joins see #suppliers rows, not line
+    items."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        l.groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "total_revenue")
+    )
+
+
+@query(
     "q_join_semi_anti",
     oracle="""
     SELECT c_custkey, c_name, 'has_urgent' AS tag
@@ -3857,6 +3935,8 @@ GATE_ROTATION = [
     # -- new this round (no prior evidence possible) --
     "q_corpus_mix",
     "q_decontaminate",
+    "q_promo_share",
+    "q_top_supplier",
     # -- previously-evidenced, cheap-first (fills the tail slots) --
     "q_multimodal_bytes",
     "q_array_ops",
