@@ -246,3 +246,13 @@ def test_top_supplier_aggregates_before_joins(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("BroadcastHashJoin")
     assert 0 <= agg_pos and 0 <= join_pos, plan
+
+
+def test_rollup_cascade_single_scan(spark, sf_dir):
+    """Minute -> hour -> day rollup: the raw table is scanned once (the
+    minute grain is materialized and every level re-aggregates it);
+    three parquet scans in the union would read the 100 TB table three
+    times."""
+    df = QUERIES["q_rollup_cascade"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Scan parquet" not in plan, "union branch re-reads the raw table"
