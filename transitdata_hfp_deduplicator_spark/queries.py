@@ -3677,6 +3677,35 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,4))) AS DOUBLE) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py): the big side's join key is
+    widened with a deterministic salt and the small side exploded per
+    salt value, so one hotter-than-an-executor key spreads over 16
+    shuffle partitions — the explicit fallback for the skew AQE's
+    partition-splitting can't fix (AQE splits partitions, not keys).
+    The oracle is the PLAIN join: salting must be invisible in the
+    result."""
+    from transitdata_hfp_deduplicator_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    joined = salted_join(ev, cust, [("user_id", "c_custkey")], salt_buckets=16)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("total_value"),
+    )
+
+
+@query(
     "q_rollup_cascade",
     oracle="""
     WITH m AS (
@@ -4010,6 +4039,7 @@ GATE_ROTATION = [
     "q_promo_share",
     "q_top_supplier",
     "q_rollup_cascade",
+    "q_join_skew_salted",
     # -- previously-evidenced, cheap-first (fills the tail slots) --
     "q_multimodal_bytes",
     "q_array_ops",
