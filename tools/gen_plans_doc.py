@@ -107,6 +107,13 @@ COMMENTARY = {
         "rows never shuffle.  Selection is a deterministic hash "
         "predicate evaluated map-side inside codegen."
     ),
+    "q_rollup_cascade": (
+        "Multi-resolution rollup: the raw table appears NOWHERE in this "
+        "plan — the minute grain is materialized once and every union "
+        "branch re-aggregates it (ExistingRDD scans).  The hour/day "
+        "exchanges carry bucket counts, not rows; decimal sums keep the "
+        "cascade exactly re-aggregable."
+    ),
     "q_decontaminate": (
         "Benchmark decontamination: the eval slice's distinct n-gram "
         "hashes are the small dimension (benchmarks are MBs against a "
