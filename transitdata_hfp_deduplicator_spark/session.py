@@ -23,13 +23,16 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
-def _default_warehouse() -> str:
-    import tempfile
+_WAREHOUSE: str | None = None
 
-    d = os.environ.get("SPARK_GRAFT_WAREHOUSE")
-    if d:
-        return d
-    return tempfile.mkdtemp(prefix="spark_graft_warehouse_")
+
+def _default_warehouse() -> str:
+    global _WAREHOUSE
+    if _WAREHOUSE is None:
+        _WAREHOUSE = os.environ.get("SPARK_GRAFT_WAREHOUSE") or __import__(
+            "tempfile"
+        ).mkdtemp(prefix="spark_graft_warehouse_")
+    return _WAREHOUSE
 
 
 def get_spark(
