@@ -1,0 +1,36 @@
+"""Semantic pins for the corpus-prep queries (mixing, decontamination)
+— properties the cell-exact oracle comparison can't state on its own.
+"""
+
+from __future__ import annotations
+
+from transitdata_hfp_deduplicator_spark.queries import QUERIES
+
+
+def test_corpus_mix_binding_language_keeps_all(spark, sf_dir):
+    """Fractions are valid probabilities and the binding language (the
+    one whose availability limits the budget) keeps everything —
+    frac == 1 by construction of T = min(avail/w)."""
+    rows = QUERIES["q_corpus_mix"](spark, sf_dir).collect()
+    assert rows, "mix produced no languages"
+    fracs = {r.lang: r.frac for r in rows}
+    assert all(0.0 < f <= 1.0 + 1e-9 for f in fracs.values()), fracs
+    assert any(abs(f - 1.0) <= 1e-6 for f in fracs.values()), (
+        f"no binding language kept everything: {fracs}"
+    )
+
+
+def test_corpus_mix_is_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["q_corpus_mix"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["q_corpus_mix"](spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_decontaminate_flags_only_training_docs(spark, sf_dir):
+    """Every flagged doc is a TRAINING doc (never the eval slice
+    itself) with at least one shared shingle and at least one matching
+    eval doc."""
+    rows = QUERIES["q_decontaminate"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_id % 53 != 1, f"eval doc flagged as contaminated: {r}"
+        assert r.n_shared >= 1 and r.n_eval_docs >= 1, r
