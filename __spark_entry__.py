@@ -31,8 +31,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered
-    cheap-first so a driver time-budget cut lands after the fast
-    oracle-checked majority is recorded."""
+    so the driver's 50-entry correctness window covers queries with no
+    prior-round evidence first (this round's new queries and the r3
+    gate-cut tail), then re-confirms the cheapest evidenced ones."""
     return _q.gate_ordered()
 
 
