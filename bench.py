@@ -75,6 +75,32 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - warm-up must never fail the bench
         pass
 
+    # Fixed calibration workload: a 20M-row hash aggregate whose plan
+    # never changes across rounds.  Its time is a pure machine-speed
+    # probe — dividing two rounds' `calib` values separates "the engine
+    # regressed" from "the box is busier today" when comparing BENCH
+    # files (measured 1.3x drift between driver runs on this host).
+    calib = None
+    try:
+        from pyspark.sql import functions as F
+
+        best_c = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 20_000_000, 1, 32)
+                .groupBy((F.col("id") % 1000).alias("k"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            dt = time.perf_counter() - t0
+            best_c = dt if best_c is None else min(best_c, dt)
+        calib = round(best_c, 4)
+    except Exception:  # noqa: BLE001 - calibration must never fail the bench
+        calib = None
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         # Steady-state timing: each query runs TWICE and the faster run
@@ -127,6 +153,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib_sec": calib,
             }
         ),
         flush=True,

@@ -256,3 +256,15 @@ def test_rollup_cascade_single_scan(spark, sf_dir):
     df = QUERIES["q_rollup_cascade"](spark, sf_dir)
     plan = physical_plan(df)
     assert "Scan parquet" not in plan, "union branch re-reads the raw table"
+
+
+def test_winnow_single_exchange(spark, sf_dir):
+    """Winnowing: gram explode is narrow; ONE hash exchange on doc_id
+    feeds both the frame-min and the lag-dedup (same partitioning); a
+    distinct would add a second shuffle of the selected set."""
+    import re
+
+    df = QUERIES["q_text_winnow"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    assert "rangepartitioning" not in plan.lower()
