@@ -63,3 +63,56 @@ def test_parse_rule_degrades_gracefully():
     # topic with spaces: json starts at first '{'
     ts, topic, payload = parse_hfp_line('t /a b c {"x": 1}')
     assert topic == "/a b c"
+
+
+def test_streaming_tail_ingests_live_appends(spark, tmp_path):
+    """`readStream.format("hfp_text")`: a live byte-offset tail of a
+    growing HFP feed — half the corpus at start, half appended while
+    the query runs; all 5000 messages arrive and the golden 4956-unique
+    invariant holds end-to-end.  The growing file stands in for the
+    growing broker topic (Deduplicator.java:43); the byte offset in the
+    checkpoint is the replayable consumer position."""
+    import os
+    import time
+
+    corpus_lines = open(CORPUS, "rb").read().splitlines(keepends=True)
+    feed = str(tmp_path / "feed.txt")
+    with open(feed, "wb") as f:
+        f.write(b"".join(corpus_lines[:2500]))
+    outd, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    sdf = (
+        spark.readStream.format("hfp_text")
+        .option("path", feed)
+        .option("batchBytes", str(256 * 1024))
+        .load()
+    )
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(outd)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def _count() -> int:
+        try:
+            return spark.read.parquet(outd).count()
+        except Exception:  # noqa: BLE001 - sink dir not created yet
+            return 0
+
+    try:
+        deadline = time.time() + 90
+        while _count() < 2500 and time.time() < deadline:
+            time.sleep(0.5)
+        assert _count() == 2500, "first half never fully ingested"
+        with open(feed, "ab") as f:
+            f.write(b"".join(corpus_lines[2500:]))
+        while _count() < 5000 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = spark.read.parquet(outd)
+    assert out.count() == 5000
+    assert out.select("topic", "payload").distinct().count() == 4956

@@ -19,7 +19,12 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class HfpByteRange(InputPartition):
@@ -78,6 +83,58 @@ class HfpTextReader(DataSourceReader):
                     yield parse_hfp_line(line)
 
 
+class HfpTextStreamReader(SimpleDataSourceStreamReader):
+    """Tail-like streaming ingest of an HFP line file: the offset is a
+    BYTE position; each micro-batch reads up to ``batchBytes`` new
+    bytes extended to the next line boundary.  ``readBetweenOffsets``
+    replays any committed range deterministically (exactly the
+    replayability contract a broker offset gives the checkpoint) — this
+    is the engine's live-feed analog of the reference's Pulsar consumer
+    (Deduplicator.java:43), growing file standing in for growing topic.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("hfp_text requires .option('path', ...)")
+        self.batch_bytes = int(options.get("batchBytes", str(1 << 20)))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        pos = int(start["pos"])
+        size = os.path.getsize(self.path)
+        if pos >= size:
+            return iter(()), {"pos": pos}
+        with open(self.path, "rb") as f:
+            f.seek(pos)
+            rows, limit = [], min(pos + self.batch_bytes, size)
+            while f.tell() < limit:
+                raw = f.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", errors="replace").rstrip("\r\n")
+                if line:
+                    rows.append(parse_hfp_line(line))
+            end = f.tell()
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        with open(self.path, "rb") as f:
+            f.seek(int(start["pos"]))
+            while f.tell() < int(end["pos"]):
+                raw = f.readline()
+                if not raw:
+                    break
+                line = raw.decode("utf-8", errors="replace").rstrip("\r\n")
+                if line:
+                    yield parse_hfp_line(line)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release; the file is the retention
+
+
 class HfpTextDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -88,6 +145,9 @@ class HfpTextDataSource(DataSource):
 
     def reader(self, schema) -> HfpTextReader:
         return HfpTextReader(self.options)
+
+    def simpleStreamReader(self, schema) -> HfpTextStreamReader:
+        return HfpTextStreamReader(self.options)
 
 
 def register(spark) -> None:
