@@ -116,3 +116,53 @@ def test_streaming_tail_ingests_live_appends(spark, tmp_path):
     out = spark.read.parquet(outd)
     assert out.count() == 5000
     assert out.select("topic", "payload").distinct().count() == 4956
+
+
+def test_sink_roundtrip_golden(spark, tmp_path):
+    """Full loop through BOTH halves of the custom format: batch-read
+    the corpus via format('hfp_text') → first-wins dedup on
+    (topic, payload) → stream the result into the hfp_text SINK
+    (staged-file exactly-once commit) → re-read the sink output with
+    the same format → the golden 4,956 identities survive byte-exact.
+    This is the reference's consume → dedup → forward loop
+    (Deduplicator.java:43-66,117-129) with the engine's own connector
+    on both ends."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    deduped = (
+        spark.readStream.format("hfp_text")
+        .option("path", CORPUS)
+        # availableNow drains what one read() call reports available —
+        # size the micro-batch to cover the whole corpus
+        .option("batchBytes", str(1 << 25))
+        .load()
+        .groupBy("topic", "payload")
+        .agg(F.min("server_ts").alias("server_ts"))
+        .select("server_ts", "topic", "payload")
+    )
+    out_dir = str(tmp_path / "forwarded")
+    q = (
+        deduped.writeStream.format("hfp_text")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    batches = [d for d in os.listdir(out_dir) if d.startswith("batch=")]
+    assert batches, "sink committed no batch directory"
+    back = (
+        spark.read.format("hfp_text")
+        .option("path", os.path.join(out_dir, sorted(batches)[-1]))
+        .load()
+    )
+    assert back.count() == 4956
+    want = set(
+        (r.topic, r.payload)
+        for r in _load(spark).select("topic", "payload").distinct().collect()
+    )
+    got = set((r.topic, r.payload) for r in back.collect())
+    assert got == want

@@ -19,11 +19,16 @@ from __future__ import annotations
 import os
 from collections.abc import Iterator
 
+import uuid
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -53,14 +58,27 @@ class HfpTextReader(DataSourceReader):
         self.n_splits = int(options.get("numPartitions", "8"))
 
     def partitions(self):
-        size = os.path.getsize(self.path)
-        if size == 0:
-            return [HfpByteRange(self.path, 0, 0)]
-        step = max(1, (size + self.n_splits - 1) // self.n_splits)
-        return [
-            HfpByteRange(self.path, s, min(s + step, size))
-            for s in range(0, size, step)
-        ]
+        if os.path.isdir(self.path):  # a sink-written batch dir of parts
+            files = sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if not f.startswith((".", "_"))
+                and os.path.isfile(os.path.join(self.path, f))
+            )
+        else:
+            files = [self.path]
+        total = sum(os.path.getsize(f) for f in files)
+        if total == 0:
+            return [HfpByteRange(files[0] if files else self.path, 0, 0)]
+        step = max(1, (total + self.n_splits - 1) // self.n_splits)
+        parts = []
+        for f in files:
+            size = os.path.getsize(f)
+            parts.extend(
+                HfpByteRange(f, s, min(s + step, size))
+                for s in range(0, size, step)
+            )
+        return parts
 
     def read(self, partition: HfpByteRange) -> Iterator[tuple]:
         with open(partition.path, "rb") as f:
@@ -135,6 +153,57 @@ class HfpTextStreamReader(SimpleDataSourceStreamReader):
         pass  # nothing to release; the file is the retention
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+    rows: int
+
+
+class HfpTextStreamWriter(DataSourceStreamWriter):
+    """Streaming sink half of the format: serialize rows back to
+    ``ts topic json`` lines — the reference's forward-to-output-topic
+    (A7, Deduplicator.java:117-129) with STRONGER delivery semantics.
+    Each task writes to a staged file; ``commit`` moves the batch's
+    staged files into ``<dir>/batch=<id>/`` only after every task
+    reported success, and a replayed batch OVERWRITES its own directory
+    — write-ahead staging + idempotent rename = exactly-once into the
+    file sink, where the reference acked after async-send *initiation*
+    and could both drop (send failed, already acked) and re-emit."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("hfp_text sink requires .option('path', ...)")
+
+    def write(self, iterator) -> _StagedFile:
+        os.makedirs(os.path.join(self.dir, "_staging"), exist_ok=True)
+        staged = os.path.join(self.dir, "_staging", uuid.uuid4().hex)
+        n = 0
+        with open(staged, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(f"{row.server_ts} {row.topic} {row.payload}\n")
+                n += 1
+        return _StagedFile(staged=staged, rows=n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        batch_dir = os.path.join(self.dir, f"batch={batchId}")
+        if os.path.isdir(batch_dir):  # replayed batch: idempotent redo
+            shutil.rmtree(batch_dir)
+        os.makedirs(batch_dir)
+        for i, m in enumerate(messages):
+            if m is not None and m.rows > 0:
+                os.replace(m.staged, os.path.join(batch_dir, f"part-{i:05d}.txt"))
+            elif m is not None:
+                os.unlink(m.staged)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.unlink(m.staged)
+
+
 class HfpTextDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -148,6 +217,9 @@ class HfpTextDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> HfpTextStreamReader:
         return HfpTextStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> HfpTextStreamWriter:
+        return HfpTextStreamWriter(self.options)
 
 
 def register(spark) -> None:
