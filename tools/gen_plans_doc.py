@@ -107,6 +107,21 @@ COMMENTARY = {
         "rows never shuffle.  Selection is a deterministic hash "
         "predicate evaluated map-side inside codegen."
     ),
+    "q_text_winnow": (
+        "Winnowing fingerprints: gram explode is a narrow map; ONE hash "
+        "exchange on doc_id feeds the frame-min AND the lag run-dedup "
+        "(same window partitioning), where a distinct would shuffle the "
+        "selected set again.  The (hash, rightmost-pos) argmin is a "
+        "single packed BIGINT so the rolling min never leaves numeric "
+        "codegen."
+    ),
+    "q_join_skew_salted": (
+        "Salted skew join: the big side's key is widened with a "
+        "deterministic salt and the small side exploded per salt value "
+        "— one hot key's rows spread over 16 shuffle partitions.  The "
+        "oracle is the PLAIN join: the rewrite must be invisible in "
+        "the result."
+    ),
     "q_rollup_cascade": (
         "Multi-resolution rollup: the raw table appears NOWHERE in this "
         "plan — the minute grain is materialized once and every union "
