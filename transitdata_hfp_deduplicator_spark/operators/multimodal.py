@@ -108,6 +108,52 @@ def decode_media(df: DataFrame, real_codec: bool = False) -> DataFrame:
     return df.mapInPandas(kernel, DECODED_FIELDS)
 
 
+def resize_media(
+    decoded: DataFrame,
+    max_side: int = 64,
+    real_codec: bool = False,
+) -> DataFrame:
+    """Aspect-preserving resize planning + (stubbed) pixel resample.
+
+    The SPARK-side shape is the real operator: compute the target
+    geometry (longest side clamped to ``max_side``, aspect ratio kept,
+    never upscale) as pure JVM columns, then run the per-item pixel
+    work as an Arrow-batched kernel over only the rows that NEED
+    resampling — at lake scale the filter is the point, most media is
+    already within bounds.  ``real_codec=True`` is the PIL/av seam
+    (NotImplementedError here); the default path passes bytes through
+    and marks ``resized`` so downstream plumbing is testable.
+    """
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(float(max_side)) / F.greatest("width", "height"),
+    )
+    planned = decoded.withColumn(
+        "target_w", F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("int")
+    ).withColumn(
+        "target_h", F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("int")
+    ).withColumn(
+        "needs_resize",
+        (F.col("target_w") != F.col("width")) | (F.col("target_h") != F.col("height")),
+    )
+    if not real_codec:
+        return planned.withColumn("resized", F.col("needs_resize"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "real resampling (PIL/av) is not available in this "
+            "environment; plug it in here — the kernel receives only "
+            "rows with needs_resize=true"
+        )
+
+    schema = planned.schema.simpleString().replace("struct<", "").rstrip(">")
+    skip = planned.filter(~F.col("needs_resize"))
+    work = planned.filter(F.col("needs_resize")).mapInPandas(
+        kernel, f"{schema}"
+    )
+    return skip.unionByName(work).withColumn("resized", F.col("needs_resize"))
+
+
 def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
     """Explode videos into sampled frame rows (frame indices 0, n, 2n…)
     — pure column ops; at scale this is the row-multiplying step, so it
