@@ -34,3 +34,40 @@ def test_decontaminate_flags_only_training_docs(spark, sf_dir):
     for r in rows:
         assert r.doc_id % 53 != 1, f"eval doc flagged as contaminated: {r}"
         assert r.n_shared >= 1 and r.n_eval_docs >= 1, r
+
+
+def test_winnow_matches_pure_python_reference(spark, sf_dir):
+    """q_text_winnow vs an independent pure-python winnowing
+    implementation (Schleimer et al. Fig. 5 semantics: per-window min,
+    rightmost tie-break, dedup) over every document at sf0.001."""
+    import hashlib
+    import os
+
+    got = {
+        (r.doc_id, r.pos, r.fp_hash)
+        for r in QUERIES["q_text_winnow"](spark, sf_dir).collect()
+    }
+
+    import duckdb  # only to read the parquet without a second session
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{os.path.join(sf_dir, 'documents.parquet')}')"
+    ).fetchall()
+    want = set()
+    K, WIN = 8, 4
+    for doc_id, text in docs:
+        t = (text or "").strip().lower()
+        if len(t) < K:
+            continue
+        hs = []
+        for p in range(1, len(t) - K + 2):  # 1-based like substr
+            gram = t[p - 1 : p - 1 + K]
+            h40 = int(hashlib.md5(f"13|{gram}".encode()).hexdigest()[:10], 16)
+            hs.append((p, h40))
+        n = len(hs)
+        for s in range(0, n - WIN + 1):
+            window = hs[s : s + WIN]
+            # min hash, rightmost position on ties
+            best = min(window, key=lambda ph: (ph[1], -ph[0]))
+            want.add((doc_id, best[0], best[1]))
+    assert got == want
