@@ -1,0 +1,64 @@
+"""Scale stress for the dedup core: synthesize an N-row, ~2x-duplicated
+event feed with `spark.range` (no testdata dependency), run the exact
+first-wins dedup and the tumbling dup-stats over it, and print
+throughput.  The point is plan behavior far beyond the test SF: the
+partial min_by must keep the shuffle at ~unique volume, nothing may
+collect to the driver, and wall time must scale ~linearly in N.
+
+Usage: python tools/stress_dedup.py [n_rows]   (default 50_000_000)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+    from transitdata_hfp_deduplicator_spark.operators.dedup import (
+        dedup_exact,
+        dup_stats_tumbling,
+    )
+    from transitdata_hfp_deduplicator_spark.session import get_spark
+
+    spark = get_spark("stress-dedup")
+    # ~2x duplication: identity = id // 2; metadata (ts, key) varies per
+    # copy exactly like eventTime/key in ITDeduplicatorTest.java:37-42
+    feed = spark.range(0, n, 1, 64).select(
+        (F.col("id") / 2).cast("long").alias("user_id"),
+        (F.col("id") % 7).cast("string").alias("event_type"),
+        F.concat(F.lit('{"k":'), (F.col("id") / 2).cast("long").cast("string"), F.lit("}")).alias("props"),
+        F.timestamp_millis(F.lit(1700000000000) + F.col("id") * 10).alias("ts"),
+        F.col("id").alias("event_id"),
+    )
+    # Steady-state protocol: single cold runs on this machine are
+    # dominated by JIT warm-up (measured 72s cold vs 7.9s warm on the
+    # IDENTICAL plan — formulation "comparisons" from cold single shots
+    # are pure noise) — warm each plan once, report min-of-2.
+    def timed(df) -> float:
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return best
+
+    uniq = dedup_exact(feed, ["user_id", "event_type", "props"], ["ts", "event_id"])
+    stats = dup_stats_tumbling(
+        feed, ["user_id", "event_type", "props"], ["ts", "event_id"], "1 minute"
+    )
+    td, ts_ = timed(uniq), timed(stats)
+    print(
+        f"rows={n} dedup={td:.1f}s ({n/td/1e6:.1f}M rows/s) "
+        f"dup_stats={ts_:.1f}s ({n/ts_/1e6:.1f}M rows/s)"
+    )
+
+
+if __name__ == "__main__":
+    main()
