@@ -31,7 +31,7 @@ def main() -> None:
     # copy exactly like eventTime/key in ITDeduplicatorTest.java:37-42
     feed = spark.range(0, n, 1, 64).select(
         (F.col("id") / 2).cast("long").alias("user_id"),
-        (F.col("id") % 7).cast("string").alias("event_type"),
+        F.pmod((F.col("id") / 2).cast("long"), F.lit(7)).cast("string").alias("event_type"),
         F.concat(F.lit('{"k":'), (F.col("id") / 2).cast("long").cast("string"), F.lit("}")).alias("props"),
         F.timestamp_millis(F.lit(1700000000000) + F.col("id") * 10).alias("ts"),
         F.col("id").alias("event_id"),
