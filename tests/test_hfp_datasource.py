@@ -166,3 +166,17 @@ def test_sink_roundtrip_golden(spark, tmp_path):
     )
     got = set((r.topic, r.payload) for r in back.collect())
     assert got == want
+
+
+def test_empty_file_yields_no_rows(spark, tmp_path):
+    p = str(tmp_path / "empty.txt")
+    open(p, "w").close()
+    df = spark.read.format("hfp_text").option("path", p).load()
+    assert df.count() == 0
+
+
+def test_missing_path_option_raises(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="path"):
+        spark.read.format("hfp_text").load().count()
