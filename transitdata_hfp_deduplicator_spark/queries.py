@@ -3774,6 +3774,102 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ts_correlate",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               count(*) AS n_buckets,
+               SUM(a.v) AS sx, SUM(b.v) AS sy,
+               SUM(a.v * b.v) AS sxy,
+               SUM(a.v * a.v) AS sxx,
+               SUM(b.v * b.v) AS syy
+        FROM b a JOIN b b ON a.h = b.h AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT user_a, user_b, CAST(n_buckets AS BIGINT) AS n_buckets,
+           round((CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+               AS corr
+    FROM p
+    WHERE round((CAST(n_buckets AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / sqrt((CAST(n_buckets AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n_buckets AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) >= 0.4
+    """,
+)
+def q_ts_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over entity profiles (the
+    distributed streaming-similarity shape, EDBT'19): collapse each
+    user's events to a 24-bucket diurnal profile, then emit user pairs
+    whose profiles Pearson-correlate >= 0.4.
+
+    Scale shape: the raw table collapses FIRST (profiles are
+    #users x 24 rows — the aggregate is the similarity input, never the
+    events), the pair space is an hour-bucket equi-join over that tiny
+    profile table, and the correlation is assembled from DECIMAL
+    partial sums (exact, order-independent) with one double formula at
+    the end — bit-reproducible across engines.  At web-scale user
+    counts the pairwise stage swaps for the RP-LSH banding path
+    (q_embed_neardup_rplsh) over the same profile vectors."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("v")
+    )
+    a_, b_ = b.alias("a"), b.alias("bb")
+    p = (
+        a_.join(
+            b_,
+            (F.col("a.h") == F.col("bb.h"))
+            & (F.col("a.user_id") < F.col("bb.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"),
+            F.col("bb.user_id").alias("user_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("a.v")).alias("sx"),
+            F.sum(F.col("bb.v")).alias("sy"),
+            F.sum(F.col("a.v") * F.col("bb.v")).alias("sxy"),
+            F.sum(F.col("a.v") * F.col("a.v")).alias("sxx"),
+            F.sum(F.col("bb.v") * F.col("bb.v")).alias("syy"),
+        )
+    )
+    n = F.col("n_buckets").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = F.round(
+        (n * sxy - sx * sy)
+        / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+        6,
+    )
+    return (
+        p.withColumn("corr", corr)
+        .filter(F.col("corr") >= 0.4)
+        .select("user_a", "user_b", "n_buckets", "corr")
+    )
+
+
+@query(
     "q_join_skew_salted",
     oracle="""
     SELECT c_nationkey,
@@ -4138,6 +4234,7 @@ GATE_ROTATION = [
     "q_rollup_cascade",
     "q_join_skew_salted",
     "q_text_winnow",
+    "q_ts_correlate",
     # -- previously-evidenced, cheap-first (fills the tail slots) --
     "q_multimodal_bytes",
     "q_array_ops",
