@@ -268,3 +268,12 @@ def test_winnow_single_exchange(spark, sf_dir):
     plan = physical_plan(df)
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_ts_correlate_aggregates_before_pairing(spark, sf_dir):
+    """Profiles collapse below the pair join (partial agg on the raw
+    scan); the pair space never touches raw events and nothing goes
+    cartesian."""
+    df = QUERIES["q_ts_correlate"](spark, sf_dir)
+    assert_partial_aggregation(df)
+    assert_no_cartesian(df)
