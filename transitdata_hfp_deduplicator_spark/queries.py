@@ -1046,6 +1046,76 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winnow_pairs",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, p,
+               (('0x' || substr(md5('13|' || substr(t, p, 8)), 1, 10))::BIGINT
+                * 1048576) + (1048575 - p) AS key,
+               n_grams
+        FROM (
+            SELECT doc_id, lower(trim(text)) AS t,
+                   len(lower(trim(text))) - 7 AS n_grams
+            FROM documents
+            WHERE len(lower(trim(text))) >= 8
+        ), unnest(generate_series(1, n_grams)) AS u(p)
+    ),
+    k AS (
+        SELECT doc_id, p, n_grams,
+               min(key) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+        FROM g
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, wk >> 20 AS fp_hash
+        FROM k WHERE p <= n_grams - 3
+    ),
+    keep AS (SELECT fp_hash FROM fp GROUP BY fp_hash HAVING count(*) <= 20),
+    pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared_fps
+        FROM fp a JOIN keep USING (fp_hash) JOIN fp b USING (fp_hash)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i, j, CAST(shared_fps AS BIGINT) AS shared_fps
+    FROM pairs WHERE shared_fps >= 3
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style copy detection over winnowing fingerprints: document
+    pairs sharing >= 3 selected fingerprints (each implies a shared
+    >= 11-char substring).  Completes the winnowing family: local
+    fingerprints (q_text_winnow) -> cross-corpus match pairs.
+
+    Scale shape: the same inverted-index discipline as the Jaccard
+    family — distinct (doc, fp) postings, boilerplate fingerprints
+    (df > 20) dropped BEFORE pairing (one degenerate fingerprint would
+    emit a quadratic bucket), ordered pairs from per-fingerprint
+    posting lists under one fp-keyed exchange."""
+    fps = (
+        q_text_winnow(spark, sf_dir)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    buckets = (
+        fps.groupBy("fp_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= 20))
+    )
+    pair_struct = F.expr(
+        "flatten(transform(ds, (x, ix) -> "
+        "transform(slice(ds, ix + 2, size(ds) - ix - 1), y -> struct(x as i, y as j))))"
+    )
+    return (
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.i", "p.j")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 3)
+    )
+
+
+@query(
     "q_text_scrub",
     oracle="""
     WITH dirty AS (
@@ -3781,6 +3851,16 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS v
         FROM events GROUP BY 1, 2
     ),
+    peak AS (
+        SELECT user_id, h AS ph FROM (
+            SELECT user_id, h,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY v DESC, h ASC) AS rn
+            FROM b
+        ) WHERE rn = 1
+    ),
+    bp AS (SELECT b.user_id, b.h, b.v, peak.ph
+           FROM b JOIN peak ON b.user_id = peak.user_id),
     p AS (
         SELECT a.user_id AS user_a, b.user_id AS user_b,
                count(*) AS n_buckets,
@@ -3788,7 +3868,8 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(a.v * b.v) AS sxy,
                SUM(a.v * a.v) AS sxx,
                SUM(b.v * b.v) AS syy
-        FROM b a JOIN b b ON a.h = b.h AND a.user_id < b.user_id
+        FROM bp a JOIN bp b
+          ON a.h = b.h AND a.ph = b.ph AND a.user_id < b.user_id
         GROUP BY 1, 2
     )
     SELECT user_a, user_b, CAST(n_buckets AS BIGINT) AS n_buckets,
@@ -3812,7 +3893,8 @@ def q_ts_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search over entity profiles (the
     distributed streaming-similarity shape, EDBT'19): collapse each
     user's events to a 24-bucket diurnal profile, then emit user pairs
-    whose profiles Pearson-correlate >= 0.4.
+    whose profiles Pearson-correlate >= 0.4, pair space blocked by
+    profile peak hour.
 
     Scale shape: the raw table collapses FIRST (profiles are
     #users x 24 rows — the aggregate is the similarity input, never the
@@ -3830,11 +3912,30 @@ def q_ts_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,4)")
         .alias("v")
     )
-    a_, b_ = b.alias("a"), b.alias("bb")
+    # peak-hour blocking: pairs form only among users sharing the same
+    # profile peak (deterministic argmax: max v, ties -> smallest h;
+    # DECIMAL v makes the order engine-exact).  This bounds the pair
+    # space to sum(block^2) instead of n_users^2 — the same
+    # candidate-restriction role LSH banding plays for near-dup; the
+    # recall loss is the blocking tradeoff and is part of the declared
+    # semantics (the oracle blocks identically).
+    peak = (
+        b.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("v").desc(), F.col("h").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("h").alias("ph"))
+    )
+    bp = b.join(peak, "user_id")
+    a_, b_ = bp.alias("a"), bp.alias("bb")
     p = (
         a_.join(
             b_,
             (F.col("a.h") == F.col("bb.h"))
+            & (F.col("a.ph") == F.col("bb.ph"))
             & (F.col("a.user_id") < F.col("bb.user_id")),
         )
         .groupBy(
@@ -4235,6 +4336,7 @@ GATE_ROTATION = [
     "q_join_skew_salted",
     "q_text_winnow",
     "q_ts_correlate",
+    "q_winnow_pairs",
     # -- previously-evidenced, cheap-first (fills the tail slots) --
     "q_multimodal_bytes",
     "q_array_ops",
