@@ -180,3 +180,68 @@ def test_missing_path_option_raises(spark):
 
     with _pytest.raises(Exception, match="path"):
         spark.read.format("hfp_text").load().count()
+
+
+def test_sink_abort_cleans_staged_files(tmp_path):
+    """The write-ahead staging contract: abort() removes every staged
+    file, commit() of a replayed batch overwrites its own directory."""
+    import os
+
+    from pyspark.sql import Row
+
+    from transitdata_hfp_deduplicator_spark.sources.hfp_datasource import (
+        HfpTextStreamWriter,
+    )
+
+    w = HfpTextStreamWriter({"path": str(tmp_path)})
+    rows = [Row(server_ts="t1", topic="/a", payload='{"x":1}')]
+    m1 = w.write(iter(rows))
+    m2 = w.write(iter([]))
+    assert os.path.exists(m1.staged)
+    w.abort([m1, m2, None], batchId=0)
+    assert not os.path.exists(m1.staged)
+
+    # commit path: staged -> batch dir; replay overwrites
+    m3 = w.write(iter(rows))
+    w.commit([m3], batchId=7)
+    batch_dir = tmp_path / "batch=7"
+    assert len(list(batch_dir.iterdir())) == 1
+    m4 = w.write(iter(rows + rows))
+    w.commit([m4], batchId=7)  # replayed batch
+    files = list(batch_dir.iterdir())
+    assert len(files) == 1  # overwritten, not appended
+    assert open(files[0]).read().count("\n") == 2
+
+
+def test_parse_parity_on_adversarial_lines(spark, tmp_path):
+    """parse_hfp_line (Python, DataSource) vs hfp.parse_lines (SQL
+    expressions) agree on arbitrary adversarial lines — two independent
+    implementations of the same split rule."""
+    from transitdata_hfp_deduplicator_spark.sources import hfp
+
+    lines = [
+        "ts topic {json}",
+        "ts topic with spaces {json}",
+        "ts {json-immediately}",
+        "braces{inside}topic {x}",   # '{' before any space? no: space first
+        "no-braces-at-all",
+        "ts topic {nested {deep} json}",
+        "ts  double-space  {x}",
+        "{leading-brace}",
+        "ts trailing-space- {x} ",
+        "a {}",
+    ]
+    via_py = [
+        __import__(
+            "transitdata_hfp_deduplicator_spark.sources.hfp_datasource",
+            fromlist=["parse_hfp_line"],
+        ).parse_hfp_line(ln)
+        for ln in lines
+    ]
+    df = spark.createDataFrame([(ln,) for ln in lines], "value string")
+    via_sql = [
+        (r.server_ts, r.topic, r.payload) for r in hfp.parse_lines(df).collect()
+    ]
+    for ln, a, b in zip(lines, via_py, via_sql):
+        if "{" in ln and " " in ln.split("{")[0]:
+            assert a == b, f"parsers disagree on {ln!r}: {a} vs {b}"
