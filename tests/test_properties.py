@@ -212,3 +212,43 @@ def test_containment_matches_reference(spark, texts):
     assert got.keys() == want.keys()
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 99)),
+        max_size=25,
+    ),
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_pure_python(spark, left_rows, right_rows):
+    """operators.joins.asof_join (union + running-last) vs a brute-force
+    pure-python backward as-of on random keyed event sets."""
+    from transitdata_hfp_deduplicator_spark.operators.joins import asof_join
+
+    left_rows = [(k, t, i) for i, (k, t) in enumerate(left_rows)]
+    left = spark.createDataFrame(left_rows, "k int, ts int, lid int")
+    right = spark.createDataFrame(
+        right_rows or [(None, None, None)], "k int, ts int, v int"
+    ).filter("k IS NOT NULL")
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+
+    def brute(k, t):
+        cand = [(rt, v) for (rk, rt, v) in right_rows if rk == k and rt <= t]
+        if not cand:
+            return None
+        best_ts = max(rt for rt, _ in cand)
+        # tie toward the right row sorting last on its value columns
+        return max(v for rt, v in cand if rt == best_ts)
+
+    got = {r.lid: r.v_asof for r in out}
+    assert len(got) == len(left_rows), "as-of must preserve every left row"
+    for k, t, lid in left_rows:
+        assert got[lid] == brute(k, t), (k, t, lid, got[lid], brute(k, t))
