@@ -71,3 +71,24 @@ def test_winnow_matches_pure_python_reference(spark, sf_dir):
             best = min(window, key=lambda ph: (ph[1], -ph[0]))
             want.add((doc_id, best[0], best[1]))
     assert got == want
+
+
+def test_seq_pack_sequences_are_contiguous_and_ordered(spark, sf_dir):
+    """Packing invariants: every doc lands in exactly one sequence,
+    sequence ids per language are contiguous from 0, and a doc's
+    sequence id equals its exclusive prefix token count // budget —
+    i.e., sequences fill in doc order with no holes."""
+    rows = QUERIES["q_seq_pack"](spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        prefix = 0
+        seqs = set()
+        for r in rs:
+            assert r.seq_id == prefix // 512, (lang, r)
+            prefix += r.n_tok
+            seqs.add(r.seq_id)
+        assert seqs == set(range(max(seqs) + 1)), f"holes in {lang}: {sorted(seqs)}"
