@@ -92,3 +92,29 @@ def test_seq_pack_sequences_are_contiguous_and_ordered(spark, sf_dir):
             prefix += r.n_tok
             seqs.add(r.seq_id)
         assert seqs == set(range(max(seqs) + 1)), f"holes in {lang}: {sorted(seqs)}"
+
+
+def test_corpus_shuffle_is_a_bijection(spark, sf_dir):
+    """The seeded shuffle is a permutation: every doc appears exactly
+    once, and positions within each shard are contiguous from 1."""
+    rows = QUERIES["q_corpus_shuffle"](spark, sf_dir).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_gapfill_grid_is_dense(spark, sf_dir):
+    """Gap-fill output covers EVERY bucket between each group's min and
+    max — no holes — with zero-filled counts on filled rows."""
+    rows = QUERIES["q_gapfill"](spark, sf_dir).collect()
+    by_g: dict[str, list] = {}
+    for r in rows:
+        by_g.setdefault(r.event_type, []).append(r)
+    hour = 3600 * 1000
+    for g, rs in by_g.items():
+        ts = sorted(r.hour_ms for r in rs)
+        assert ts == list(range(ts[0], ts[-1] + hour, hour)), f"holes in {g}"
+        assert all(r.n_events >= 0 for r in rs)
