@@ -1,0 +1,66 @@
+"""Compare two bench outputs with machine-speed normalization.
+
+Usage: python tools/compare_bench.py OLD.json NEW.json [--threshold 1.25]
+
+Accepts either a raw bench line ({"metric": ..., "queries": ...}) or a
+driver BENCH_r{N}.json wrapper (whose "tail" holds the line or whose
+"parsed" holds it).  If both files carry `calib_sec` (the fixed
+20M-row probe bench.py emits), per-query ratios are divided by the
+calib ratio so host-speed drift doesn't read as regression.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load(path: str) -> dict:
+    d = json.load(open(path))
+    if "queries" in d:
+        return d
+    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+        return d["parsed"]
+    tail = d.get("tail", "")
+    m = re.search(r'\{"metric".*\}', tail)
+    if m:
+        return json.loads(m.group(0))
+    qs = dict(
+        (k, float(v)) for k, v in re.findall(r'"(q_\w+)": ([\d.]+)', tail)
+    )
+    if qs:
+        return {"queries": qs, "value": sum(qs.values()), "calib_sec": None}
+    raise SystemExit(f"no bench data found in {path}")
+
+
+def main() -> None:
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thresh = 1.25
+    if "--threshold" in sys.argv:
+        thresh = float(sys.argv[sys.argv.index("--threshold") + 1])
+    co, cn = old.get("calib_sec"), new.get("calib_sec")
+    speed = (cn / co) if (co and cn) else 1.0
+    print(
+        f"total: {old.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s"
+        f"  (host speed ratio {speed:.2f}x{' — normalized' if co and cn else ' — no calib, raw'})"
+    )
+    qo, qn = old["queries"], new["queries"]
+    rows = []
+    for name in sorted(set(qo) & set(qn)):
+        norm = (qn[name] / speed) / qo[name] if qo[name] > 0 else float("inf")
+        rows.append((norm, name, qo[name], qn[name]))
+    rows.sort(reverse=True)
+    flagged = [r for r in rows if r[0] >= thresh and r[3] >= 0.5]
+    for norm, name, a, b in flagged:
+        print(f"  REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({norm:.2f}x normalized)")
+    for name in sorted(set(qn) - set(qo)):
+        print(f"  NEW {name}: {qn[name]:.2f}s")
+    for name in sorted(set(qo) - set(qn)):
+        print(f"  REMOVED {name}")
+    if not flagged:
+        print(f"  no query regressed >= {thresh}x (normalized)")
+
+
+if __name__ == "__main__":
+    main()
