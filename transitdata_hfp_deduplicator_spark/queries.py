@@ -2464,6 +2464,105 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_stream_neardup",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    ),
+    mh AS MATERIALIZED (
+        SELECT doc_id,
+               [list_min(list_transform(shingles,
+                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                         + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                                % 288230376151711744)))
+                for k in range(0, 16)] AS sig
+        FROM sh
+    ),
+    keyed AS (
+        SELECT doc_id, sig, r.b AS band, sig[2*r.b + 1] AS k1, sig[2*r.b + 2] AS k2
+        FROM mh CROSS JOIN range(0, 8) r(b)
+    ),
+    firsts AS (
+        SELECT band, k1, k2, min(doc_id) AS first_id
+        FROM keyed GROUP BY 1, 2, 3
+    ),
+    hits AS (
+        SELECT k.doc_id, f.first_id,
+               list_sum([CASE WHEN k.sig[i] = m.sig[i] THEN 1 ELSE 0 END
+                         for i in range(1, 17)]) / 16.0 AS est
+        FROM keyed k
+        JOIN firsts f ON k.band = f.band AND k.k1 = f.k1 AND k.k2 = f.k2
+                      AND k.doc_id > f.first_id
+        JOIN mh m ON m.doc_id = f.first_id
+    ),
+    agg AS (
+        SELECT doc_id, min(first_id) AS dup_of, max(est) AS est_sim
+        FROM hits WHERE est >= 0.5 GROUP BY doc_id
+    )
+    SELECT d.doc_id, a.doc_id IS NOT NULL AS is_neardup, a.dup_of, a.est_sim
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup detection: documents replayed as a stream
+    through the online MinHash-LSH index (streaming/neardup_stream.py) —
+    the reference's online-dedup shape (Deduplicator.java:43-66) lifted
+    from exact equality to Jaccard similarity.
+
+    HASH-CHECKED despite being a stateful streaming query: the md5
+    signature family is engine-independent, band identity in state is
+    the raw signature rows (never an engine hash), arrival order is
+    event time = doc_id, and first-wins-per-bucket makes the index
+    contents a pure min(doc_id)-per-bucket function of the corpus — so
+    DuckDB reproduces every verdict bit-for-bit with window/group SQL.
+    The est_sim >= threshold cut and the per-doc OR across bands run
+    batch-side on the spooled hits (query-side policy, not state)."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        neardup_tag_stream,
+        parquet_stream,
+        replay_shuffle_partitions,
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stream = parquet_stream(spark, src).withColumn(
+        # event time := doc_id seconds after a fixed epoch — documents
+        # carries no timestamp, and this makes replay order (hence the
+        # state's first-wins winners) deterministic and oracle-visible
+        "ts",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")),
+    )
+    tagged = neardup_tag_stream(
+        stream, "doc_id", "text", "ts", shingle_n=3, num_hashes=16, bands=8
+    )
+    with scoped_shuffle_partitions(spark, replay_shuffle_partitions(src)):
+        out = run_to_memory(tagged, output_mode="append")
+    agg = (
+        out.filter(F.col("est_sim") >= 0.5)
+        .groupBy("doc_id")
+        .agg(
+            F.min("first_id").alias("dup_of"),
+            F.max("est_sim").alias("est_sim"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_neardup"),
+        "dup_of",
+        "est_sim",
+    )
+
+
+@query(
     "q_window_tumbling_stream",
     oracle="""
     SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_start,
@@ -4328,6 +4427,7 @@ GATE_ROTATION = [
     "q_late_data",
     "q_dedup_clusters",
     # -- new this round (no prior evidence possible) --
+    "q_dedup_stream_neardup",
     "q_corpus_mix",
     "q_decontaminate",
     "q_promo_share",

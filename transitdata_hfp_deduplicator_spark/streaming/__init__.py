@@ -8,6 +8,9 @@ from transitdata_hfp_deduplicator_spark.streaming.runner import (
     scoped_shuffle_partitions,
 )
 from transitdata_hfp_deduplicator_spark.streaming.dedup_stream import stream_dedup
+from transitdata_hfp_deduplicator_spark.streaming.neardup_stream import (
+    neardup_tag_stream,
+)
 from transitdata_hfp_deduplicator_spark.streaming.analytics import (
     stream_dup_stats,
     with_alerts,
@@ -19,6 +22,7 @@ __all__ = [
     "parquet_stream",
     "scoped_conf",
     "replay_shuffle_partitions",
+    "neardup_tag_stream",
     "run_to_memory",
     "scoped_shuffle_partitions",
     "stream_dedup",
