@@ -1,0 +1,104 @@
+"""Trained IVF coarse quantizer (operators/kmeans.py): Lloyd's must
+actually cluster, deterministically, and the trained index must recover
+true neighbours — an approximate operator without a measured recall is
+not 'done' (same bar as tests/test_similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from transitdata_hfp_deduplicator_spark.functions import vectors as VEC
+from transitdata_hfp_deduplicator_spark.operators.kmeans import (
+    ivf_topk_trained,
+    kmeans_cells,
+)
+from transitdata_hfp_deduplicator_spark.operators.similarity import cosine_topk
+
+
+def _clustered(spark, n=500, k=10, dim=32):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(k, dim)) * 5
+    rows = []
+    for i in range(n):
+        c = i % k
+        v = centers[c] + rng.normal(size=dim)
+        rows.append((i, [float(x) for x in v], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """With k = the planted cluster count, trained cells must be pure:
+    every planted cluster maps (almost) entirely into one learned cell."""
+    e = _clustered(spark)
+    assigned, _ = kmeans_cells(e, k=10, iters=3)
+    joined = assigned.join(e.select(F.col("vec_id").alias("vid"), "label"), "vid")
+    # majority cell per planted label, then the fraction of rows agreeing
+    top = (
+        joined.groupBy("label", "cell")
+        .count()
+        .groupBy("label")
+        .agg(F.max("count").alias("maj"), F.sum("count").alias("tot"))
+        .agg((F.sum("maj") / F.sum("tot")).alias("purity"))
+        .collect()[0]
+    )
+    assert top.purity >= 0.95, f"cluster purity {top.purity}"
+
+
+def test_kmeans_iterations_tighten_clusters(spark):
+    """Mean similarity to the assigned centroid must not decrease from
+    the hash init to the trained assignment (Lloyd's monotonicity,
+    modulo the cosine-vs-mean objective mismatch — on planted Gaussian
+    clusters the improvement is large, not marginal)."""
+    e = _clustered(spark)
+
+    def mean_sim(iters):
+        assigned, cents = kmeans_cells(e, k=10, iters=iters)
+        return (
+            assigned.join(F.broadcast(cents), "cell")
+            .select(VEC.cosine(F.col("v"), F.col("centroid")).alias("s"))
+            .agg(F.avg("s").alias("m"))
+            .collect()[0]
+            .m
+        )
+    one, three = mean_sim(1), mean_sim(3)
+    assert three >= one - 1e-9, f"{three} < {one}"
+    # hash-mean init starts every centroid near the grand mean, so a
+    # couple of the 10 cells lose the argmax race and go empty (local
+    # optimum ~8 live cells here; measured mean-sim 0.47 -> 0.82).
+    # That costs scan fraction, not recall — the recall test below is
+    # the quality gate; this pins the clustering actually happening.
+    assert three >= 0.75, f"trained clusters not tight: {three}"
+
+
+def test_kmeans_deterministic(spark):
+    e = _clustered(spark, n=200)
+    a1, c1 = kmeans_cells(e, k=5, iters=2)
+    a2, c2 = kmeans_cells(e, k=5, iters=2)
+    assert {(r.vid, r.cell) for r in a1.collect()} == {
+        (r.vid, r.cell) for r in a2.collect()
+    }
+    assert {(r.cell, tuple(r.centroid)) for r in c1.collect()} == {
+        (r.cell, tuple(r.centroid)) for r in c2.collect()
+    }
+
+
+def test_trained_ivf_recall_on_clustered_data(spark):
+    """Learned cells (no label column needed) must give the same recall
+    the natural-partition IVF achieves on clusterable data."""
+    e = _clustered(spark)
+    q = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    exact = {(r.q_id, r.item_id) for r in cosine_topk(e, q, k=5).collect()}
+    approx = {
+        (r.q_id, r.item_id)
+        for r in ivf_topk_trained(
+            e, q, k=5, nprobe=2, n_cells=10, iters=3
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.95, f"trained-IVF nprobe=2 recall {recall}"

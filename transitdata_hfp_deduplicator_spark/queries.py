@@ -2363,6 +2363,126 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, q, k=5, nprobe=3)
 
 
+_KMEANS_TRAIN_SQL = """
+    e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+    a0 AS (
+        SELECT vid, v,
+               ('0x' || substr(md5(vid::VARCHAR), 1, 15))::BIGINT % 8 AS cell
+        FROM e
+    ),
+    c1 AS (
+        SELECT cell, i,
+               CAST(SUM(CAST(v[i] AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+        FROM a0, (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY cell, i
+    ),
+    c1v AS (SELECT cell, list(m ORDER BY i) AS c FROM c1 GROUP BY cell),
+    a1 AS (
+        SELECT vid, v, cell FROM (
+            SELECT a0.vid, a0.v, c1v.cell,
+                   round(list_dot_product(a0.v, c1v.c)
+                         / (sqrt(list_dot_product(a0.v, a0.v))
+                            * sqrt(list_dot_product(c1v.c, c1v.c))), 6) AS sim
+            FROM a0 CROSS JOIN c1v
+        )
+        QUALIFY row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) = 1
+    ),
+    c2 AS (
+        SELECT cell, i,
+               CAST(SUM(CAST(v[i] AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+        FROM a1, (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY cell, i
+    ),
+    c2v AS (SELECT cell, list(m ORDER BY i) AS c FROM c2 GROUP BY cell),
+    a2 AS (
+        SELECT vid, v, cell, sim FROM (
+            SELECT a1.vid, a1.v, c2v.cell,
+                   round(list_dot_product(a1.v, c2v.c)
+                         / (sqrt(list_dot_product(a1.v, a1.v))
+                            * sqrt(list_dot_product(c2v.c, c2v.c))), 6) AS sim
+            FROM a1 CROSS JOIN c2v
+        )
+        QUALIFY row_number() OVER (PARTITION BY vid ORDER BY sim DESC, cell) = 1
+    )
+"""
+
+
+@query(
+    "q_embed_kmeans",
+    oracle="WITH "
+    + _KMEANS_TRAIN_SQL
+    + """
+    SELECT vid AS vec_id, cell, sim FROM a2
+    """,
+)
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed k-means (k=8, 2 Lloyd iterations, md5
+    hash-bucket init) — the IVF coarse-quantizer trainer
+    (operators/kmeans.py).  HASH-CHECKED: init is an md5 partition,
+    centroid means are DECIMAL-routed, assignment is round(cosine,6)
+    argmax with a cell tiebreaker — every iteration reproduces
+    bit-for-bit in DuckDB, so the driver verifies the TRAINING loop,
+    not just one scoring pass."""
+    from transitdata_hfp_deduplicator_spark.functions import vectors as VEC
+    from transitdata_hfp_deduplicator_spark.operators.kmeans import kmeans_cells
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_cells(e, k=8, iters=2)
+    return assigned.join(F.broadcast(centroids), "cell").select(
+        F.col("vid").alias("vec_id"),
+        "cell",
+        F.round(VEC.cosine(F.col("v"), F.col("centroid")), 6).alias("sim"),
+    )
+
+
+@query(
+    "q_embed_ann_ivf_trained",
+    oracle="WITH "
+    + _KMEANS_TRAIN_SQL
+    + """,
+    q AS (SELECT vid AS q_id, v AS qv FROM e WHERE vid % 100 = 0),
+    probes AS (
+        SELECT q_id, qv, cell
+        FROM (
+            SELECT q.q_id, q.qv, cv.cell,
+                   list_dot_product(q.qv, cv.c)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(cv.c, cv.c))) AS c_sim
+            FROM q CROSS JOIN c2v cv
+        )
+        QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY c_sim DESC, cell) <= 3
+    ),
+    scored AS (
+        SELECT p.q_id, a2.vid AS item_id,
+               round(list_dot_product(a2.v, p.qv)
+                     / (sqrt(list_dot_product(a2.v, a2.v))
+                        * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos_sim
+        FROM a2 JOIN probes p ON a2.cell = p.cell
+    )
+    SELECT q_id, item_id, cos_sim,
+           CAST(row_number() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, item_id) AS BIGINT) AS "rank"
+    FROM scored
+    QUALIFY "rank" <= 5
+    """,
+)
+def q_embed_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over LEARNED cells: k-means-trained coarse quantizer
+    (q_embed_kmeans's exact training loop) + nprobe=3 probing — the
+    no-natural-partition variant of q_embed_ann_ivf.  HASH-CHECKED
+    end-to-end: training, probe selection, and in-cell scoring all
+    reproduce in DuckDB."""
+    from transitdata_hfp_deduplicator_spark.operators.kmeans import (
+        ivf_topk_trained,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk_trained(e, q, k=5, nprobe=3, n_cells=8, iters=2)
+
+
 # ---------------------------------------------------------------------------
 # Array / map surface
 # ---------------------------------------------------------------------------
@@ -4428,6 +4548,8 @@ GATE_ROTATION = [
     "q_dedup_clusters",
     # -- new this round (no prior evidence possible) --
     "q_dedup_stream_neardup",
+    "q_embed_kmeans",
+    "q_embed_ann_ivf_trained",
     "q_corpus_mix",
     "q_decontaminate",
     "q_promo_share",
