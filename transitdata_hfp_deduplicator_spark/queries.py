@@ -4290,6 +4290,57 @@ def q_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lvl(m, "minute").unionAll(lvl(h, "hour")).unionAll(lvl(d, "day"))
 
 
+def _z_interleave_sql(av: str, bv: str, bits: int) -> str:
+    """DuckDB mirror of operators.layout.zvalue — generated, like the
+    engine's term list, so the two stay structurally identical."""
+    terms = [
+        f"((({av} >> {i}) & 1) << {2 * i + 1}) + ((({bv} >> {i}) & 1) << {2 * i})"
+        for i in range(bits)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT min(l_partkey) AS lo_a, max(l_partkey) AS hi_a,
+               min(l_suppkey) AS lo_b, max(l_suppkey) AS hi_b
+        FROM lineitem
+    ),
+    scaled AS (
+        SELECT l.l_partkey AS a, l.l_suppkey AS b,
+               CAST(floor((l.l_partkey - x.lo_a) * 1023 / (x.hi_a - x.lo_a)) AS BIGINT) AS sa,
+               CAST(floor((l.l_suppkey - x.lo_b) * 1023 / (x.hi_b - x.lo_b)) AS BIGINT) AS sb
+        FROM lineitem l CROSS JOIN bounds x
+    ),
+    zed AS (
+        SELECT a, b, {_z_interleave_sql("sa", "sb", 10)} AS z
+        FROM scaled
+    )
+    SELECT CAST(floor(z / 65536) AS BIGINT) AS file_id,
+           count(*) AS n_rows,
+           min(a) AS min_a, max(a) AS max_a,
+           min(b) AS min_b, max(b) AS max_b
+    FROM zed
+    GROUP BY 1
+    """,
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout planner: interleave min/max-rescaled
+    (l_partkey, l_suppkey) bits, split the curve into 16 equal-width
+    files, report each file's min/max envelope on BOTH dimensions —
+    the footer stats a ZORDER rewrite would produce, i.e. the pruning
+    power of the layout (operators/layout.py).  Pure integer bit-math
+    end-to-end, so DuckDB reproduces the curve exactly."""
+    from transitdata_hfp_deduplicator_spark.operators.layout import (
+        zorder_file_stats,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return zorder_file_stats(li, "l_partkey", "l_suppkey", n_files=16, bits=10)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits (operators/sampling.py)
 # ---------------------------------------------------------------------------
@@ -4550,6 +4601,7 @@ GATE_ROTATION = [
     "q_dedup_stream_neardup",
     "q_embed_kmeans",
     "q_embed_ann_ivf_trained",
+    "q_zorder_layout",
     "q_corpus_mix",
     "q_decontaminate",
     "q_promo_share",
