@@ -75,6 +75,26 @@ def main() -> None:
     except Exception:  # noqa: BLE001 - warm-up must never fail the bench
         pass
 
+    # Untimed warm-up pass: every query once at sf0.001.  Spark's
+    # codegen cache is keyed by the generated SOURCE, which depends on
+    # the plan/schema, not the data — so a tiny-SF execution compiles
+    # (janino) and loads the exact classes the timed pass reuses, warms
+    # stream-replay machinery, and primes Python worker imports.
+    # Without it, per-query cost depends on RUN ORDER: whichever
+    # queries run early absorb the compile burden (measured: the same
+    # registry timed 128.8s heavy-first vs ~77s cheap-first at sf0.1
+    # purely from ordering).  ~90s of warm-up buys order-independent
+    # steady-state numbers.
+    warm_sf = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_sf) and os.path.realpath(warm_sf) != os.path.realpath(
+        sf_dir
+    ):
+        for name, fn in qs.items():
+            try:
+                materialize(fn(spark, warm_sf))
+            except Exception:  # noqa: BLE001 - warm-up must never fail the bench
+                pass
+
     # Fixed calibration workload: a 20M-row hash aggregate whose plan
     # never changes across rounds.  Its time is a pure machine-speed
     # probe — dividing two rounds' `calib` values separates "the engine

@@ -277,3 +277,29 @@ def test_ts_correlate_aggregates_before_pairing(spark, sf_dir):
     df = QUERIES["q_ts_correlate"](spark, sf_dir)
     assert_partial_aggregation(df)
     assert_no_cartesian(df)
+
+
+def test_kmeans_assignment_broadcast_no_window(spark, sf_dir):
+    """k-means: centroids ride as broadcasts (tiny side of every
+    scoring pass), re-assignment is a map-side-combinable max_by — no
+    SortMergeJoin anywhere and no window sort over the scored n*k rows
+    (a row_number formulation would shuffle+sort every scored row)."""
+    df = QUERIES["q_embed_kmeans"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert_partial_aggregation(df)
+    assert "Window" not in plan, "assignment must be max_by, not row_number"
+
+
+def test_zorder_prunes_and_broadcasts_bounds(spark, sf_dir):
+    """Z-order planner: the scan reads ONLY the two layout dimensions
+    (16-column lineitem), the min/max bounds ride in via a broadcast
+    1-row aggregate (no collect, no second pass), and the file stats
+    partial-aggregate map-side."""
+    df = QUERIES["q_zorder_layout"](spark, sf_dir)
+    cols = read_schema_columns(df)
+    assert cols <= {"l_partkey", "l_suppkey"}, cols
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert_partial_aggregation(df)

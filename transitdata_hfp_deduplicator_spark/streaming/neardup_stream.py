@@ -47,18 +47,18 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from transitdata_hfp_deduplicator_spark.functions import text as TXT
 
 
-def rowwise_minhash_sig(
+def rowwise_md5_hexes(
     text_col: Column | str,
     shingle_n: int = 3,
-    num_hashes: int = 16,
-) -> tuple[Column, Column]:
-    """Per-row MinHash signature as (h1s, h2s) array columns + builder.
+) -> Column:
+    """Per-shingle md5 hex array — ONE interpreted transform pass.
 
-    Returns ``(h1s, h2s)`` — per-shingle md5 halves — to be materialized
-    in a projection of their own BEFORE the 16 array_min passes consume
-    them: the md5 transform is the expensive part, and giving it its own
-    named projection keeps CollapseProject from inlining one md5 pass
-    per signature component (16x the hashing).
+    Must be materialized in a projection of its own and REFERENCED (not
+    inlined) by both half-extractors below: higher-order functions are
+    CodegenFallback, and any single projection that embeds this chain
+    twice re-runs the md5 pass per consumer (measured 2.0s vs 0.9s for
+    the halves at sf0.1).  A multi-referenced, non-cheap projection
+    output survives CollapseProject, so the stage boundary holds.
 
     Batch signatures use the exploded groupBy formulation instead
     (operators/similarity.py:278 — whole-stage codegen, map-side
@@ -67,7 +67,11 @@ def rowwise_minhash_sig(
     """
     toks = TXT.tokenize(text_col)
     sh = TXT.shingles(toks, shingle_n)
-    hexes = F.transform(sh, lambda s: F.md5(s.cast("binary")))
+    return F.transform(sh, lambda s: F.md5(s.cast("binary")))
+
+
+def halves_from_hexes(hexes: Column) -> tuple[Column, Column]:
+    """(h1s, h2s) Kirsch-Mitzenmacher halves from the md5 hex array."""
     h1s = F.transform(
         hexes, lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("bigint")
     )
@@ -117,13 +121,15 @@ def neardup_tag_stream(
     per bucket.
     """
     rows = num_hashes // bands
-    h1s, h2s = rowwise_minhash_sig(text_col, shingle_n, num_hashes)
-    halves = stream.select(
+    hexed = stream.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.col(ts_col).alias("ts"),
-        h1s.alias("h1s"),
-        h2s.alias("h2s"),
-    ).filter(F.size("h1s") > 0)
+        rowwise_md5_hexes(text_col, shingle_n).alias("hx"),
+    ).filter(F.size("hx") > 0)
+    h1s, h2s = halves_from_hexes(F.col("hx"))
+    halves = hexed.select(
+        "doc_id", "ts", h1s.alias("h1s"), h2s.alias("h2s")
+    )
     sigged = halves.select(
         "doc_id",
         "ts",
