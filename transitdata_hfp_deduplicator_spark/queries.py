@@ -2015,21 +2015,25 @@ def q_minhash_simdup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            list_min(list_transform(shingles,
-               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
-                    + 0 * (('0x' || substr(md5(s), 17, 15))::BIGINT
-                           % 288230376151711744))) AS mh_0,
+               s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                     + 0 * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                            % 288230376151711744))
+                    & 576460752303423487)) AS mh_0,
            list_min(list_transform(shingles,
-               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
-                    + 1 * (('0x' || substr(md5(s), 17, 15))::BIGINT
-                           % 288230376151711744))) AS mh_1,
+               s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                     + 1 * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                            % 288230376151711744))
+                    & 576460752303423487)) AS mh_1,
            list_min(list_transform(shingles,
-               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
-                    + 2 * (('0x' || substr(md5(s), 17, 15))::BIGINT
-                           % 288230376151711744))) AS mh_2,
+               s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                     + 2 * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                            % 288230376151711744))
+                    & 576460752303423487)) AS mh_2,
            list_min(list_transform(shingles,
-               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
-                    + 3 * (('0x' || substr(md5(s), 17, 15))::BIGINT
-                           % 288230376151711744))) AS mh_3
+               s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                     + 3 * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                            % 288230376151711744))
+                    & 576460752303423487)) AS mh_3
     FROM sh
     """,
 )
@@ -2060,9 +2064,10 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh AS MATERIALIZED (
         SELECT doc_id, shingles,
                [list_min(list_transform(shingles,
-                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
-                         + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
-                                % 288230376151711744)))
+                    s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                          + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                                 % 288230376151711744))
+                         & 576460752303423487))
                 for k in range(0, 16)] AS sig
         FROM sh
     ),
@@ -2597,9 +2602,10 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     mh AS MATERIALIZED (
         SELECT doc_id,
                [list_min(list_transform(shingles,
-                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
-                         + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
-                                % 288230376151711744)))
+                    s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                          + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                                 % 288230376151711744))
+                         & 576460752303423487))
                 for k in range(0, 16)] AS sig
         FROM sh
     ),

@@ -85,10 +85,16 @@ def halves_from_hexes(hexes: Column) -> tuple[Column, Column]:
 
 
 def sig_from_halves(h1s: Column, h2s: Column, num_hashes: int = 16) -> Column:
-    """array<bigint> signature: sig[k] = min(h1 + k*h2) over shingles."""
+    """array<bigint> signature: sig[k] = min((h1 + k*h2) & (2^59-1))
+    over shingles — the 59-bit wrap keeps the k components independent
+    (see operators/similarity.py:minhash_signatures for the measured
+    failure mode without it)."""
+    mask = F.lit((1 << 59) - 1)
     return F.array(
         *[
-            F.array_min(F.zip_with(h1s, h2s, lambda a, b: a + F.lit(k) * b))
+            F.array_min(
+                F.zip_with(h1s, h2s, lambda a, b: (a + F.lit(k) * b).bitwiseAND(mask))
+            )
             for k in range(num_hashes)
         ]
     )
@@ -170,21 +176,44 @@ def neardup_tag_stream(
     out_schema = (
         "doc_id long, ts_ms long, band int, first_id long, est_sim double"
     )
-    state_schema = "blob binary"  # pickled dict — see stateful.py:112-118
+    # State rides as NUMPY-COLUMNAR binaries, not a pickled dict: the
+    # state value is rewritten wholesale every batch, so serialization
+    # is O(index size) per batch and the codec constant is the whole
+    # game — measured 5.7s vs 0.5s per batch round-trip at ~720k
+    # entries for dict-pickle vs tobytes/frombuffer.  Layout: keys
+    # (n,3: band,k1,k2), meta (n,2: first_id,first_ts), sigs
+    # (n,num_hashes), all int64.  The per-batch lookup dict is rebuilt
+    # from the key rows (~1ms per bucket) and immutable history stays
+    # zero-copy views over the state buffers.
+    state_schema = "keys binary, meta binary, sigs binary"
 
     def fn(
         bucket: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        import pickle
+        import numpy as np
 
+        nh = num_hashes
         if state.hasTimedOut:
             state.remove()
             return
-        index: dict = (
-            pickle.loads(bytes(state.get[0])) if state.exists else {}
-        )
+        if state.exists:
+            kb, mb, sb = state.get
+            keys = np.frombuffer(bytes(kb), dtype=np.int64).reshape(-1, 3)
+            meta = np.frombuffer(bytes(mb), dtype=np.int64).reshape(-1, 2)
+            sigs = np.frombuffer(bytes(sb), dtype=np.int64).reshape(-1, nh)
+        else:
+            keys = np.empty((0, 3), dtype=np.int64)
+            meta = np.empty((0, 2), dtype=np.int64)
+            sigs = np.empty((0, nh), dtype=np.int64)
+        lut = {tuple(k): i for i, k in enumerate(keys.tolist())}
+        overridden: set[int] = set()
+        new_keys: list[tuple] = []
+        new_meta: list[tuple] = []
+        new_sigs: list[tuple] = []
+        new_lut: dict = {}
+
         chunks = [
             pdf[["doc_id", "ts_ms", "band", "k1", "k2", "sig"]] for pdf in pdfs
         ]
@@ -204,26 +233,62 @@ def neardup_tag_stream(
             pdf["sig"].tolist(),
         ):
             key = (int(band), int(k1), int(k2))
-            sig = tuple(int(x) for x in sig)
-            entry = index.get(key)
-            if entry is not None and int(ts) - entry[1] > ttl_ms:
-                entry = None  # expired: bucket is free again
-            if entry is None:
-                index[key] = (int(doc), int(ts), sig)
+            ts = int(ts)
+            entry = new_lut.get(key)
+            if entry is not None:
+                first_id, first_ts, first_sig = new_meta[entry][0], new_meta[entry][1], new_sigs[entry]
             else:
-                first_id, _first_ts, first_sig = entry
-                est = sum(a == b for a, b in zip(sig, first_sig)) / len(sig)
+                i = lut.get(key)
+                if i is not None and i not in overridden:
+                    first_id, first_ts = int(meta[i, 0]), int(meta[i, 1])
+                    first_sig = sigs[i]
+                else:
+                    first_id = None
+            if first_id is not None and ts - first_ts > ttl_ms:
+                # expired: free the bucket (mark history row dead if it
+                # was the stored one)
+                if entry is None and key in lut:
+                    overridden.add(lut[key])
+                else:
+                    # new-entry expiry within one batch needs ttl <
+                    # batch time-span; replace in place
+                    new_meta[entry] = None  # type: ignore[index]
+                first_id = None
+            if first_id is None:
+                if entry is not None and new_meta[entry] is None:
+                    new_meta[entry] = (int(doc), ts)
+                    new_sigs[entry] = tuple(int(x) for x in sig)
+                else:
+                    new_lut[key] = len(new_keys)
+                    new_keys.append(key)
+                    new_meta.append((int(doc), ts))
+                    new_sigs.append(tuple(int(x) for x in sig))
+            else:
+                s = sig if isinstance(sig, np.ndarray) else np.asarray(sig)
+                est = float(np.count_nonzero(s == first_sig)) / nh
                 o_doc.append(int(doc))
-                o_ts.append(int(ts))
+                o_ts.append(ts)
                 o_band.append(int(band))
-                o_first.append(first_id)
+                o_first.append(int(first_id))
                 o_est.append(est)
         wm = state.getCurrentWatermarkMs()
+        keep = np.ones(len(keys), dtype=bool)
+        if overridden:
+            keep[list(overridden)] = False
         if wm > 0:
-            dead = [k for k, e in index.items() if e[1] + ttl_ms < wm]
-            for k in dead:
-                del index[k]
-        state.update((pickle.dumps(index, protocol=pickle.HIGHEST_PROTOCOL),))
+            keep &= meta[:, 1] + ttl_ms >= wm  # vectorized TTL prune
+        keys_out = np.concatenate(
+            [keys[keep], np.asarray(new_keys, dtype=np.int64).reshape(-1, 3)]
+        )
+        meta_out = np.concatenate(
+            [meta[keep], np.asarray(new_meta, dtype=np.int64).reshape(-1, 2)]
+        )
+        sigs_out = np.concatenate(
+            [sigs[keep], np.asarray(new_sigs, dtype=np.int64).reshape(-1, nh)]
+        )
+        state.update(
+            (keys_out.tobytes(), meta_out.tobytes(), sigs_out.tobytes())
+        )
         state.setTimeoutTimestamp(wm + ttl_ms + 1 if wm > 0 else ttl_ms)
         yield pd.DataFrame(
             {
