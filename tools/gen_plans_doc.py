@@ -153,6 +153,24 @@ COMMENTARY = {
         "— no SortMergeJoin, no corpus shuffle — and only HIT rows reach "
         "the per-doc partial+final aggregate."
     ),
+    "q_embed_kmeans": (
+        "k-means training, unrolled: each Lloyd iteration is a "
+        "BroadcastNestedLoopJoin against the k-row centroid table plus a "
+        "map-side-combinable max_by re-assignment — no Window (a "
+        "row_number argmax would shuffle+sort all n*k scored rows) and "
+        "no SortMergeJoin.  Iterations are localCheckpointed (the Scan "
+        "ExistingRDD here) because the mean and the argmax both consume "
+        "each round: unchecked, consumer fan-out re-executes every "
+        "earlier iteration — 2^iters corpus passes at cluster scale."
+    ),
+    "q_zorder_layout": (
+        "Z-order planner: the 16-column lineitem scan reads ONLY the two "
+        "layout dimensions (ReadSchema), the global min/max bounds ride "
+        "in via a broadcast 1-row aggregate (no collect, no second scan "
+        "pass), the Morton interleave is straight-line long arithmetic "
+        "inside WholeStageCodegen, and the per-file envelope stats "
+        "partial-aggregate map-side."
+    ),
 }
 
 
