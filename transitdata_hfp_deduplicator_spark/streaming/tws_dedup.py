@@ -1,0 +1,146 @@
+"""The reference hot path on Spark 4's per-key state store
+(``transformWithStateInPandas``): dedup tagging whose state cost is
+O(touched keys), not O(index size), per batch.
+
+Both custom stateful operators in this engine
+(streaming/stateful.py, streaming/neardup_stream.py) ride
+``applyInPandasWithState``, whose ONE state value per group must be
+rewritten wholesale every batch — with bucketed dict/columnar state
+that makes per-batch cost O(total index), the documented bottleneck of
+the 100k-doc streaming stress.  The transformWithState API
+(SPARK-49564, Spark 4.x) exposes the state STORE instead: a per-key
+``MapState`` where each get/put touches one entry, RocksDB-backed, so
+
+* per-batch cost scales with the BATCH (entries touched), not the
+  accumulated index — the asymptotic the reference's in-memory
+  hashCache has (Deduplicator.java:37-40);
+* state larger than executor memory spills to RocksDB instead of OOM.
+
+The trade is a per-operation Python<->JVM round trip (a proto message
+over the local state socket) versus the bulk pickle: at replay scale
+the bulk rewrite wins, at index >> batch the per-key store must win.
+
+SANDBOX LIMITATION: the TWS state protocol needs ``google.protobuf``
+at runtime (PySpark imports it lazily in the TWS runner), which this
+build environment does not ship and cannot install — execution here
+fails at runner init with ``ImportError: cannot import name
+'descriptor'``.  The operator is therefore exercised by
+``tests/test_tws_dedup.py`` ONLY where protobuf is importable
+(``pytest.importorskip``) — any standard cluster image, where
+pyspark's own declared deps pull it in.  Plan construction (everything
+up to query start) is verified unconditionally.
+
+Semantics are identical to ``dedup_tag_stream`` (streaming/stateful.py)
+and pinned against it in tests: every row emitted, tagged
+is_prime/delay_ms/hit_no, event-time TTL (a duplicate more than
+``ttl_ms`` after its key's first occurrence re-primes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+from transitdata_hfp_deduplicator_spark.operators.dedup import payload_digest
+
+
+class _DedupTagProcessor(StatefulProcessor):
+    """Per-bucket processor; the bucket's digest->(first_ms, hits) map
+    lives in MapState (one store entry per digest — the per-key store
+    IS the shard, no dict round-trip)."""
+
+    def __init__(self, ttl_ms: int):
+        self.ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.cache = handle.getMapState(
+            "digests", "key string", "first_ms long, hits long"
+        )
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        ttl_ms = self.ttl_ms
+        for pdf in rows:
+            pdf = pdf.sort_values("ts_ms", kind="mergesort")
+            o_key, o_ts, o_prime, o_delay, o_hit = [], [], [], [], []
+            # per-batch write-back cache: a key hit H times in one batch
+            # does ONE state read and ONE state write, not H of each
+            local: dict = {}
+            for k, ts in zip(pdf["key"].tolist(), pdf["ts_ms"].tolist()):
+                ts = int(ts)
+                ent = local.get(k)
+                if ent is None:
+                    got = self.cache.getValue((k,))
+                    ent = (int(got[0]), int(got[1])) if got is not None else None
+                if ent is not None and ts - ent[0] > ttl_ms:
+                    ent = None  # event-time TTL: expired => fresh prime
+                if ent is None:
+                    local[k] = (ts, 1)
+                    o_key.append(k)
+                    o_ts.append(ts)
+                    o_prime.append(True)
+                    o_delay.append(None)
+                    o_hit.append(1)
+                else:
+                    first, hits = ent
+                    local[k] = (first, hits + 1)
+                    o_key.append(k)
+                    o_ts.append(ts)
+                    o_prime.append(False)
+                    o_delay.append(ts - first)
+                    o_hit.append(hits + 1)
+            for k, ent in local.items():
+                self.cache.updateValue((k,), ent)
+            yield pd.DataFrame(
+                {
+                    "key": o_key,
+                    "ts_ms": pd.Series(o_ts, dtype="int64"),
+                    "is_prime": pd.Series(o_prime, dtype="bool"),
+                    "delay_ms": pd.array(o_delay, dtype="Int64"),
+                    "hit_no": pd.Series(o_hit, dtype="int64"),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def dedup_tag_stream_tws(
+    stream: DataFrame,
+    identity_cols: Sequence[str],
+    ts_col: str,
+    ttl_ms: int = 4 * 3600 * 1000,
+    n_buckets: int = 128,
+) -> DataFrame:
+    """``dedup_tag_stream`` semantics on the per-key state store.
+
+    Grouping is by digest hash-bucket exactly like the
+    applyInPandasWithState operator (one Python call per BUCKET per
+    batch — per-key grouping would pay the Arrow/Python round trip per
+    digest), but the map inside is MapState: only touched digests are
+    read or written, and RocksDB holds the rest.
+    """
+    keyed = (
+        stream.select(
+            payload_digest(*identity_cols).alias("key"),
+            F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+        )
+        .withColumn("bucket", F.pmod(F.xxhash64("key"), F.lit(n_buckets)))
+    )
+    return keyed.groupBy("bucket").transformWithStateInPandas(
+        _DedupTagProcessor(ttl_ms),
+        outputStructType=(
+            "key string, ts_ms long, is_prime boolean, delay_ms long, hit_no long"
+        ),
+        outputMode="Append",
+        timeMode="None",
+    )
