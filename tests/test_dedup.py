@@ -139,3 +139,25 @@ def test_incremental_dedup_excludes_history(spark, sf_dir):
         .collect()
     }
     assert not (set(ids) & hist)
+
+
+def test_dup_ratio_anomaly_flags_planted_spike(spark):
+    """Flat 10% dup ratio, one window spiking to 50%: the spike (and
+    only the spike) must flag, and no z exists until a full baseline."""
+    from transitdata_hfp_deduplicator_spark.operators.dedup import (
+        dup_ratio_anomaly,
+    )
+
+    rows = []
+    for w in range(30):
+        dups = 50 if w == 20 else (10 + (w % 3))  # mild jitter, one spike
+        rows.append((w * 60, 100 - dups, dups))
+    stats = spark.createDataFrame(
+        rows, "window_start long, primes long, duplicates long"
+    )
+    out = {r.window_start // 60: r for r in dup_ratio_anomaly(stats).collect()}
+    assert all(out[w].z is None and not out[w].is_anomaly for w in range(10))
+    flagged = {w for w in range(30) if out[w].is_anomaly}
+    assert 20 in flagged, f"spike not flagged: {out[20]}"
+    assert flagged <= {20, 21}, f"false alarms: {flagged}"  # 21: spike in baseline
+    assert abs(out[15].z) < 2

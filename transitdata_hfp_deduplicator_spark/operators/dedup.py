@@ -179,3 +179,66 @@ def dup_stats_tumbling(
             ),
         )
     )
+
+
+def dup_ratio_anomaly(
+    stats: DataFrame,
+    baseline_windows: int = 10,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Flag windows whose duplicate ratio is a z-score outlier against
+    the trailing ``baseline_windows`` windows — the statistical upgrade
+    of the reference's fixed alert bands (Analytics.java:50-60, A10):
+    instead of "ratio in [low, high)", "ratio surprising given THIS
+    feed's recent behaviour".
+
+    Takes the ``dup_stats_tumbling`` output.  Cross-engine-exact by
+    construction: the ratio becomes an INTEGER (dup_ppm, parts per
+    million, floored), and mean/variance over the trailing frame are
+    assembled from integer sums (sum x, sum x², count — all < 2⁵³, so
+    every value entering a float op is exact and every float op is
+    correctly-rounded IEEE, identical in any engine):
+
+        z = (x·n − sx) / sqrt((n·sxx − sx²)·n / (n−1))
+
+    z is NULL (and is_anomaly false) until a full baseline exists or
+    when the baseline has zero variance.  The trailing window is a
+    GLOBAL order-by (no partition): its input is the already-aggregated
+    per-minute stats table — thousands of rows per day, not raw events
+    — so the single-partition sort is a non-issue at any scale.
+    """
+    n = baseline_windows
+    x = F.floor(
+        F.col("duplicates") * F.lit(1_000_000)
+        / (F.col("primes") + F.col("duplicates"))
+    ).alias("dup_ppm")
+    base = stats.select("window_start", "primes", "duplicates").withColumn(
+        "dup_ppm", x
+    )
+    frame = (
+        Window.orderBy("window_start").rowsBetween(-n, -1)
+    )
+    base = base.select(
+        "window_start",
+        "dup_ppm",
+        F.count("dup_ppm").over(frame).alias("base_n"),
+        F.sum("dup_ppm").over(frame).alias("sx"),
+        F.sum(F.col("dup_ppm") * F.col("dup_ppm")).over(frame).alias("sxx"),
+    )
+    var_scaled = F.lit(n) * F.col("sxx") - F.col("sx") * F.col("sx")
+    z = F.round(
+        (F.col("dup_ppm") * F.lit(n) - F.col("sx"))
+        / F.sqrt((var_scaled * F.lit(n)) / F.lit(n - 1)),
+        6,
+    )
+    return base.select(
+        "window_start",
+        "dup_ppm",
+        "base_n",
+        F.when((F.col("base_n") == n) & (var_scaled > 0), z).alias("z"),
+        (
+            F.when((F.col("base_n") == n) & (var_scaled > 0), F.abs(z))
+            .otherwise(F.lit(0.0))
+            >= F.lit(z_threshold)
+        ).alias("is_anomaly"),
+    )

@@ -127,6 +127,68 @@ def q_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_stats_tumbling(ev, EVENT_IDENTITY, EVENT_ORDER, "1 minute")
 
 
+@query(
+    "q_dup_anomaly",
+    oracle="""
+    WITH tagged AS (
+        SELECT ts,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type, props
+                   ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    stats AS (
+        SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_start,
+               count(*) FILTER (rn = 1) AS primes,
+               count(*) FILTER (rn > 1) AS duplicates
+        FROM tagged
+        GROUP BY 1
+    ),
+    ppm AS (
+        SELECT window_start,
+               CAST(floor(duplicates * 1000000 / (primes + duplicates)) AS BIGINT)
+                   AS dup_ppm
+        FROM stats
+    ),
+    base AS (
+        SELECT window_start, dup_ppm,
+               count(dup_ppm) OVER w AS base_n,
+               sum(dup_ppm) OVER w AS sx,
+               sum(dup_ppm * dup_ppm) OVER w AS sxx
+        FROM ppm
+        WINDOW w AS (ORDER BY window_start
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT window_start, dup_ppm, base_n,
+           CASE WHEN base_n = 10 AND (10 * sxx - sx * sx) > 0
+                THEN round((dup_ppm * 10 - sx)
+                           / sqrt(((10 * sxx - sx * sx) * 10) / 9), 6)
+           END AS z,
+           coalesce(
+               CASE WHEN base_n = 10 AND (10 * sxx - sx * sx) > 0
+                    THEN abs(round((dup_ppm * 10 - sx)
+                             / sqrt(((10 * sxx - sx * sx) * 10) / 9), 6))
+               END, 0.0) >= 2.0 AS is_anomaly
+    FROM base
+    """,
+)
+def q_dup_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-ratio anomaly detection: z-score of each minute's dup
+    ratio against the trailing-10-window baseline — the statistical
+    upgrade of the reference's fixed alert bands (Analytics.java:50-60,
+    A10).  HASH-CHECKED: the ratio is floored to integer ppm and the
+    baseline mean/variance are assembled from integer window sums, so
+    every float op consumes exact integers and both engines round
+    identically (operators/dedup.py::dup_ratio_anomaly)."""
+    from transitdata_hfp_deduplicator_spark.operators.dedup import (
+        dup_ratio_anomaly,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    stats = dup_stats_tumbling(ev, EVENT_IDENTITY, EVENT_ORDER, "1 minute")
+    return dup_ratio_anomaly(stats, baseline_windows=10, z_threshold=2.0)
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY.md §7 step 2)
 # ---------------------------------------------------------------------------
@@ -4605,6 +4667,7 @@ GATE_ROTATION = [
     "q_dedup_clusters",
     # -- new this round (no prior evidence possible) --
     "q_dedup_stream_neardup",
+    "q_dup_anomaly",
     "q_embed_kmeans",
     "q_embed_ann_ivf_trained",
     "q_zorder_layout",
