@@ -252,3 +252,65 @@ def test_asof_join_matches_pure_python(spark, left_rows, right_rows):
     assert len(got) == len(left_rows), "as-of must preserve every left row"
     for k, t, lid in left_rows:
         assert got[lid] == brute(k, t), (k, t, lid, got[lid], brute(k, t))
+
+
+def _py_minhash_md5(text: str, num_hashes: int = 16, shingle_n: int = 3):
+    """Independent pure-python mirror of the md5 KM signature family
+    (operators/similarity.py:minhash_signatures) including the 2^59
+    wrap — written from the spec, not the Spark expressions."""
+    import hashlib
+
+    toks = text.strip().lower().split()
+    shingles = sorted(
+        {" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
+    )
+    if not shingles:
+        return None
+    mask = (1 << 59) - 1
+    halves = []
+    for s in shingles:
+        h = hashlib.md5(s.encode()).hexdigest()
+        halves.append((int(h[0:15], 16), int(h[16:31], 16) % (2**58)))
+    return tuple(
+        min((h1 + k * h2) & mask for h1, h2 in halves) for k in range(num_hashes)
+    )
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abc xyz0"), min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_minhash_family_matches_pure_python(spark, texts):
+    """The masked KM family must agree with an independent reference on
+    arbitrary text (incl. empty/whitespace-only docs -> NULL sigs) —
+    the property the DuckDB oracles rely on, pinned against a third
+    implementation."""
+    from pyspark.sql import functions as F
+
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (
+            None
+            if r.mh_0 is None
+            else tuple(r[f"mh_{k}"] for k in range(16))
+        )
+        for r in minhash_signatures(
+            df, "doc_id", "text", shingle_n=3, num_hashes=16, hash_family="md5"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_minhash_md5(t), (i, t)

@@ -179,7 +179,11 @@ def q_dup_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     A10).  HASH-CHECKED: the ratio is floored to integer ppm and the
     baseline mean/variance are assembled from integer window sums, so
     every float op consumes exact integers and both engines round
-    identically (operators/dedup.py::dup_ratio_anomaly)."""
+    identically (operators/dedup.py::dup_ratio_anomaly).  The ONLINE
+    chain is the same function applied to q_dup_stats_stream's spooled
+    stats — the scoring is a pure batch transform over the aggregated
+    minute table, so it composes with either the batch or the streaming
+    stats producer unchanged."""
     from transitdata_hfp_deduplicator_spark.operators.dedup import (
         dup_ratio_anomaly,
     )
