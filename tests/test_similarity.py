@@ -241,3 +241,58 @@ def test_containment_consistent_under_max_df_cap(spark):
     a = sorted(map(tuple, containment_pairs(df, threshold=0.1).collect()))
     b = sorted(map(tuple, containment_pairs(df, threshold=0.1, max_df=100).collect()))
     assert a == b
+
+
+def test_incremental_lsh_matches_full_batch_verdicts(spark, sf_dir):
+    """Splitting the corpus into history + batch must give each new doc
+    exactly the verdict the FULL-corpus pair run implies for it (the
+    incremental path only skips history×history work, never changes
+    any new doc's answer)."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_lsh_incremental,
+        minhash_lsh_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    cut = d.count() * 6 // 10
+    hist = d.filter(F.col("doc_id") < cut)
+    new = d.filter(F.col("doc_id") >= cut)
+    got = {
+        (r.doc_id, r.is_dup, r.dup_of, r.jaccard)
+        for r in minhash_lsh_incremental(
+            new, hist, "doc_id", "text", hash_family="md5"
+        ).collect()
+    }
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", threshold=0.5, hash_family="md5"
+    ).collect()
+    best: dict = {}
+    for p in pairs:
+        if p.j >= cut:  # full run orders i<j, so i is the earlier partner
+            lo, hi = best.get(p.j, (None, None))
+            best[p.j] = (
+                p.i if lo is None else min(lo, p.i),
+                p.jaccard if hi is None else max(hi, p.jaccard),
+            )
+    want = {
+        (r.doc_id, r.doc_id in best, *best.get(r.doc_id, (None, None)))
+        for r in new.select("doc_id").collect()
+    }
+    assert got == want
+    assert any(v[1] for v in got), "corpus plants near-dups; some must hit"
+
+
+def test_incremental_lsh_empty_history(spark, sf_dir):
+    """With no history, incremental == within-batch-only verdicts."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_lsh_incremental,
+    )
+
+    d = table(spark, sf_dir, "documents").limit(100)
+    empty = d.filter(F.lit(False))
+    out = minhash_lsh_incremental(d, empty, "doc_id", "text").collect()
+    assert len(out) == 100
+    for r in out:
+        assert (r.dup_of is None) == (not r.is_dup)
+        if r.is_dup:
+            assert r.dup_of < r.doc_id

@@ -354,6 +354,32 @@ def minhash_signatures(
     )
 
 
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_hash) rows: all bands in ONE pass (a union of
+    per-band selects would re-evaluate the signature subplan once per
+    band — bands× the minhash work); xxhash64 mixes the band's
+    signature values directly, no string concat.  band_hash equality ⇔
+    signature-row equality modulo a 64-bit collision, which only ever
+    ADDS a candidate that exact verification then rejects."""
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(band_structs).alias("bh")).select(
+        "doc_id",
+        F.col("bh.band").alias("band"),
+        F.col("bh.band_hash").alias("band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -391,23 +417,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         docs, id_col, text_col, shingle_n, num_hashes, hash_family=hash_family
     )
-    # all bands in ONE pass (a union of per-band selects would re-evaluate
-    # the signature subplan once per band — 8x the minhash work);
-    # xxhash64 mixes the band's signature values directly, no string concat
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("bh")).select(
-        "doc_id", F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash")
-    )
+    banded = _banded(sigs, num_hashes, bands)
     # candidate pairs via posting lists (groupBy bucket -> ordered pairs):
     # one evaluation of the banding subplan and one shuffle — a self-join
     # would re-evaluate the whole signature pipeline per branch
@@ -464,6 +474,116 @@ def minhash_lsh_pairs(
         ),
     )
     return verified.filter(F.col("jaccard") >= threshold).select("i", "j", "jaccard")
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    hist_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup dedup: per-NEW-doc verdicts against the
+    historical corpus AND earlier docs of the same batch — the
+    production ingest shape (q_dedup_incremental's exact-digest
+    anti-join, lifted to Jaccard similarity).
+
+    Scale shape: the HISTORICAL side contributes only its (band,
+    band_hash) index rows — precomputed once and reused across batches
+    in a real deployment — and candidates come from (a) an equi-join of
+    the new batch's band rows against that index and (b) posting-list
+    pairs WITHIN the new batch.  History×history pairs are never
+    enumerated, so per-batch cost scales with the batch and the hit
+    rate, not the corpus.  Verification re-shingles only candidate
+    docs (semi-joined from both sides), exactly like minhash_lsh_pairs.
+
+    Output: one row per new doc — (doc_id, is_dup, dup_of, jaccard)
+    with dup_of = min qualifying partner id and jaccard = max
+    qualifying similarity (independent aggregates, deterministic; they
+    may come from different partners).
+    """
+    sig_new = minhash_signatures(
+        new_docs, id_col, text_col, shingle_n, num_hashes, hash_family=hash_family
+    )
+    sig_hist = minhash_signatures(
+        hist_docs, id_col, text_col, shingle_n, num_hashes, hash_family=hash_family
+    )
+    b_new = _banded(sig_new, num_hashes, bands)
+    b_hist = _banded(sig_hist, num_hashes, bands)
+    cross = (
+        b_new.join(
+            b_hist.withColumnRenamed("doc_id", "i"), ["band", "band_hash"]
+        )
+        .select(F.col("i"), F.col("doc_id").alias("j"))
+    )
+    buckets = (
+        b_new.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ds") <= max_bucket)
+    within = buckets.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(ds, (x, i) ->"
+                    " transform(slice(ds, i+2, size(ds)), y -> struct(x as i, y as j)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.i", "p.j")
+    candidates = cross.union(within).distinct().localCheckpoint()
+
+    cand_i = candidates.select(F.col("i").alias("cid"))
+    cand_j = candidates.select(F.col("j").alias("cid"))
+    all_docs = hist_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).unionAll(
+        new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
+    cand_docs = all_docs.join(
+        cand_i.union(cand_j).distinct(),
+        F.col("doc_id") == F.col("cid"),
+        "left_semi",
+    )
+    sh = _shingled(cand_docs, "doc_id", "text", shingle_n)
+    ci = candidates.join(
+        sh.withColumnRenamed("doc_id", "i").withColumnRenamed("shingles", "sh_i"),
+        "i",
+    )
+    cij = ci.join(
+        sh.withColumnRenamed("doc_id", "j").withColumnRenamed("shingles", "sh_j"),
+        "j",
+    )
+    hits = (
+        cij.withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_i", "sh_j"))
+                / F.size(F.array_union("sh_i", "sh_j")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("j")
+        .agg(F.min("i").alias("dup_of"), F.max("jaccard").alias("jaccard"))
+    )
+    return (
+        new_docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, F.col("doc_id") == F.col("j"), "left")
+        .select(
+            "doc_id",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+            "dup_of",
+            "jaccard",
+        )
+    )
 
 
 def simhash_signatures(

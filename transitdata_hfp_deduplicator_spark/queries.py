@@ -2117,6 +2117,103 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_incr_neardup",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    ),
+    mh AS MATERIALIZED (
+        SELECT doc_id, shingles,
+               [list_min(list_transform(shingles,
+                    s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                          + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                                 % 288230376151711744))
+                         & 576460752303423487))
+                for k in range(0, 16)] AS sig
+        FROM sh
+    ),
+    cut AS (SELECT CAST(floor(0.6 * count(*)) AS BIGINT) AS c FROM documents),
+    hist AS (SELECT mh.* FROM mh, cut WHERE doc_id < c),
+    nw AS (SELECT mh.* FROM mh, cut WHERE doc_id >= c),
+    cand AS (
+        SELECT h.doc_id AS i, n.doc_id AS j FROM hist h JOIN nw n ON h.sig[1] = n.sig[1] AND h.sig[2] = n.sig[2]
+        UNION
+        SELECT h.doc_id AS i, n.doc_id AS j FROM hist h JOIN nw n ON h.sig[3] = n.sig[3] AND h.sig[4] = n.sig[4]
+        UNION
+        SELECT h.doc_id AS i, n.doc_id AS j FROM hist h JOIN nw n ON h.sig[5] = n.sig[5] AND h.sig[6] = n.sig[6]
+        UNION
+        SELECT h.doc_id AS i, n.doc_id AS j FROM hist h JOIN nw n ON h.sig[7] = n.sig[7] AND h.sig[8] = n.sig[8]
+        UNION
+        SELECT h.doc_id AS i, n.doc_id AS j FROM hist h JOIN nw n ON h.sig[9] = n.sig[9] AND h.sig[10] = n.sig[10]
+        UNION
+        SELECT h.doc_id AS i, n.doc_id AS j FROM hist h JOIN nw n ON h.sig[11] = n.sig[11] AND h.sig[12] = n.sig[12]
+        UNION
+        SELECT h.doc_id AS i, n.doc_id AS j FROM hist h JOIN nw n ON h.sig[13] = n.sig[13] AND h.sig[14] = n.sig[14]
+        UNION
+        SELECT h.doc_id AS i, n.doc_id AS j FROM hist h JOIN nw n ON h.sig[15] = n.sig[15] AND h.sig[16] = n.sig[16]
+        UNION
+        SELECT a.doc_id AS i, b.doc_id AS j FROM nw a JOIN nw b ON a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2] AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS i, b.doc_id AS j FROM nw a JOIN nw b ON a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4] AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS i, b.doc_id AS j FROM nw a JOIN nw b ON a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6] AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS i, b.doc_id AS j FROM nw a JOIN nw b ON a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8] AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS i, b.doc_id AS j FROM nw a JOIN nw b ON a.sig[9] = b.sig[9] AND a.sig[10] = b.sig[10] AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS i, b.doc_id AS j FROM nw a JOIN nw b ON a.sig[11] = b.sig[11] AND a.sig[12] = b.sig[12] AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS i, b.doc_id AS j FROM nw a JOIN nw b ON a.sig[13] = b.sig[13] AND a.sig[14] = b.sig[14] AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id AS i, b.doc_id AS j FROM nw a JOIN nw b ON a.sig[15] = b.sig[15] AND a.sig[16] = b.sig[16] AND a.doc_id < b.doc_id
+    ),
+    pairj AS (
+        SELECT cand.i, cand.j,
+               round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                     / len(list_distinct(a.shingles || b.shingles)), 6) AS jac
+        FROM cand JOIN mh a ON cand.i = a.doc_id JOIN mh b ON cand.j = b.doc_id
+    ),
+    hits AS (
+        SELECT j, min(i) AS dup_of, max(jac) AS jaccard
+        FROM pairj WHERE jac >= 0.5 GROUP BY j
+    )
+    SELECT n.doc_id, h.j IS NOT NULL AS is_dup, h.dup_of, h.jaccard
+    FROM (SELECT doc_id FROM documents, cut WHERE doc_id >= c) n
+    LEFT JOIN hits h ON n.doc_id = h.j
+    """,
+)
+def q_dedup_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup: the last 40% of the corpus arrives
+    as a new batch and each new doc is checked against the historical
+    60% (via its precomputed band index) plus earlier docs of the same
+    batch — q_dedup_incremental's production shape lifted from exact
+    digests to Jaccard similarity
+    (operators/similarity.py::minhash_lsh_incremental; history×history
+    pairs never enumerated).  HASH-CHECKED via the md5 signature
+    family."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_lsh_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    cut = d.agg(
+        F.floor(0.6 * F.count(F.lit(1))).cast("bigint").alias("c")
+    )
+    hist = d.join(F.broadcast(cut)).filter(F.col("doc_id") < F.col("c"))
+    new = d.join(F.broadcast(cut)).filter(F.col("doc_id") >= F.col("c"))
+    return minhash_lsh_incremental(
+        new, hist, "doc_id", "text", shingle_n=3, num_hashes=16, bands=8,
+        threshold=0.5, hash_family="md5",
+    )
+
+
+@query(
     "q_dedup_minhash_lsh",
     oracle="""
     WITH sh AS (
@@ -4672,6 +4769,7 @@ GATE_ROTATION = [
     # -- new this round (no prior evidence possible) --
     "q_dedup_stream_neardup",
     "q_dup_anomaly",
+    "q_dedup_incr_neardup",
     "q_embed_kmeans",
     "q_embed_ann_ivf_trained",
     "q_zorder_layout",
