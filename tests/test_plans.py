@@ -303,3 +303,13 @@ def test_zorder_prunes_and_broadcasts_bounds(spark, sf_dir):
     plan = physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert_partial_aggregation(df)
+
+
+def test_incremental_lsh_keyed_joins_only(spark, sf_dir):
+    """Incremental near-dup: every join is keyed (band index equi-join,
+    candidate-id joins) — no cartesian anywhere, and the documents scan
+    reads only (doc_id, text)."""
+    df = QUERIES["q_dedup_incr_neardup"](spark, sf_dir)
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df)
+    assert cols <= {"doc_id", "text"}, cols
