@@ -163,6 +163,26 @@ COMMENTARY = {
         "each round: unchecked, consumer fan-out re-executes every "
         "earlier iteration — 2^iters corpus passes at cluster scale."
     ),
+    "q_dedup_incr_neardup": (
+        "Incremental near-dup: the registry's Exchange-count outlier (17) "
+        "because the INLINE formulation rebuilds both signature pipelines "
+        "per run — the deployment contract (docstring) precomputes the "
+        "historical band index once, leaving per-batch work at: batch "
+        "signatures (map-only), ONE equi-join against the index, "
+        "posting-list pairs within the batch, and candidate-only "
+        "verification.  The load-bearing property pinned in tests: every "
+        "join is keyed — no cartesian — and history×history pairs are "
+        "never enumerated."
+    ),
+    "q_dup_anomaly": (
+        "Anomaly scoring rides ENTIRELY on the aggregated minute table: "
+        "the raw scan collapses through the dup-stats partial+final "
+        "aggregate first, then one global-order window assembles integer "
+        "baseline sums (sum x, sum x², count) — thousands of rows, so the "
+        "single-partition window sort is a non-issue; every float op "
+        "consumes exact integers, which is what makes the z-scores "
+        "hash-checkable cross-engine."
+    ),
     "q_zorder_layout": (
         "Z-order planner: the 16-column lineitem scan reads ONLY the two "
         "layout dimensions (ReadSchema), the global min/max bounds ride "
