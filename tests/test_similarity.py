@@ -296,3 +296,33 @@ def test_incremental_lsh_empty_history(spark, sf_dir):
         assert (r.dup_of is None) == (not r.is_dup)
         if r.is_dup:
             assert r.dup_of < r.doc_id
+
+
+def test_incremental_lsh_max_bucket_caps_both_sides(spark, sf_dir):
+    """A max_bucket >= every bucket size must be a no-op on BOTH the
+    within-batch posting lists and the history index (the cap's
+    exactness contract); a tiny cap must only REMOVE verdicts."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_lsh_incremental,
+    )
+
+    d = table(spark, sf_dir, "documents").limit(200)
+    cut = 120
+    hist = d.filter(F.col("doc_id") < cut)
+    new = d.filter(F.col("doc_id") >= cut)
+
+    def run(cap):
+        return {
+            (r.doc_id, r.is_dup, r.dup_of, r.jaccard)
+            for r in minhash_lsh_incremental(
+                new, hist, "doc_id", "text", max_bucket=cap
+            ).collect()
+        }
+
+    uncapped = run(None)
+    assert run(10_000) == uncapped
+    capped = run(1)  # bucket size 1 kills every posting list
+    assert {x[0] for x in capped} == {x[0] for x in uncapped}
+    dup_capped = {x[0] for x in capped if x[1]}
+    dup_uncapped = {x[0] for x in uncapped if x[1]}
+    assert dup_capped <= dup_uncapped

@@ -515,6 +515,20 @@ def minhash_lsh_incremental(
     )
     b_new = _banded(sig_new, num_hashes, bands)
     b_hist = _banded(sig_hist, num_hashes, bands)
+    if max_bucket is not None:
+        # cap the HISTORY side of the index too: a degenerate band value
+        # (boilerplate/empty docs hashing alike) otherwise fans out
+        # hist_bucket × new_bucket candidate rows — the same quadratic
+        # hazard max_bucket exists for, from the other direction.  Same
+        # contract: recall-only loss on degenerate mass, false-positive
+        # profile unchanged (verification is exact either way).
+        hist_ok = (
+            b_hist.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("band", "band_hash")
+        )
+        b_hist = b_hist.join(hist_ok, ["band", "band_hash"], "left_semi")
     cross = (
         b_new.join(
             b_hist.withColumnRenamed("doc_id", "i"), ["band", "band_hash"]
