@@ -55,3 +55,30 @@ def test_zorder_rescale_handles_offset_domains(spark):
     ).collect()[0]
     assert got.n == len(rows)
     assert got.files == 8
+
+
+def test_zorder_write_path_bounds_real_files(spark, tmp_path):
+    """The actual write path — repartitionByRange on the z-value +
+    parquet — must produce files whose REAL per-file min/max envelopes
+    bound both dimensions well below the global domain (the footer
+    stats a scan would prune on), not just the planner's prediction."""
+    import glob
+    import os
+
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    out = str(tmp_path / "z")
+    df.repartitionByRange(16, zvalue("a", "b", 6)).write.parquet(out)
+    files = sorted(glob.glob(os.path.join(out, "part-*.parquet")))
+    assert len(files) == 16
+    import pyarrow.parquet as pq
+
+    for f in files:
+        t = pq.read_table(f)
+        a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+        # a contiguous z-range of ~256 curve points stays within a
+        # 32x32 region of the 64x64 domain — half the global width on
+        # BOTH dims (a plain sort bounds one dim and leaves the other
+        # full-width)
+        assert max(a) - min(a) <= 32, f
+        assert max(b) - min(b) <= 32, f
