@@ -173,3 +173,44 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
         for r in QUERIES["q_session_window_stream"](spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_anomaly_composes_over_streaming_stats(spark, sf_dir):
+    """dup_ratio_anomaly is a pure batch transform over the aggregated
+    minute table, so scoring the STREAMING stats spool must equal
+    scoring the batch stats — the online feed-health-anomaly chain."""
+    from transitdata_hfp_deduplicator_spark.operators.dedup import (
+        dup_ratio_anomaly,
+        dup_stats_tumbling,
+    )
+    from transitdata_hfp_deduplicator_spark.streaming.stateful import (
+        dedup_tag_stream,
+    )
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    path = os.path.join(sf_dir, "events.parquet")
+    tagged = dedup_tag_stream(
+        parquet_stream(spark, path),
+        ["user_id", "event_type", "props"],
+        "ts",
+        ttl_ms=30 * 24 * 3600 * 1000,
+    )
+    out = run_to_memory(tagged, "append")
+    stream_stats = (
+        out.groupBy(((F.col("ts_ms") - F.col("ts_ms") % 60000) / 1000)
+                    .cast("bigint").alias("window_start"))
+        .agg(
+            F.count_if(F.col("is_prime")).alias("primes"),
+            F.count_if(~F.col("is_prime")).alias("duplicates"),
+        )
+    )
+    batch_stats = dup_stats_tumbling(
+        read_parquet(spark, path),
+        ["user_id", "event_type", "props"],
+        ["ts", "event_id"],
+        "1 minute",
+    )
+    got = sorted(map(tuple, dup_ratio_anomaly(stream_stats).collect()))
+    want = sorted(map(tuple, dup_ratio_anomaly(batch_stats).collect()))
+    assert got == want
+    assert any(r[4] for r in got) or all(r[3] is None or abs(r[3]) < 2 for r in got)
