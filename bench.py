@@ -1,9 +1,13 @@
 """Benchmark harness (driver contract).
 
 Runs every declared query at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints TWO
+JSON lines: first the per-query detail ``{"detail": "per_query_sec",
+"queries": {name: sec}}``, then a compact (<200 char) FINAL line
+``{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
+"calib_sec": ..., "n_queries": ...}`` — split so a tail-capture of
+stdout's last ~2000 chars always contains the parseable summary (the
+90+-entry queries dict alone is ~2.4 kB).
 
 Each query is forced through the noop sink — full plan execution,
 nothing collected to the driver (collect would measure Arrow transfer,
@@ -27,6 +31,10 @@ def materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass  # non-standard dir name: keep the string
 
     import __spark_entry__ as entrymod
     from transitdata_hfp_deduplicator_spark.session import get_spark
@@ -165,15 +173,24 @@ def main() -> None:
             # session don't accumulate memory pressure on each other
             spark.catalog.clearCache()
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Per-query detail on its OWN line first; the FINAL stdout line is a
+    # compact (<200 char) summary so a tail-capture of the last ~2000
+    # chars always contains a parseable JSON object — the 90+-entry
+    # "queries" dict alone is ~2.4 kB and overflowed that window when it
+    # rode on the final line.
+    print(
+        json.dumps({"detail": "per_query_sec", "queries": timings}),
+        flush=True,
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "calib_sec": calib,
+                "n_queries": len(timings),
             }
         ),
         flush=True,

@@ -33,39 +33,49 @@ def _n_batch_replay(spark, tmp_path, batches, schema):
     return parquet_stream(spark, str(tmp_path) + "/*", max_files_per_trigger=1)
 
 
-def _batch_reference_hits(spark, docs):
+def _batch_reference_hits(spark, docs, num_hashes=16, bands=8):
     """Independent batch formulation of the streaming index semantics:
-    per (band, sig-row-pair) bucket, first = min(doc_id); every later
+    per (band, full-sig-slice) bucket, first = min(doc_id); every later
     member is a hit scored against the first's full signature."""
     from transitdata_hfp_deduplicator_spark.operators.similarity import (
         minhash_signatures,
     )
 
+    rows = num_hashes // bands
     sigs = minhash_signatures(
-        docs, "doc_id", "text", shingle_n=3, num_hashes=16, hash_family="md5"
+        docs,
+        "doc_id",
+        "text",
+        shingle_n=3,
+        num_hashes=num_hashes,
+        hash_family="md5",
     ).filter(F.col("mh_0").isNotNull())
     keyed = sigs.select(
         "doc_id",
-        F.array(*[F.col(f"mh_{k}") for k in range(16)]).alias("sig"),
+        F.array(*[F.col(f"mh_{k}") for k in range(num_hashes)]).alias("sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.col(f"mh_{2 * b}").alias("k1"),
-                        F.col(f"mh_{2 * b + 1}").alias("k2"),
+                        F.array(
+                            *[
+                                F.col(f"mh_{b * rows + r}")
+                                for r in range(rows)
+                            ]
+                        ).alias("ks"),
                     )
-                    for b in range(8)
+                    for b in range(bands)
                 ]
             )
         ).alias("bh"),
-    ).select("doc_id", "sig", "bh.band", "bh.k1", "bh.k2")
-    firsts = keyed.groupBy("band", "k1", "k2").agg(
+    ).select("doc_id", "sig", "bh.band", "bh.ks")
+    firsts = keyed.groupBy("band", "ks").agg(
         F.min("doc_id").alias("first_id")
     )
     fsig = keyed.select(F.col("doc_id").alias("first_id"), F.col("sig").alias("fsig")).distinct()
     return (
-        keyed.join(firsts, ["band", "k1", "k2"])
+        keyed.join(firsts, ["band", "ks"])
         .filter(F.col("doc_id") > F.col("first_id"))
         .join(fsig, "first_id")
         .select(
@@ -79,7 +89,7 @@ def _batch_reference_hits(spark, docs):
                         lambda x: x == 1,
                     )
                 )
-                / F.lit(16.0)
+                / F.lit(float(num_hashes))
             ).alias("est_sim"),
         )
     )
@@ -139,6 +149,48 @@ def test_multi_batch_equals_single_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_nondefault_band_widths_match_batch(spark, sf_dir):
+    """Band identity must cover the FULL signature slice for any rows =
+    num_hashes // bands — a fixed 2-component key loosens candidacy at
+    rows=4 and reads out of bounds at rows=1 (the regression this pins)."""
+    import pytest
+
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = read_parquet(spark, path).select("doc_id", "text")
+    for num_hashes, bands in [(16, 4), (8, 8)]:  # rows=4, rows=1
+        tagged = neardup_tag_stream(
+            _docs_stream(parquet_stream(spark, path)),
+            "doc_id",
+            "text",
+            "ts",
+            num_hashes=num_hashes,
+            bands=bands,
+        )
+        got = {
+            (r.doc_id, r.band, r.first_id, r.est_sim)
+            for r in run_to_memory(tagged, "append").collect()
+        }
+        want = {
+            (r.doc_id, r.band, r.first_id, r.est_sim)
+            for r in _batch_reference_hits(
+                spark, docs, num_hashes=num_hashes, bands=bands
+            ).collect()
+        }
+        assert got == want, (num_hashes, bands)
+        assert got, (num_hashes, bands)
+    with pytest.raises(ValueError):
+        neardup_tag_stream(
+            _docs_stream(parquet_stream(spark, path)),
+            "doc_id",
+            "text",
+            "ts",
+            num_hashes=16,
+            bands=5,
+        )
 
 
 def test_planted_pair_and_ttl_eviction(spark, tmp_path):

@@ -313,3 +313,19 @@ def test_incremental_lsh_keyed_joins_only(spark, sf_dir):
     assert_no_cartesian(df)
     cols = read_schema_columns(df)
     assert cols <= {"doc_id", "text"}, cols
+
+
+def test_dedup_substring_inverted_index_no_cartesian(spark, sf_dir):
+    """Exact-substring dedup must pair via the gram inverted index —
+    never a doc×doc product (quadratic at corpus scale) — and keep the
+    per-doc gram dedup JVM-side (array_distinct, no extra distinct
+    shuffle before the gram-keyed exchange)."""
+    df = QUERIES["q_dedup_substring"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+
+
+def test_dedup_semantic_no_cartesian(spark, sf_dir):
+    """SemDeDup's quadratic must stay bounded inside per-cell Arrow
+    GEMM groups — the Spark plan itself carries no cross product."""
+    assert_no_cartesian(QUERIES["q_dedup_semantic"](spark, sf_dir))

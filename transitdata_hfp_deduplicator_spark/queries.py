@@ -1182,6 +1182,120 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_substring",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, lower(trim(text)) AS t FROM documents
+        WHERE len(lower(trim(text))) >= 20
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(substr(t, p, 20)), 1, 15))::BIGINT AS h
+        FROM norm, unnest(generate_series(1, len(t) - 19)) AS u(p)
+        WHERE ('0x' || substr(md5(substr(t, p, 20)), 1, 15))::BIGINT % 4 = 0
+    ),
+    keep AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
+    pairs AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS shared
+        FROM g a JOIN keep USING (h) JOIN g b USING (h)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    dups AS (
+        SELECT j AS doc_id, min(i) AS dup_of,
+               CAST(max(shared) AS BIGINT) AS shared_grams
+        FROM pairs GROUP BY j
+    )
+    SELECT d.doc_id, u.doc_id IS NOT NULL AS is_dup, u.dup_of, u.shared_grams
+    FROM documents d LEFT JOIN dups u USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better" — the ExactSubstr family):
+    documents sharing a long EXACT character run, detected via
+    content-defined k-gram selection instead of the paper's suffix
+    array (which needs a global sort of every byte — the one shape a
+    1000-executor shuffle should not do when a screen suffices).
+
+    Recipe: normalize (lower/trim), hash every 20-char gram (md5-prefix
+    bigint — engine-independent like the MinHash family), KEEP the
+    grams with hash % 4 == 0.  Selection depends only on gram CONTENT,
+    so two documents sharing any substring select identical grams
+    inside the shared region regardless of alignment — the property
+    stride sampling lacks and winnowing gets from window-mins.  A
+    shared run of length L >= 20 carries its selected grams into both
+    docs; expected selected count (L-19)/4, so runs of ~40+ chars are
+    caught with near-certainty and every detection certifies an exact
+    >= 20-char match (no verification pass needed — gram equality IS
+    the certificate, modulo 60-bit hash collision).
+
+    Verdict per doc (keep-min-id, as the whole dedup family):
+    is_dup iff a lower-id doc shares a selected gram; dup_of = min such
+    partner; shared_grams = max shared-gram count over partners.
+
+    Scale shape: the same inverted-index discipline as q_winnow_pairs —
+    per-doc gram sets dedup JVM-side (array_distinct before explode, no
+    distinct shuffle), boilerplate grams (df > 20) dropped before
+    pairing, posting lists pair under ONE gram-keyed exchange.  The
+    shuffle carries (60-bit hash, doc_id) postings at ~1/4 gram
+    density — linear in corpus bytes, never quadratic."""
+    k, sel_mod, df_cap = 20, 4, 20
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
+        .filter(F.length("t") >= k)
+    )
+    gram_hash = lambda p: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.col("t").substr(p, F.lit(k)).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    grams = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - F.lit(k - 1)),
+                    gram_hash,
+                ),
+                lambda h: h % sel_mod == 0,
+            )
+        ).alias("gs"),
+    )
+    postings = grams.select("doc_id", F.explode("gs").alias("h"))
+    buckets = (
+        postings.groupBy("h")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") > 1) & (F.size("ds") <= df_cap))
+    )
+    pair_struct = F.expr(
+        "flatten(transform(ds, (x, ix) -> "
+        "transform(slice(ds, ix + 2, size(ds) - ix - 1), y -> struct(x as i, y as j))))"
+    )
+    dups = (
+        buckets.select(F.explode(pair_struct).alias("p"))
+        .select("p.i", "p.j")
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .groupBy(F.col("j").alias("doc_id"))
+        .agg(
+            F.min("i").alias("dup_of"),
+            F.max("shared").alias("shared_grams"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(dups, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        "shared_grams",
+    )
+
+
+@query(
     "q_text_scrub",
     oracle="""
     WITH dirty AS (
@@ -2649,6 +2763,65 @@ def q_embed_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_topk_trained(e, q, k=5, nprobe=3, n_cells=8, iters=2)
+
+
+@query(
+    "q_dedup_semantic",
+    oracle="WITH "
+    + _KMEANS_TRAIN_SQL
+    + """,
+    sims AS (
+        SELECT a.vid AS i, b.vid AS j,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+        FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vid < b.vid
+    ),
+    dups AS (
+        SELECT j AS vec_id, min(i) AS dup_of, max(s) AS max_sim
+        FROM sims WHERE s >= 0.40 GROUP BY j
+    )
+    SELECT a2.vid AS vec_id, a2.cell,
+           d.vec_id IS NOT NULL AS is_semdup, d.dup_of, d.max_sim
+    FROM a2 LEFT JOIN dups d ON d.vec_id = a2.vid
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup shape, Abbas et al. 2023): k-means
+    cluster the embeddings with the oracle-pinned trainer
+    (q_embed_kmeans's exact loop), then prune within-cluster
+    cosine-near pairs — the last rung of the dedup ladder (exact →
+    near-text → near-vector → SEMANTIC).  A vector is a semantic dup
+    iff a lower-id same-cell vector has round(cosine,6) >= 0.40
+    (keep-min-id; deterministic, unlike the paper's scan-order greedy).
+
+    HASH-CHECKED end-to-end: training reproduces bit-for-bit in DuckDB
+    (DECIMAL means, round-6 argmax) and the within-cell GEMM verdicts
+    (operators/kmeans.py:semdedup_verdicts) round to the same 6 dp the
+    oracle's list_dot_product formulation does.
+
+    Scale shape: clustering bounds the quadratic per cell — raise k to
+    hold |cell| constant at 100 TB — and each cell scores in ONE
+    row-blocked Arrow GEMM, never materializing |cell|² floats."""
+    from transitdata_hfp_deduplicator_spark.operators.kmeans import (
+        kmeans_cells,
+        semdedup_verdicts,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_cells(e, k=8, iters=2)
+    verdicts = semdedup_verdicts(assigned, tau=0.40)
+    return (
+        assigned.select("vid", "cell")
+        .join(verdicts, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            F.col("dup_of").isNotNull().alias("is_semdup"),
+            "dup_of",
+            "max_sim",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -4479,8 +4652,14 @@ def _z_interleave_sql(av: str, bv: str, bits: int) -> str:
     ),
     scaled AS (
         SELECT l.l_partkey AS a, l.l_suppkey AS b,
-               CAST(floor((l.l_partkey - x.lo_a) * 1023 / (x.hi_a - x.lo_a)) AS BIGINT) AS sa,
-               CAST(floor((l.l_suppkey - x.lo_b) * 1023 / (x.hi_b - x.lo_b)) AS BIGINT) AS sb
+               /* span==0 guard mirrors operators.layout.zvalue
+                  (layout.py:83): a degenerate column maps to 0 */
+               CASE WHEN x.hi_a = x.lo_a THEN 0
+                    ELSE CAST(floor((l.l_partkey - x.lo_a) * 1023 / (x.hi_a - x.lo_a)) AS BIGINT)
+               END AS sa,
+               CASE WHEN x.hi_b = x.lo_b THEN 0
+                    ELSE CAST(floor((l.l_suppkey - x.lo_b) * 1023 / (x.hi_b - x.lo_b)) AS BIGINT)
+               END AS sb
         FROM lineitem l CROSS JOIN bounds x
     ),
     zed AS (
@@ -4727,16 +4906,68 @@ def q_dedup_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # The driver's CORRECTNESS file records exactly 50 entries per round
-# (count-based cap — 50 in r1, r2, and r3 despite a 2.4× speedup), so
+# (count-based cap — 50 in r1..r4 despite speed changes), so
 # cheap-first ordering alone can never evidence the tail.  Rotate
-# instead: lead with the 29 queries absent from CORRECTNESS_r03.json
-# (cheap-first among themselves, by BENCH_r03 sf0.1 timings) so this
-# round's 50-entry window captures them; the previously-evidenced
-# queries follow, also cheap-first, filling the remaining ~21 slots
-# with re-confirmations.  Union of r3 + r4 evidence then covers all
-# 79 registered queries.
+# instead: this round (r5) leads with q_multimodal_decode — its oracle
+# graduated in r4 but never entered a driver window, so it is the one
+# oracled query with zero driver-green rows — then the 43 other queries
+# absent from CORRECTNESS_r04.json, then the queries NEW this round
+# (no prior evidence possible).  That is exactly 50 when 6 new queries
+# land; previously-evidenced queries fill any remaining slots with
+# re-confirmations.  Union of r4 + r5 evidence again covers the whole
+# registry.
 GATE_ROTATION = [
-    # -- the 29 with no CORRECTNESS_r03 row, cheap-first --
+    # -- oracled in r4 but never driver-evidenced: goes first --
+    "q_multimodal_decode",
+    # -- the 43 other queries with no CORRECTNESS_r04 row --
+    "q_scan_project",
+    "q_filter_pred",
+    "q_scalar_datetime",
+    "q_scalar_math",
+    "q_json_extract",
+    "q_set_ops",
+    "q_map_ops",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_agg_approx_check",
+    "q_dedup_exact",
+    "q_dedup_norm",
+    "q_dup_stats",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_semi_anti",
+    "q_join_outer",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_analytic",
+    "q_topk_per_group",
+    "q_grouping_sets",
+    "q_session_window",
+    "q_pivot",
+    "q_udtf",
+    "q_udf_surface",
+    "q_text_tokens",
+    "q_text_stats",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_scrub",
+    "q_text_lang_id",
+    "q_text_repetition",
+    "q_doc_chunks",
+    "q_corpus_prep",
+    "q_corpus_shuffle",
+    "q_ngram_lm",
+    "q_bm25",
+    "q_containment",
+    "q_dedup_incremental",
+    "q_minhash_signature",
+    "q_embed_cosine",
+    "q_embed_ann_ivf",
+    # -- NEW this round (no prior evidence possible) --
+    "q_dedup_substring",
+    "q_dedup_semantic",
+    # -- previously-evidenced (r4 green), cheap-first re-confirmations --
     "q_string_agg",
     "q_hfp_golden",
     "q_merge_upsert",
@@ -4756,6 +4987,21 @@ GATE_ROTATION = [
     "q_session_window_stream",
     "q_window_tumbling_stream",
     "q_agg_approx",
+    "q_multimodal_bytes",
+    "q_array_ops",
+    "q_sort_limit",
+    "q_scalar_string",
+    "q_seq_pack",
+    "q_promo_share",
+    "q_top_supplier",
+    "q_rollup_cascade",
+    "q_join_skew_salted",
+    "q_text_winnow",
+    "q_ts_correlate",
+    "q_winnow_pairs",
+    "q_zorder_layout",
+    "q_corpus_mix",
+    "q_decontaminate",
     "q_dedup_lru",
     "q_dedup_minhash_lsh",
     "q_dedup_stream",
@@ -4766,73 +5012,11 @@ GATE_ROTATION = [
     "q_dup_stats_stream",
     "q_late_data",
     "q_dedup_clusters",
-    # -- new this round (no prior evidence possible) --
     "q_dedup_stream_neardup",
     "q_dup_anomaly",
     "q_dedup_incr_neardup",
     "q_embed_kmeans",
     "q_embed_ann_ivf_trained",
-    "q_zorder_layout",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_promo_share",
-    "q_top_supplier",
-    "q_rollup_cascade",
-    "q_join_skew_salted",
-    "q_text_winnow",
-    "q_ts_correlate",
-    "q_winnow_pairs",
-    # -- previously-evidenced, cheap-first (fills the tail slots) --
-    "q_multimodal_bytes",
-    "q_array_ops",
-    "q_sort_limit",
-    "q_scan_project",
-    "q_scalar_string",
-    "q_seq_pack",
-    "q_scalar_datetime",
-    "q_corpus_shuffle",
-    "q_doc_chunks",
-    "q_text_fingerprint",
-    "q_dedup_exact",
-    "q_text_stats",
-    "q_join_theta_range",
-    "q_text_scrub",
-    "q_multimodal_decode",
-    "q_udf_surface",
-    "q_filter_pred",
-    "q_udtf",
-    "q_topk_per_group",
-    "q_window_analytic",
-    "q_dedup_norm",
-    "q_join_semi_anti",
-    "q_session_window",
-    "q_join_broadcast",
-    "q_dup_stats",
-    "q_minhash_signature",
-    "q_text_tokens",
-    "q_window_rank",
-    "q_join_asof",
-    "q_map_ops",
-    "q_set_ops",
-    "q_join_outer",
-    "q_text_lang_id",
-    "q_agg_distinct",
-    "q_text_quality",
-    "q_pivot",
-    "q_dedup_incremental",
-    "q_corpus_prep",
-    "q_scalar_math",
-    "q_json_extract",
-    "q_join_multiway",
-    "q_bm25",
-    "q_embed_ann_ivf",
-    "q_grouping_sets",
-    "q_ngram_lm",
-    "q_text_repetition",
-    "q_embed_cosine",
-    "q_agg_hash",
-    "q_agg_approx_check",
-    "q_containment",
 ]
 
 

@@ -126,6 +126,11 @@ def neardup_tag_stream(
     A!~C) cannot creep in, and the batch oracle is a plain min(doc_id)
     per bucket.
     """
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows = num_hashes // bands
     hexed = stream.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
@@ -142,12 +147,17 @@ def neardup_tag_stream(
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         sig_from_halves(F.col("h1s"), F.col("h2s"), num_hashes).alias("sig"),
     )
+    # Band identity = ALL `rows` components of the band's signature
+    # slice (as operators/similarity.py:_banded hashes the full slice) —
+    # keying on a fixed 2-component prefix would loosen candidacy for
+    # rows > 2 and read out of bounds for rows == 1.
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.col("sig")[b * rows].alias("k1"),
-                F.col("sig")[b * rows + 1].alias("k2"),
+                F.array(
+                    *[F.col("sig")[b * rows + r] for r in range(rows)]
+                ).alias("ks"),
             )
             for b in range(bands)
         ]
@@ -162,13 +172,12 @@ def neardup_tag_stream(
             "ts_ms",
             "sig",
             F.col("bh.band").alias("band"),
-            F.col("bh.k1").alias("k1"),
-            F.col("bh.k2").alias("k2"),
+            F.col("bh.ks").alias("ks"),
         )
         # routing hash only — band identity inside state is the raw
-        # (band, k1, k2) row values, engine-independent
+        # (band, *ks) row values, engine-independent
         .withColumn(
-            "bucket", F.pmod(F.xxhash64("band", "k1", "k2"), F.lit(n_buckets))
+            "bucket", F.pmod(F.xxhash64("band", "ks"), F.lit(n_buckets))
         )
         .withWatermark("ts", f"{max(ttl_ms // 1000, 1)} seconds")
     )
@@ -181,7 +190,7 @@ def neardup_tag_stream(
     # is O(index size) per batch and the codec constant is the whole
     # game — measured 5.7s vs 0.5s per batch round-trip at ~720k
     # entries for dict-pickle vs tobytes/frombuffer.  Layout: keys
-    # (n,3: band,k1,k2), meta (n,2: first_id,first_ts), sigs
+    # (n,1+rows: band,*slice), meta (n,2: first_id,first_ts), sigs
     # (n,num_hashes), all int64.  The per-batch lookup dict is rebuilt
     # from the key rows (~1ms per bucket) and immutable history stays
     # zero-copy views over the state buffers.
@@ -195,16 +204,17 @@ def neardup_tag_stream(
         import numpy as np
 
         nh = num_hashes
+        kw = 1 + rows  # key row width: band + the full band slice
         if state.hasTimedOut:
             state.remove()
             return
         if state.exists:
             kb, mb, sb = state.get
-            keys = np.frombuffer(bytes(kb), dtype=np.int64).reshape(-1, 3)
+            keys = np.frombuffer(bytes(kb), dtype=np.int64).reshape(-1, kw)
             meta = np.frombuffer(bytes(mb), dtype=np.int64).reshape(-1, 2)
             sigs = np.frombuffer(bytes(sb), dtype=np.int64).reshape(-1, nh)
         else:
-            keys = np.empty((0, 3), dtype=np.int64)
+            keys = np.empty((0, kw), dtype=np.int64)
             meta = np.empty((0, 2), dtype=np.int64)
             sigs = np.empty((0, nh), dtype=np.int64)
         lut = {tuple(k): i for i, k in enumerate(keys.tolist())}
@@ -215,7 +225,7 @@ def neardup_tag_stream(
         new_lut: dict = {}
 
         chunks = [
-            pdf[["doc_id", "ts_ms", "band", "k1", "k2", "sig"]] for pdf in pdfs
+            pdf[["doc_id", "ts_ms", "band", "ks", "sig"]] for pdf in pdfs
         ]
         pdf = (
             pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
@@ -224,15 +234,14 @@ def neardup_tag_stream(
         # as stateful.py:137-145)
         pdf = pdf.sort_values(["ts_ms", "doc_id"], kind="mergesort")
         o_doc, o_ts, o_band, o_first, o_est = [], [], [], [], []
-        for doc, ts, band, k1, k2, sig in zip(
+        for doc, ts, band, ks, sig in zip(
             pdf["doc_id"].tolist(),
             pdf["ts_ms"].tolist(),
             pdf["band"].tolist(),
-            pdf["k1"].tolist(),
-            pdf["k2"].tolist(),
+            pdf["ks"].tolist(),
             pdf["sig"].tolist(),
         ):
-            key = (int(band), int(k1), int(k2))
+            key = (int(band), *(int(x) for x in ks))
             ts = int(ts)
             entry = new_lut.get(key)
             if entry is not None:
@@ -278,7 +287,7 @@ def neardup_tag_stream(
         if wm > 0:
             keep &= meta[:, 1] + ttl_ms >= wm  # vectorized TTL prune
         keys_out = np.concatenate(
-            [keys[keep], np.asarray(new_keys, dtype=np.int64).reshape(-1, 3)]
+            [keys[keep], np.asarray(new_keys, dtype=np.int64).reshape(-1, kw)]
         )
         meta_out = np.concatenate(
             [meta[keep], np.asarray(new_meta, dtype=np.int64).reshape(-1, 2)]

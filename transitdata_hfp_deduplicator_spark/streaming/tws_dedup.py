@@ -69,46 +69,59 @@ class _DedupTagProcessor(StatefulProcessor):
         self, key, rows, timerValues
     ) -> Iterator[pd.DataFrame]:
         ttl_ms = self.ttl_ms
-        for pdf in rows:
-            pdf = pdf.sort_values("ts_ms", kind="mergesort")
-            o_key, o_ts, o_prime, o_delay, o_hit = [], [], [], [], []
-            # per-batch write-back cache: a key hit H times in one batch
-            # does ONE state read and ONE state write, not H of each
-            local: dict = {}
-            for k, ts in zip(pdf["key"].tolist(), pdf["ts_ms"].tolist()):
-                ts = int(ts)
-                ent = local.get(k)
-                if ent is None:
-                    got = self.cache.getValue((k,))
-                    ent = (int(got[0]), int(got[1])) if got is not None else None
-                if ent is not None and ts - ent[0] > ttl_ms:
-                    ent = None  # event-time TTL: expired => fresh prime
-                if ent is None:
-                    local[k] = (ts, 1)
-                    o_key.append(k)
-                    o_ts.append(ts)
-                    o_prime.append(True)
-                    o_delay.append(None)
-                    o_hit.append(1)
-                else:
-                    first, hits = ent
-                    local[k] = (first, hits + 1)
-                    o_key.append(k)
-                    o_ts.append(ts)
-                    o_prime.append(False)
-                    o_delay.append(ts - first)
-                    o_hit.append(hits + 1)
-            for k, ent in local.items():
-                self.cache.updateValue((k,), ent)
-            yield pd.DataFrame(
-                {
-                    "key": o_key,
-                    "ts_ms": pd.Series(o_ts, dtype="int64"),
-                    "is_prime": pd.Series(o_prime, dtype="bool"),
-                    "delay_ms": pd.array(o_delay, dtype="Int64"),
-                    "hit_no": pd.Series(o_hit, dtype="int64"),
-                }
-            )
+        # Materialize ALL Arrow chunks before sorting: a bucket whose
+        # batch spans multiple chunks (group larger than
+        # arrow.maxRecordsPerBatch) must be ordered by ts_ms across the
+        # WHOLE batch, not per chunk — per-chunk sorting makes
+        # is_prime/delay_ms/hit_no chunk-boundary-dependent (the same
+        # hazard stateful.py's chunk-merge rule avoids).
+        chunks = list(rows)
+        if not chunks:
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        pdf = pdf.sort_values("ts_ms", kind="mergesort")
+        o_key, o_ts, o_prime, o_delay, o_hit = [], [], [], [], []
+        # per-batch write-back cache: a key hit H times in one batch
+        # does ONE state read and ONE state write, not H of each
+        local: dict = {}
+        for k, ts in zip(pdf["key"].tolist(), pdf["ts_ms"].tolist()):
+            ts = int(ts)
+            ent = local.get(k)
+            if ent is None:
+                got = self.cache.getValue((k,))
+                ent = (int(got[0]), int(got[1])) if got is not None else None
+            if ent is not None and ts - ent[0] > ttl_ms:
+                ent = None  # event-time TTL: expired => fresh prime
+            if ent is None:
+                local[k] = (ts, 1)
+                o_key.append(k)
+                o_ts.append(ts)
+                o_prime.append(True)
+                o_delay.append(None)
+                o_hit.append(1)
+            else:
+                first, hits = ent
+                local[k] = (first, hits + 1)
+                o_key.append(k)
+                o_ts.append(ts)
+                o_prime.append(False)
+                o_delay.append(ts - first)
+                o_hit.append(hits + 1)
+        for k, ent in local.items():
+            self.cache.updateValue((k,), ent)
+        yield pd.DataFrame(
+            {
+                "key": o_key,
+                "ts_ms": pd.Series(o_ts, dtype="int64"),
+                "is_prime": pd.Series(o_prime, dtype="bool"),
+                "delay_ms": pd.array(o_delay, dtype="Int64"),
+                "hit_no": pd.Series(o_hit, dtype="int64"),
+            }
+        )
 
     def close(self) -> None:
         pass
