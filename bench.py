@@ -28,6 +28,26 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def format_output(timings: dict, sf, calib) -> tuple[str, str]:
+    """(detail_line, final_line).  The FINAL line must stay compact
+    (<200 chars) so a tail-capture of stdout always parses it — the
+    full queries dict rides the detail line (tests/test_bench_contract
+    pins this)."""
+    total = round(sum(t for t in timings.values() if t >= 0), 4)
+    detail = json.dumps({"detail": "per_query_sec", "queries": timings})
+    final = json.dumps(
+        {
+            "metric": "total_query_runtime",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "calib_sec": calib,
+            "n_queries": len(timings),
+        }
+    )
+    return detail, final
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -172,29 +192,9 @@ def main() -> None:
             # iterative checkpoints); drop them so 50+ queries in one
             # session don't accumulate memory pressure on each other
             spark.catalog.clearCache()
-    total = round(sum(t for t in timings.values() if t >= 0), 4)
-    # Per-query detail on its OWN line first; the FINAL stdout line is a
-    # compact (<200 char) summary so a tail-capture of the last ~2000
-    # chars always contains a parseable JSON object — the 90+-entry
-    # "queries" dict alone is ~2.4 kB and overflowed that window when it
-    # rode on the final line.
-    print(
-        json.dumps({"detail": "per_query_sec", "queries": timings}),
-        flush=True,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_runtime",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "calib_sec": calib,
-                "n_queries": len(timings),
-            }
-        ),
-        flush=True,
-    )
+    detail, final = format_output(timings, sf, calib)
+    print(detail, flush=True)
+    print(final, flush=True)
 
 
 if __name__ == "__main__":

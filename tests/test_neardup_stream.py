@@ -193,6 +193,39 @@ def test_nondefault_band_widths_match_batch(spark, sf_dir):
         )
 
 
+def test_rocksdb_provider_identical_verdicts(spark, sf_dir):
+    """The LSH index state must behave identically on the RocksDB
+    state store provider (disk-backed — the state-larger-than-memory
+    backend); tools/stress_neardup_stream.py 'both' carries the same
+    check at 200k docs."""
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = read_parquet(spark, path)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        tagged = neardup_tag_stream(
+            _docs_stream(parquet_stream(spark, path)), "doc_id", "text", "ts"
+        )
+        got = {
+            (r.doc_id, r.band, r.first_id, r.est_sim)
+            for r in run_to_memory(tagged, "append").collect()
+        }
+    finally:
+        spark.conf.unset(key)
+    want = {
+        (r.doc_id, r.band, r.first_id, r.est_sim)
+        for r in _batch_reference_hits(spark, docs).collect()
+    }
+    assert got == want
+    assert got
+
+
 def test_planted_pair_and_ttl_eviction(spark, tmp_path):
     """An identical doc within TTL hits with est_sim=1.0; after the TTL
     the bucket is forgotten and the same text becomes a fresh prime that

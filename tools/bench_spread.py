@@ -1,0 +1,112 @@
+"""Run bench.py N consecutive times; write merged artifacts + spread.
+
+Usage: python tools/bench_spread.py [n_runs]
+
+Outputs (repo root):
+- BENCH_local.json — run 1's merged bench dict ({metric, value, unit,
+  sf, calib_sec, queries}) in the shape tools/compare_bench.py loads;
+  the committed local reference point the r4 verdict asked for.
+- BENCH_spread.json — per-run timings for every query plus
+  max/min spread stats; the LSH-family stability gate
+  (q_minhash_signature, q_minhash_simdup, q_stream_stream_join must
+  hold <30% spread across the runs) prints PASS/FAIL per query and the
+  process exits non-zero on FAIL.
+
+Each run is a FRESH subprocess (fresh JVM, fresh JIT state) — that is
+the variance the cross-round comparison actually experiences.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LSH_GATE = ["q_minhash_signature", "q_minhash_simdup", "q_stream_stream_join"]
+SPREAD_MAX = 0.30
+
+
+def one_run() -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        cwd=ROOT,
+        check=True,
+    )
+    detail, summary = None, None
+    for line in p.stdout.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        d = json.loads(line)
+        if d.get("detail") == "per_query_sec":
+            detail = d
+        elif "metric" in d:
+            summary = d
+    if not detail or not summary:
+        raise SystemExit(f"bench output unparseable:\n{p.stdout[-2000:]}")
+    merged = dict(summary)
+    merged["queries"] = detail["queries"]
+    return merged
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    runs = []
+    for i in range(n):
+        r = one_run()
+        runs.append(r)
+        print(
+            f"run {i + 1}/{n}: total {r['value']:.1f}s "
+            f"calib {r['calib_sec']:.3f}s",
+            flush=True,
+        )
+        if i == 0:
+            with open(os.path.join(ROOT, "BENCH_local.json"), "w") as f:
+                json.dump(r, f, indent=1, sort_keys=True)
+    names = sorted(runs[0]["queries"])
+    per_q = {
+        q: [r["queries"].get(q, -1.0) for r in runs] for q in names
+    }
+    spread = {}
+    for q, ts in per_q.items():
+        ok = [t for t in ts if t >= 0]
+        if not ok:
+            continue
+        mid = statistics.median(ok)
+        spread[q] = {
+            "runs": ts,
+            "median": round(mid, 4),
+            "spread": round((max(ok) - min(ok)) / mid, 4) if mid > 0 else 0.0,
+        }
+    out = {
+        "n_runs": n,
+        "totals": [r["value"] for r in runs],
+        "calib": [r["calib_sec"] for r in runs],
+        "queries": spread,
+    }
+    with open(os.path.join(ROOT, "BENCH_spread.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    failed = False
+    for q in LSH_GATE:
+        s = spread.get(q)
+        if s is None:
+            print(f"GATE MISSING {q}")
+            failed = True
+            continue
+        verdict = "PASS" if s["spread"] < SPREAD_MAX else "FAIL"
+        if verdict == "FAIL":
+            failed = True
+        print(
+            f"GATE {verdict} {q}: runs={s['runs']} spread={s['spread']:.1%}"
+            f" (limit {SPREAD_MAX:.0%})"
+        )
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

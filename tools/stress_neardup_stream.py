@@ -8,8 +8,11 @@ micro-batch; state (the index) carries across batches; every planted
 copy (J≈0.9 against its immediate predecessor) must be tagged against
 that predecessor — P(miss) = (1-0.9²)⁸ ≈ 2e-6 at 16 hashes / 8 bands.
 
-Usage: python tools/stress_neardup_stream.py [n_docs] [n_batches]
-       (defaults 100_000, 10)
+Usage: python tools/stress_neardup_stream.py [n_docs] [n_batches] [provider]
+       (defaults 100_000, 10, "default"; provider ∈ default|rocksdb|both —
+       "both" runs the replay twice, once per state store provider, and
+       asserts the verdict sets are IDENTICAL: the state-larger-than-
+       memory story for the LSH index state, not just exact dedup)
 """
 
 from __future__ import annotations
@@ -69,32 +72,68 @@ def main() -> None:
         for f in os.listdir(d):
             os.utime(os.path.join(d, f), (now + i * 10, now + i * 10))
 
-    stream = parquet_stream(
-        spark, spool + "/*", max_files_per_trigger=4
-    ).withColumn("ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id")))
-    t0 = time.time()
-    with scoped_shuffle_partitions(spark, 16):
-        hits = run_to_memory(
-            neardup_tag_stream(stream, "doc_id", "text", "ts", n_buckets=256),
-            "append",
-        )
-        matched = (
-            hits.filter(F.col("est_sim") >= 0.5)
-            .groupBy("doc_id")
-            .agg(F.min("first_id").alias("dup_of"))
-        )
-        planted_found = matched.filter(
-            (F.col("doc_id") % 10 == 9) & (F.col("dup_of") == F.col("doc_id") - 1)
-        ).count()
-        false_pos = matched.filter(F.col("doc_id") % 10 != 9).count()
-    dt = time.time() - t0
-    planted = n // 10
-    print(
-        f"n={n} batches={n_batches}: replay+score {dt:.1f}s "
-        f"({n / dt / 1e3:.1f}k docs/s) | planted copies found "
-        f"{planted_found}/{planted} | non-copy docs tagged {false_pos} "
-        f"(vocab-collision near-dups, verified est>=0.5)"
+    provider = sys.argv[3] if len(sys.argv) > 3 else "default"
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb_cls = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
+    planted = n // 10
+
+    def run_once(label: str) -> set:
+        stream = parquet_stream(
+            spark, spool + "/*", max_files_per_trigger=4
+        ).withColumn(
+            "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+        )
+        t0 = time.time()
+        with scoped_shuffle_partitions(spark, 16):
+            hits = run_to_memory(
+                neardup_tag_stream(
+                    stream, "doc_id", "text", "ts", n_buckets=256
+                ),
+                "append",
+            )
+            matched = (
+                hits.filter(F.col("est_sim") >= 0.5)
+                .groupBy("doc_id")
+                .agg(F.min("first_id").alias("dup_of"))
+            )
+            verdicts = {
+                (r.doc_id, r.dup_of) for r in matched.collect()
+            }  # ~n/10 small rows — comparison set, not a data path
+        dt = time.time() - t0
+        planted_found = sum(
+            1 for d, f in verdicts if d % 10 == 9 and f == d - 1
+        )
+        false_pos = sum(1 for d, _ in verdicts if d % 10 != 9)
+        print(
+            f"[{label}] n={n} batches={n_batches}: replay+score {dt:.1f}s "
+            f"({n / dt / 1e3:.1f}k docs/s) | planted copies found "
+            f"{planted_found}/{planted} | non-copy docs tagged {false_pos} "
+            f"(vocab-collision near-dups, verified est>=0.5)",
+            flush=True,
+        )
+        return verdicts
+
+    if provider in ("default", "both"):
+        v_default = run_once("default-provider")
+    if provider in ("rocksdb", "both"):
+        spark.conf.set(prov_key, rocksdb_cls)
+        assert "RocksDB" in spark.conf.get(prov_key)
+        try:
+            v_rocks = run_once("rocksdb-provider")
+        finally:
+            spark.conf.unset(prov_key)
+    if provider == "both":
+        assert v_default == v_rocks, (
+            f"provider verdict divergence: {len(v_default ^ v_rocks)} rows"
+        )
+        print(
+            f"providers agree: {len(v_default)} identical verdicts "
+            "(default vs RocksDB)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

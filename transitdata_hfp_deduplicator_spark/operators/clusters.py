@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
-def _large_small_star(sym: DataFrame, max_iter: int) -> DataFrame:
+def _large_small_star(
+    sym: DataFrame, max_iter: int, stats: dict | None = None
+) -> DataFrame:
     """One (id, component) row per vertex of the symmetric edge list.
 
     Per round (Kiveris et al. 2014, Algorithm 2):
@@ -31,11 +33,35 @@ def _large_small_star(sym: DataFrame, max_iter: int) -> DataFrame:
     Both phases are a window-min partitioned by u — one exchange each,
     no self-join — and both strictly orient edges (big, small), so the
     edge list shrinks toward stars; fixpoint = all edges (v, root).
+
+    ``stats`` (observability only, e.g. tools/stress_clusters.py):
+    records ``rounds`` actually run before the fixpoint.
     """
     w = W.partitionBy("a")
     e = (
         sym.filter(F.col("b") < F.col("a")).distinct().localCheckpoint()
     )
+
+    def fingerprint(df: DataFrame):
+        """(count, hash-sum) of the edge SET (inputs are distinct()
+        outputs) in ONE map-side-combined agg job.  Fixpoint detection
+        by fingerprint equality replaces the old count + exceptAll pair
+        — exceptAll re-shuffled both multi-million-row edge lists every
+        round (measured: the check cost rivaled the rewrite itself).
+        A false fixpoint needs a 64-bit hash-sum collision at equal
+        counts (~2⁻⁶⁴ per round) and is additionally capped by
+        ``max_iter``; the DECIMAL sum keeps the fold exact under
+        ANSI overflow rules."""
+        return tuple(
+            df.agg(
+                F.count(F.lit(1)),
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+            ).first()
+        )
+
+    fp = fingerprint(e)
+    if stats is not None:
+        stats["rounds"] = 0
     for _ in range(max_iter):
         s = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         ls = (
@@ -53,11 +79,11 @@ def _large_small_star(sym: DataFrame, max_iter: int) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
-        converged = (
-            new_e.count() == e.count()
-            and new_e.exceptAll(e).limit(1).count() == 0
-        )
-        e = new_e
+        new_fp = fingerprint(new_e)
+        converged = new_fp == fp
+        e, fp = new_e, new_fp
+        if stats is not None:
+            stats["rounds"] += 1
         if converged:
             break
     labels = e.select(F.col("a").alias("id"), F.col("b").alias("component"))

@@ -8,6 +8,17 @@ source's output shape to the engine's message envelope, which is plain
 column algebra and fully unit-tested against batch frames of the same
 shape (tests/test_sources.py).  Everything downstream (canonicalize →
 dedup → analytics → sink) is source-agnostic.
+
+CLOSED (probed final round 5): no ``spark-sql-kafka`` /
+``pulsar-spark-connector`` jar under pyspark's ``jars/``, no ivy
+cache, no network to fetch one — a live-broker integration run is
+impossible in this sandbox, permanently.  The executable analogs
+carrying the contracts instead: the socket source below (live
+unbounded network ingestion through real micro-batch machinery) and
+the registered ``hfp_text`` Python DataSource
+(sources/hfp_datasource.py: offset-range replay == broker offsets,
+staged-commit sink == ack-after-persist), leaving only the vendor jar
+itself unexercised.
 """
 
 from __future__ import annotations
