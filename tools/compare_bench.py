@@ -30,7 +30,12 @@ def load(path: str) -> dict:
         (k, float(v)) for k, v in re.findall(r'"(q_\w+)": ([\d.]+)', tail)
     )
     if qs:
-        return {"queries": qs, "value": sum(qs.values()), "calib_sec": None}
+        cm = re.search(r'"calib_sec": ([\d.]+)', tail)
+        return {
+            "queries": qs,
+            "value": sum(qs.values()),
+            "calib_sec": float(cm.group(1)) if cm else None,
+        }
     raise SystemExit(f"no bench data found in {path}")
 
 

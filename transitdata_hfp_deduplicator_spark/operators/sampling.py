@@ -81,3 +81,36 @@ def stratified_counts(
 ) -> DataFrame:
     """Per-stratum split sizes — the audit query for split balance."""
     return df.groupBy(split_col, *strata).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata: Sequence[str],
+    key_cols: Sequence[str | Column],
+    quota: int,
+    modulus: int = 1_000_003,
+) -> DataFrame:
+    """Keep at most ``quota`` rows per stratum — the corpus-mixing
+    primitive ("N docs per (lang, source)") — chosen as the ``quota``
+    SMALLEST key hashes within the stratum (bottom-k by hash = a
+    uniform without-replacement sample that is a pure function of the
+    keys: reproducible across engines, partitionings, and reruns, and
+    shrink-stable — lowering the quota yields a subset of the larger
+    sample).  Appends ``pick_rank`` (1-based within stratum).
+
+    Scale shape: ONE exchange keyed by the strata, rank inside the
+    sorted stream.  A pathologically hot stratum pays its sort locally
+    (spillable); when stratum sizes are known, pre-cut with
+    ``hash_bucket(keys) < quota * margin * modulus / size`` before the
+    window to shed the bulk map-side — same winners, since the final
+    rank re-derives them from the surviving superset.
+    """
+    order = hash_bucket(key_cols, modulus)
+    from pyspark.sql.window import Window as W
+
+    ties = [c if isinstance(c, Column) else F.col(c) for c in key_cols]
+    w = W.partitionBy(*strata).orderBy(order, *ties)
+    return (
+        df.withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= quota)
+    )

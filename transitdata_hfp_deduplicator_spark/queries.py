@@ -994,6 +994,134 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_quality_funnel",
+    oracle="""
+    WITH q AS (
+        SELECT len(string_split(lower(trim(text)), ' ')) AS n_tok,
+               length(text) AS n_ch,
+               length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha,
+               len(list_filter(string_split(lower(trim(text)), ' '),
+                   t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS sw_hits
+        FROM documents
+    ),
+    f AS (
+        SELECT n_tok,
+               (n_tok >= 30) AS s1,
+               (n_tok >= 30
+                AND round(CAST(n_alpha AS DOUBLE) / nullif(n_ch, 0), 6) >= 0.82) AS s2,
+               (n_tok >= 30
+                AND round(CAST(n_alpha AS DOUBLE) / nullif(n_ch, 0), 6) >= 0.82
+                AND round(CAST(sw_hits AS DOUBLE) / nullif(n_tok, 0), 6) > 0.03) AS s3,
+               (n_tok >= 30
+                AND round(CAST(n_alpha AS DOUBLE) / nullif(n_ch, 0), 6) >= 0.82
+                AND round(CAST(sw_hits AS DOUBLE) / nullif(n_tok, 0), 6) > 0.03
+                AND round(0.3 * (CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.25 END)
+                        + 0.3 * coalesce(CAST(n_alpha AS DOUBLE) / nullif(n_ch, 0), 0.0)
+                        + 0.2 * (CASE WHEN CAST(n_ch AS DOUBLE) / nullif(n_tok, 0)
+                                      BETWEEN 2.5 AND 12.0 THEN 1.0 ELSE 0.25 END)
+                        + 0.2 * (CASE WHEN CAST(sw_hits AS DOUBLE) / nullif(n_tok, 0) > 0.01
+                                      THEN 1.0 ELSE 0.5 END), 6) >= 0.947) AS s4
+        FROM q
+    ),
+    a AS (
+        SELECT count(*) AS n0, sum(n_tok) AS t0,
+               count(*) FILTER (s1) AS n1, coalesce(sum(n_tok) FILTER (s1), 0) AS t1,
+               count(*) FILTER (s2) AS n2, coalesce(sum(n_tok) FILTER (s2), 0) AS t2,
+               count(*) FILTER (s3) AS n3, coalesce(sum(n_tok) FILTER (s3), 0) AS t3,
+               count(*) FILTER (s4) AS n4, coalesce(sum(n_tok) FILTER (s4), 0) AS t4
+        FROM f
+    )
+    SELECT 0 AS stage, 'all' AS stage_name, n0 AS n_docs,
+           CAST(t0 AS BIGINT) AS n_tokens,
+           round(CAST(n0 AS DOUBLE) / n0, 6) AS doc_share FROM a
+    UNION ALL SELECT 1, 'min_length', n1, CAST(t1 AS BIGINT),
+           round(CAST(n1 AS DOUBLE) / n0, 6) FROM a
+    UNION ALL SELECT 2, 'alpha_ratio', n2, CAST(t2 AS BIGINT),
+           round(CAST(n2 AS DOUBLE) / n0, 6) FROM a
+    UNION ALL SELECT 3, 'stopwords', n3, CAST(t3 AS BIGINT),
+           round(CAST(n3 AS DOUBLE) / n0, 6) FROM a
+    UNION ALL SELECT 4, 'quality', n4, CAST(t4 AS BIGINT),
+           round(CAST(n4 AS DOUBLE) / n0, 6) FROM a
+    """,
+)
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter FUNNEL (the C4/Gopher-style cascade audit): the
+    cumulative filter ladder min_length → alpha_ratio → stopwords →
+    quality, reported as per-stage survivor counts, token counts, and
+    corpus share — the first table a training-data pipeline owner asks
+    for before committing a filter config.
+
+    Scale shape: every stage flag is a pure column over ONE scan; the
+    whole funnel collapses map-side into a single 10-value aggregate
+    row (conditional sums), then explodes into 5 tiny stage rows — no
+    per-stage rescans, no shuffle of document rows, 100 TB cost = one
+    pass."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.tokenize(F.col("text"))
+    n_tok = F.size(toks)
+    alpha = F.round(
+        F.length(F.regexp_replace("text", r"[^A-Za-zÀ-ÿ]", ""))
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    sw = F.round(TXT.stopword_ratio(toks, "en"), 6)
+    qual = TXT.quality_score(F.col("text"))
+    flags = d.select(
+        n_tok.alias("n_tok"),
+        (n_tok >= 30).alias("s1"),
+        ((n_tok >= 30) & (alpha >= 0.82)).alias("s2"),
+        ((n_tok >= 30) & (alpha >= 0.82) & (sw > 0.03)).alias("s3"),
+        (
+            (n_tok >= 30) & (alpha >= 0.82) & (sw > 0.03) & (qual >= 0.947)
+        ).alias("s4"),
+    )
+
+    def _n(flag):
+        return F.sum(F.when(F.col(flag), 1).otherwise(0))
+
+    def _t_(flag):
+        return F.sum(F.when(F.col(flag), F.col("n_tok")).otherwise(0))
+
+    a = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_tok").alias("t0"),
+        _n("s1").alias("n1"),
+        _t_("s1").alias("t1"),
+        _n("s2").alias("n2"),
+        _t_("s2").alias("t2"),
+        _n("s3").alias("n3"),
+        _t_("s3").alias("t3"),
+        _n("s4").alias("n4"),
+        _t_("s4").alias("t4"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("stage_name"),
+                F.col(f"n{i}").alias("n_docs"),
+                F.col(f"t{i}").cast("bigint").alias("n_tokens"),
+            )
+            for i, name in enumerate(
+                ["all", "min_length", "alpha_ratio", "stopwords", "quality"]
+            )
+        ]
+    )
+    return (
+        a.select(F.col("n0"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.stage_name").alias("stage_name"),
+            F.col("s.n_docs").alias("n_docs"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.round(F.col("s.n_docs") / F.col("n0"), 6).alias("doc_share"),
+        )
+    )
+
+
+@query(
     "q_text_fingerprint",
     oracle="""
     SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS first_doc
@@ -4732,6 +4860,34 @@ def q_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit.join(extra, ["split", "l_returnflag"])
 
 
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY (doc_id * 9973) % 1000003, doc_id
+           ) AS INTEGER) AS pick_rank
+    FROM documents
+    QUALIFY pick_rank <= 3
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling: at most 3 documents per
+    (lang, source) stratum, chosen bottom-k-by-key-hash
+    (operators/sampling.py:stratified_quota_sample) — the deterministic
+    corpus-mixing primitive ("N docs per domain"), reproducible across
+    engines and partitionings, shrink-stable under smaller quotas."""
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_quota_sample(
+        d, ["lang", "source"], ["doc_id"], quota=3
+    ).select("doc_id", "lang", "source", "pick_rank")
+
+
 # ---------------------------------------------------------------------------
 # Exact percentiles, ordered string agg, scalar subquery, histogram
 # ---------------------------------------------------------------------------
@@ -4967,6 +5123,8 @@ GATE_ROTATION = [
     # -- NEW this round (no prior evidence possible) --
     "q_dedup_substring",
     "q_dedup_semantic",
+    "q_sample_stratified",
+    "q_quality_funnel",
     # -- previously-evidenced (r4 green), cheap-first re-confirmations --
     "q_string_agg",
     "q_hfp_golden",
