@@ -191,6 +191,31 @@ COMMENTARY = {
         "inside WholeStageCodegen, and the per-file envelope stats "
         "partial-aggregate map-side."
     ),
+    "q_dedup_substring": (
+        "Exact-substring dedup (ExactSubstr family): positions explode "
+        "NARROW inside one codegen stage — the 20-char-gram md5 is a "
+        "top-level column, never inside a transform() HOF (CodegenFallback, "
+        "interpreted per gram) — and the hash%4 content-defined selection "
+        "filters BEFORE the only wide edge, an h-keyed exchange whose "
+        "map-side partial collect_set also dedups per-doc gram repeats "
+        "(no separate distinct shuffle).  Pair enumeration stays inside "
+        "df-capped posting lists: no join of docs against docs anywhere."
+    ),
+    "q_dedup_semantic": (
+        "SemDeDup: the oracle-pinned k-means training plan feeds ONE "
+        "cell-keyed exchange into a grouped-Pandas GEMM (the only Python "
+        "node); the quadratic lives inside the per-cell Arrow batch, "
+        "row-blocked so peak memory is block x |cell|, never |cell|^2 — "
+        "at corpus scale you raise k to hold |cell| constant and the "
+        "plan is unchanged."
+    ),
+    "q_quality_funnel": (
+        "Filter-cascade audit: every stage flag is a pure column over a "
+        "2-column scan; the whole funnel collapses into ONE 10-value "
+        "conditional-sum aggregate (partial map-side, final 1 row) and a "
+        "5-row explode — no per-stage rescans, no shuffle of document "
+        "rows.  100 TB cost = one pass."
+    ),
 }
 
 

@@ -1363,8 +1363,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     partner; shared_grams = max shared-gram count over partners.
 
     Scale shape: the same inverted-index discipline as q_winnow_pairs —
-    per-doc gram sets dedup JVM-side (array_distinct before explode, no
-    distinct shuffle), boilerplate grams (df > 20) dropped before
+    positions explode NARROW and the md5 runs as a TOP-LEVEL column
+    (whole-stage codegen; the same hash inside a transform() HOF is
+    CodegenFallback — interpreted per gram, measured 5.8s vs 4.2s warm
+    at sf0.1 for this query, 10.1s vs ~6s cold), per-doc gram dedup
+    rides the h-keyed exchange's map-side partial collect_set (a
+    separate distinct() would add a second full shuffle),
+    boilerplate grams (df > 20) dropped before
     pairing, posting lists pair under ONE gram-keyed exchange.  The
     shuffle carries (60-bit hash, doc_id) postings at ~1/4 gram
     density — linear in corpus bytes, never quadratic."""
@@ -1374,29 +1379,38 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
         .filter(F.length("t") >= k)
     )
-    gram_hash = lambda p: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(F.col("t").substr(p, F.lit(k)).cast("binary")), 1, 15
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    grams = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("t") - F.lit(k - 1)),
-                    gram_hash,
+    postings = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - F.lit(k - 1))
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.col("t").substr(F.col("p"), F.lit(k)).cast("binary")
+                    ),
+                    1,
+                    15,
                 ),
-                lambda h: h % sel_mod == 0,
+                16,
+                10,
             )
-        ).alias("gs"),
+            .cast("bigint")
+            .alias("h"),
+        )
+        .filter(F.col("h") % sel_mod == 0)
     )
-    postings = grams.select("doc_id", F.explode("gs").alias("h"))
+    # collect_set dedups per-doc gram repeats INSIDE the one h-keyed
+    # exchange (map-side partial set) — a separate distinct() would add
+    # a second full shuffle on (doc_id, h) for nothing
     buckets = (
         postings.groupBy("h")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
         .filter((F.size("ds") > 1) & (F.size("ds") <= df_cap))
     )
     pair_struct = F.expr(
@@ -5067,11 +5081,10 @@ def q_dedup_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
 # instead: this round (r5) leads with q_multimodal_decode — its oracle
 # graduated in r4 but never entered a driver window, so it is the one
 # oracled query with zero driver-green rows — then the 43 other queries
-# absent from CORRECTNESS_r04.json, then the queries NEW this round
-# (no prior evidence possible).  That is exactly 50 when 6 new queries
-# land; previously-evidenced queries fill any remaining slots with
-# re-confirmations.  Union of r4 + r5 evidence again covers the whole
-# registry.
+# absent from CORRECTNESS_r04.json, then the 4 queries NEW this round
+# (no prior evidence possible) — 48 of the 50 slots; previously-
+# evidenced queries fill the remaining slots with re-confirmations.
+# Union of r4 + r5 evidence again covers the whole registry.
 GATE_ROTATION = [
     # -- oracled in r4 but never driver-evidenced: goes first --
     "q_multimodal_decode",
