@@ -13,6 +13,7 @@ import datetime as dt
 import os
 import time
 
+import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
@@ -99,3 +100,83 @@ def test_ttl_reprimes_expired_key(spark, tmp_path):
         )
     got = sorted((r.is_prime, r.hit_no) for r in out.collect())
     assert got == [(False, 2), (True, 1), (True, 1)]
+
+
+class _FakeMapState:
+    """Stand-in for the TWS MapState handle: dict-backed get/update."""
+
+    def __init__(self):
+        self.d = {}
+
+    def getValue(self, key):
+        return self.d.get(key)
+
+    def updateValue(self, key, value):
+        self.d[key] = value
+
+
+def _run_processor(batches, ttl_ms=10**12):
+    """Drive _DedupTagProcessor.handleInputRows directly — the state
+    runtime needs google.protobuf (absent here), but the processor is
+    pure Python over pandas chunks + a MapState, so its semantics are
+    testable without the runtime."""
+    import pandas as pd
+
+    from transitdata_hfp_deduplicator_spark.streaming.tws_dedup import (
+        _DedupTagProcessor,
+    )
+
+    p = _DedupTagProcessor(ttl_ms)
+    p.cache = _FakeMapState()
+    out = []
+    for chunks in batches:
+        frames = list(
+            p.handleInputRows(
+                ("bucket",),
+                iter(
+                    pd.DataFrame({"key": [k for k, _ in c],
+                                  "ts_ms": [t for _, t in c]})
+                    for c in chunks
+                ),
+                None,
+            )
+        )
+        out.extend(frames)
+    return pd.concat(out, ignore_index=True) if out else None
+
+
+def test_multi_chunk_batch_sorts_across_chunks():
+    """A batch whose Arrow chunks arrive out of event-time order must
+    still tag by GLOBAL batch order: the prime is the overall-earliest
+    row even when it sits in the second chunk, and delay_ms is never
+    negative (the regression: per-chunk sorting made hit_no/delay_ms
+    chunk-boundary-dependent)."""
+    # chunk 1 holds the LATER rows, chunk 2 the earliest
+    batch = [
+        [("k", 3000), ("k", 2000)],  # chunk 1
+        [("k", 1000), ("k", 4000)],  # chunk 2
+    ]
+    df = _run_processor([batch]).sort_values("ts_ms")
+    assert df["ts_ms"].tolist() == [1000, 2000, 3000, 4000]
+    assert df["is_prime"].tolist() == [True, False, False, False]
+    assert df["hit_no"].tolist() == [1, 2, 3, 4]
+    delays = df["delay_ms"].tolist()
+    assert delays[0] is None or pd.isna(delays[0])
+    assert [int(x) for x in delays[1:]] == [1000, 2000, 3000]
+
+
+def test_state_carries_across_batches_and_ttl_reprimes():
+    batches = [
+        [[("a", 1000)]],
+        [[("a", 2000), ("b", 2500)]],
+        [[("a", 10_000_000)]],  # beyond ttl: fresh prime
+    ]
+    df = _run_processor(batches, ttl_ms=1_000_000)
+    rows = {
+        (r.key, int(r.ts_ms)): (bool(r.is_prime), int(r.hit_no))
+        for r in df.itertuples()
+    }
+    assert rows[("a", 1000)] == (True, 1)
+    assert rows[("a", 2000)] == (False, 2)
+    assert rows[("b", 2500)] == (True, 1)
+    assert rows[("a", 10_000_000)] == (True, 1)
