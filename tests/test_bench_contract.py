@@ -37,3 +37,24 @@ def test_final_line_is_last_and_detail_precedes():
 def test_failed_queries_excluded_from_total():
     _, final = format_output({"q_a": 2.0, "q_b": -1.0}, 0.1, 0.4)
     assert json.loads(final)["value"] == 2.0
+
+
+def test_gate_rotation_covers_registry():
+    """Every registered query must appear in GATE_ROTATION exactly once
+    (a query added without a rotation slot would silently never reach
+    the driver's 50-entry correctness window); forward-declared names
+    for unreleased queries are allowed, duplicates are not."""
+    from transitdata_hfp_deduplicator_spark.queries import GATE_ROTATION
+
+    dupes = {n for n in GATE_ROTATION if GATE_ROTATION.count(n) > 1}
+    assert not dupes, f"duplicate rotation entries: {dupes}"
+    missing = set(QUERIES) - set(GATE_ROTATION)
+    assert not missing, f"registered but not rotated: {missing}"
+
+
+def test_gate_ordered_is_registry_permutation():
+    from transitdata_hfp_deduplicator_spark.queries import gate_ordered
+
+    ordered = gate_ordered()
+    assert set(ordered) == set(QUERIES)
+    assert list(ordered) != list(QUERIES) or len(QUERIES) <= 1
