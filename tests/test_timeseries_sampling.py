@@ -111,3 +111,43 @@ def test_bernoulli_sample_reproducible(spark):
     ids2 = {r.id for r in s2.collect()}
     assert ids1 == ids2  # same rows regardless of partitioning
     assert 800 < len(ids1) < 1200
+
+
+def test_stratified_quota_shrink_stable_and_partition_invariant(spark):
+    """quota=q's picks must be a SUBSET of quota=q+2's (bottom-k by hash
+    is shrink-stable — the property that lets a pipeline lower a domain
+    quota without resampling everything), and the picked set must not
+    depend on physical partitioning."""
+    from pyspark.sql import functions as F
+
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        stratified_quota_sample,
+    )
+
+    rows = [(i, f"lang{i % 3}", f"src{i % 5}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+
+    def picks(frame, quota):
+        return {
+            (r.doc_id, r.pick_rank)
+            for r in stratified_quota_sample(
+                frame, ["lang", "source"], ["doc_id"], quota
+            ).collect()
+        }
+
+    p3, p5 = picks(df, 3), picks(df, 5)
+    assert {d for d, _ in p3} < {d for d, _ in p5}
+    assert all(r <= 3 for _, r in p3) and all(r <= 5 for _, r in p5)
+    # same data, different physical layout: identical picks AND ranks
+    assert picks(df.repartition(17, "doc_id"), 3) == p3
+    assert picks(df.coalesce(1), 3) == p3
+    # every stratum fills its quota when it has enough members
+    from collections import Counter
+
+    per_stratum = Counter(
+        (r.lang, r.source)
+        for r in stratified_quota_sample(
+            df, ["lang", "source"], ["doc_id"], 3
+        ).collect()
+    )
+    assert set(per_stratum.values()) == {3}  # 400 rows / 15 strata >= 3
