@@ -158,3 +158,15 @@ def test_kmeans_rejects_zero_iters(spark):
     )
     with pytest.raises(ValueError, match="iters"):
         kmeans_cells(df, k=2, iters=0)
+
+
+def test_substring_short_docs_never_pair(spark):
+    """Docs shorter than the gram width have no grams: they can never
+    pair (the ExactSubstr guarantee is only about >= k-char runs), and
+    identical SHORT texts are exact-dedup's job, not this operator's."""
+    rows = [
+        (1, "tiny text"),          # < 20 chars
+        (2, "tiny text"),          # identical but too short
+        (3, "exactly nineteen ch"),  # 19 chars
+    ]
+    assert _substring_verdicts(spark, rows) == set()
