@@ -22,20 +22,31 @@ def load(path: str) -> dict:
         return d
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         return d["parsed"]
+    # driver wrapper: "parsed" may hold the compact final line (no
+    # queries — the two-line bench format) and "tail" the last ~2000
+    # chars of stdout, which carries the end of the per-query detail
+    # line.  Merge: summary fields from the final line, plus every
+    # per-query timing the tail retained (possibly a suffix subset).
     tail = d.get("tail", "")
-    m = re.search(r'\{"metric".*\}', tail)
-    if m:
-        return json.loads(m.group(0))
+    out: dict = {}
+    if isinstance(d.get("parsed"), dict) and "metric" in d["parsed"]:
+        out.update(d["parsed"])
+    else:
+        m = re.search(r'\{"metric".*?\}', tail)
+        if m:
+            out.update(json.loads(m.group(0)))
     qs = dict(
         (k, float(v)) for k, v in re.findall(r'"(q_\w+)": ([\d.]+)', tail)
     )
-    if qs:
+    if qs and "queries" not in out:
+        out["queries"] = qs
+    if "calib_sec" not in out:
         cm = re.search(r'"calib_sec": ([\d.]+)', tail)
-        return {
-            "queries": qs,
-            "value": sum(qs.values()),
-            "calib_sec": float(cm.group(1)) if cm else None,
-        }
+        out["calib_sec"] = float(cm.group(1)) if cm else None
+    if "value" not in out and qs:
+        out["value"] = sum(qs.values())
+    if out.get("queries"):
+        return out
     raise SystemExit(f"no bench data found in {path}")
 
 
