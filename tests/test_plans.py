@@ -329,3 +329,23 @@ def test_dedup_semantic_no_cartesian(spark, sf_dir):
     """SemDeDup's quadratic must stay bounded inside per-cell Arrow
     GEMM groups — the Spark plan itself carries no cross product."""
     assert_no_cartesian(QUERIES["q_dedup_semantic"](spark, sf_dir))
+
+
+def test_quality_funnel_one_pass_two_columns(spark, sf_dir):
+    """The funnel must be ONE scan of (doc_id?, text)-width columns with
+    a map-side partial aggregate — per-stage rescans or a shuffle of
+    document rows would defeat the single-pass design."""
+    df = QUERIES["q_quality_funnel"](spark, sf_dir)
+    p = physical_plan(df, mode="simple")
+    assert p.count("Scan parquet") == 1, "funnel must scan once"
+    cols = read_schema_columns(df)
+    assert cols <= {"text"}, f"reads extra columns: {cols}"
+    assert_partial_aggregation(df)
+
+
+def test_sample_stratified_single_exchange(spark, sf_dir):
+    """Quota sampling = one strata-keyed exchange + window rank; any
+    second Exchange means the rank or the filter re-shuffled."""
+    df = QUERIES["q_sample_stratified"](spark, sf_dir)
+    p = physical_plan(df, mode="simple")
+    assert p.count("Exchange") == 1, p
