@@ -216,6 +216,13 @@ COMMENTARY = {
         "5-row explode — no per-stage rescans, no shuffle of document "
         "rows.  100 TB cost = one pass."
     ),
+    "q_sample_stratified": (
+        "Quota sampling: bottom-k-by-key-hash per stratum — ONE exchange "
+        "keyed by (lang, source), rank inside the sorted stream, filter "
+        "before anything widens.  Deterministic (pure function of keys), "
+        "shrink-stable (quota q picks are a subset of quota q+1's), "
+        "partition-invariant — pinned in tests."
+    ),
 }
 
 
