@@ -12,8 +12,11 @@ from pyspark.sql import functions as F
 
 
 def _substring_verdicts(spark, rows):
-    """Run q_dedup_substring's core pipeline on an inline corpus by
-    monkey-free reconstruction: same k/sel_mod/df_cap constants."""
+    """q_dedup_substring's semantics on an inline corpus via an
+    INDEPENDENT formulation (per-doc HOF gram arrays + array_distinct;
+    production uses explode → top-level md5 → collect_set for codegen)
+    — same k/sel_mod/df_cap constants, so agreement with the planted
+    expectations is evidence about the semantics, not the plan."""
     from transitdata_hfp_deduplicator_spark.queries import QUERIES  # noqa: F401
 
     k, sel_mod, df_cap = 20, 4, 20
