@@ -1438,6 +1438,181 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_ladder",
+    oracle="""
+    WITH norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    ex AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(t)) AS f
+            FROM norm
+        ) WHERE doc_id > f
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(t, ' ') AS tokens FROM norm)
+        WHERE len(tokens) >= 3
+    ),
+    mh AS MATERIALIZED (
+        SELECT doc_id, shingles,
+               [list_min(list_transform(shingles,
+                    s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                          + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                                 % 288230376151711744))
+                         & 576460752303423487))
+                for k in range(0, 16)] AS sig
+        FROM sh
+    ),
+    ids AS (
+        SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[9] = b.sig[9] AND a.sig[10] = b.sig[10] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[11] = b.sig[11] AND a.sig[12] = b.sig[12] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[13] = b.sig[13] AND a.sig[14] = b.sig[14] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[15] = b.sig[15] AND a.sig[16] = b.sig[16] AND a.doc_id < b.doc_id
+    ),
+    nearj AS (
+        SELECT DISTINCT ids.j AS doc_id
+        FROM ids JOIN mh a ON ids.i = a.doc_id JOIN mh b ON ids.j = b.doc_id
+        WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.5
+    ),
+    g AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(substr(t, p, 20)), 1, 15))::BIGINT AS h
+        FROM (SELECT * FROM norm WHERE len(t) >= 20),
+             unnest(generate_series(1, len(t) - 19)) AS u(p)
+        WHERE ('0x' || substr(md5(substr(t, p, 20)), 1, 15))::BIGINT % 4 = 0
+    ),
+    keep AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
+    subj AS (
+        SELECT DISTINCT b.doc_id
+        FROM g a JOIN keep USING (h) JOIN g b USING (h)
+        WHERE a.doc_id < b.doc_id
+    ),
+    r AS (
+        SELECT n.doc_id,
+               CASE WHEN e.doc_id IS NOT NULL THEN 1
+                    WHEN m.doc_id IS NOT NULL THEN 2
+                    WHEN s.doc_id IS NOT NULL THEN 3 END AS rung
+        FROM norm n
+        LEFT JOIN ex e USING (doc_id)
+        LEFT JOIN nearj m ON m.doc_id = n.doc_id
+        LEFT JOIN subj s ON s.doc_id = n.doc_id
+    ),
+    a AS (
+        SELECT count(*) AS total,
+               count(*) FILTER (rung = 1) AS c1,
+               count(*) FILTER (rung = 2) AS c2,
+               count(*) FILTER (rung = 3) AS c3
+        FROM r
+    )
+    SELECT 1 AS rung, 'exact' AS rung_name, c1 AS caught,
+           c1 AS cumulative, total - c1 AS survivors FROM a
+    UNION ALL SELECT 2, 'near_text', c2, c1 + c2, total - c1 - c2 FROM a
+    UNION ALL SELECT 3, 'substring', c3, c1 + c2 + c3,
+           total - c1 - c2 - c3 FROM a
+    """,
+)
+def q_dedup_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup LADDER as one funnel: exact (rung 1) → near-text
+    MinHash-LSH (rung 2) → exact-substring (rung 3), each document
+    attributed to the FIRST rung that catches it (keep-min-id at every
+    rung) — the summary a pipeline owner reads to decide which rungs
+    pay for themselves on a corpus.  Composes the three verified text
+    rungs; the fourth (semantic, q_dedup_semantic) lives on the
+    embeddings table.
+
+    Scale shape: each rung is its own verified linear plan (fingerprint
+    groupBy / banded LSH / gram inverted index); attribution is three
+    left joins of tiny dup-id sets onto the doc-id spine and ONE
+    4-value conditional-sum aggregate."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    fp = d.select("doc_id", F.md5(F.col("t").cast("binary")).alias("fp"))
+    exact = (
+        fp.join(
+            fp.groupBy("fp").agg(F.min("doc_id").alias("first_id")), "fp"
+        )
+        .filter(F.col("doc_id") > F.col("first_id"))
+        .select("doc_id", F.lit(1).alias("r1"))
+    )
+    near = (
+        minhash_lsh_pairs(
+            _t(spark, sf_dir, "documents"),
+            "doc_id",
+            "text",
+            shingle_n=3,
+            num_hashes=16,
+            bands=8,
+            threshold=0.5,
+            hash_family="md5",
+        )
+        .select(F.col("j").alias("doc_id"))
+        .distinct()
+        .withColumn("r2", F.lit(1))
+    )
+    sub = (
+        q_dedup_substring(spark, sf_dir)
+        .filter(F.col("is_dup"))
+        .select("doc_id", F.lit(1).alias("r3"))
+    )
+    rungs = (
+        d.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(sub, "doc_id", "left")
+        .select(
+            F.when(F.col("r1").isNotNull(), 1)
+            .when(F.col("r2").isNotNull(), 2)
+            .when(F.col("r3").isNotNull(), 3)
+            .alias("rung")
+        )
+    )
+    a = rungs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("rung") == 1, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("rung") == 2, 1).otherwise(0)).alias("c2"),
+        F.sum(F.when(F.col("rung") == 3, 1).otherwise(0)).alias("c3"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("rung"),
+                F.lit(name).alias("rung_name"),
+                F.col(f"c{i}").alias("caught"),
+                sum((F.col(f"c{j}") for j in range(1, i + 1)), F.lit(0)).alias(
+                    "cumulative"
+                ),
+            )
+            for i, name in [(1, "exact"), (2, "near_text"), (3, "substring")]
+        ]
+    )
+    return a.select(F.col("total"), F.explode(stages).alias("s")).select(
+        F.col("s.rung").alias("rung"),
+        F.col("s.rung_name").alias("rung_name"),
+        F.col("s.caught").alias("caught"),
+        F.col("s.cumulative").alias("cumulative"),
+        (F.col("total") - F.col("s.cumulative")).alias("survivors"),
+    )
+
+
+@query(
     "q_text_scrub",
     oracle="""
     WITH dirty AS (
@@ -5081,9 +5256,9 @@ def q_dedup_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
 # instead: this round (r5) leads with q_multimodal_decode — its oracle
 # graduated in r4 but never entered a driver window, so it is the one
 # oracled query with zero driver-green rows — then the 43 other queries
-# absent from CORRECTNESS_r04.json, then the 4 queries NEW this round
-# (no prior evidence possible) — 48 of the 50 slots; previously-
-# evidenced queries fill the remaining slots with re-confirmations.
+# absent from CORRECTNESS_r04.json, then the 5 queries NEW this round
+# (no prior evidence possible) — 49 of the 50 slots; previously-
+# evidenced queries fill the remaining slot with a re-confirmation.
 # Union of r4 + r5 evidence again covers the whole registry.
 GATE_ROTATION = [
     # -- oracled in r4 but never driver-evidenced: goes first --
@@ -5138,6 +5313,7 @@ GATE_ROTATION = [
     "q_dedup_semantic",
     "q_sample_stratified",
     "q_quality_funnel",
+    "q_dedup_ladder",
     # -- previously-evidenced (r4 green), cheap-first re-confirmations --
     "q_string_agg",
     "q_hfp_golden",
