@@ -349,3 +349,11 @@ def test_sample_stratified_single_exchange(spark, sf_dir):
     df = QUERIES["q_sample_stratified"](spark, sf_dir)
     p = physical_plan(df, mode="simple")
     assert p.count("Exchange") == 1, p
+
+
+def test_dedup_ladder_no_cartesian(spark, sf_dir):
+    """All three rungs and the attribution joins must stay keyed —
+    no cross product anywhere in the composed funnel."""
+    df = QUERIES["q_dedup_ladder"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
