@@ -1,0 +1,117 @@
+"""Distributed Bloom-filter build + probe as pure DataFrame ops.
+
+The 100 TB decontamination problem: the exact method
+(``q_decontaminate``) broadcasts the eval set's DISTINCT shingle
+hashes.  Benchmarks are small, but "small" can still be 10⁸ shingles ×
+8 bytes = 800 MB — past the comfortable broadcast threshold.  A Bloom
+filter compresses the broadcast to a FIXED bitmap (2¹⁷ bits = 16 KB
+here; 2³⁰ bits = 128 MB covers billions of shingles at <1% FP), at the
+cost of false positives — which a decontamination prefilter tolerates:
+bloom-positive docs proceed to the exact (now tiny, hit-rows-only)
+confirmation join, bloom-negative docs never shuffle at all.
+
+Everything is engine-reproducible: positions derive from the md5-based
+``hash64`` family (functions/text.py:175) via the Kirsch-Mitzenmacher
+construction p_i = (h1 + i*h2) mod m, so DuckDB rebuilds the identical
+bitmap and the oracle checks the false-positive set bit-for-bit, not
+just statistically.
+
+Layout: 32 bits per word (mask = 1 << (p & 31) stays positive in a
+BIGINT in both engines — no sign/overflow edge at bit 63), word index
+p >> 5.  The bitmap is a (word, mask) DataFrame of m/32 rows, built
+with one ``bit_or`` partial-aggregate shuffle (map-side combine makes
+the exchange carry at most m/32 rows per task), then broadcast to the
+probe side.
+
+Reference tie-in: same externalizable-digest discipline as the
+reference's fixed murmur3 seed (Deduplicator.java:27-28) — the filter
+is meaningful across engines and restarts because the hash family is
+pinned, not per-JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 1 << 17  # 131072 bits = 4096 x 32-bit words = 16 KB
+DEFAULT_K = 3
+
+
+def _positions(hv: Column, m_bits: int, k: int) -> Column:
+    """Kirsch-Mitzenmacher probe positions of a 60-bit hash: k probes
+    from two sub-hashes, p_i = (h1 + i*h2) mod m.  ``hv`` must be
+    non-negative (hash64 is 60-bit positive by construction)."""
+    h1 = hv % F.lit(m_bits)
+    h2 = F.shiftright(hv, 17) % F.lit(m_bits)
+    return F.array(*[((h1 + F.lit(i) * h2) % F.lit(m_bits)) for i in range(k)])
+
+
+def bloom_build(
+    hashes: DataFrame,
+    hash_col: str = "hv",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Aggregate a hash column into a Bloom bitmap DataFrame
+    ``(w int, mask bigint)`` of at most ``m_bits/32`` rows.
+
+    One exchange, keyed by word index; ``bit_or`` partial-aggregates
+    map-side, so the shuffle volume is bounded by (#words ×
+    #partitions), independent of input row count."""
+    return (
+        hashes.select(
+            F.explode(_positions(F.col(hash_col), m_bits, k)).alias("p")
+        )
+        .select(
+            F.shiftright("p", 5).cast("int").alias("w"),
+            # shiftleft() the builtin takes a literal bit count only;
+            # the SQL form accepts a column
+            F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    hash_col: str = "hv",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Filter ``probes`` to the rows whose ``hash_col`` is
+    bloom-POSITIVE (member per all k probe positions).
+
+    The bitmap broadcasts (≤ m_bits/32 rows); each probe row explodes
+    to k position rows, left-joins the broadcast map-side, and
+    reduces back with min(hit) — all k bits set ⇒ positive.  The
+    grouping key includes every original column, so callers keep their
+    schema; the re-group exchange carries only probe rows, and at k=3
+    the explode is a 3× narrow amplification of (key, position), never
+    of the payload (positions ride a single array column until the
+    explode right before the join)."""
+    cols = probes.columns
+    pos = probes.withColumn(
+        "p", F.explode(_positions(F.col(hash_col), m_bits, k))
+    ).select(
+        *cols,
+        F.shiftright("p", 5).cast("int").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("m"),
+    )
+    hit = pos.join(F.broadcast(bloom), "w", "left").select(
+        *cols,
+        F.when(
+            F.col("mask").isNotNull() & (F.col("mask").bitwiseAND(F.col("m")) != 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    return (
+        hit.groupBy(*cols)
+        .agg(F.min("hit").alias("_all_hit"))
+        .filter(F.col("_all_hit") == 1)
+        .drop("_all_hit")
+    )

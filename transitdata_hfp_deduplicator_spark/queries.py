@@ -2370,6 +2370,102 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_decontaminate_bloom",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                    for i in range(1, len(tokens) - 1)])) AS s
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('11|' || s), 1, 15))::BIGINT AS hv
+        FROM sh
+    ),
+    ev AS (SELECT DISTINCT hv FROM h WHERE doc_id % 53 = 1),
+    tr AS (SELECT DISTINCT doc_id, hv FROM h WHERE doc_id % 53 <> 1),
+    epos AS (
+        SELECT unnest([ (hv % 131072 + i * ((hv >> 17) % 131072)) % 131072
+                        for i in [0, 1, 2] ]) AS p
+        FROM ev
+    ),
+    bloom AS (
+        SELECT CAST(p >> 5 AS INTEGER) AS w,
+               bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS mask
+        FROM epos GROUP BY 1
+    ),
+    tpos AS (
+        SELECT doc_id, hv,
+               unnest([ (hv % 131072 + i * ((hv >> 17) % 131072)) % 131072
+                        for i in [0, 1, 2] ]) AS p
+        FROM tr
+    ),
+    memb AS (
+        SELECT doc_id, hv,
+               min(CASE WHEN b.mask IS NOT NULL
+                         AND (b.mask & (1::BIGINT << CAST(p % 32 AS INTEGER))) <> 0
+                        THEN 1 ELSE 0 END) AS is_pos
+        FROM tpos LEFT JOIN bloom b ON b.w = CAST(p >> 5 AS INTEGER)
+        GROUP BY doc_id, hv
+    ),
+    flagged AS (SELECT doc_id, hv FROM memb WHERE is_pos = 1)
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bloom_hits,
+           CAST(count(*) FILTER (e.hv IS NOT NULL) AS BIGINT) AS n_exact_hits
+    FROM flagged f LEFT JOIN ev e USING (hv)
+    GROUP BY f.doc_id
+    """,
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter — the 100 TB shape of
+    ``q_decontaminate`` when even the eval set's distinct hash list is
+    too big to broadcast comfortably: build a FIXED-size bitmap (2^17
+    bits here; 2^30 bits = 128 MB covers billions of shingles at <1%
+    FP) from the eval shingle hashes with one bit_or partial-agg
+    shuffle, broadcast THAT, and keep only bloom-positive training
+    shingles for the exact confirmation join.  Bloom-negative documents
+    — the overwhelming majority of a clean corpus — are eliminated
+    map-side without ever shuffling.
+
+    The output exposes the filter's honest accounting per contaminated
+    doc: ``n_bloom_hits`` (shingles the prefilter flags) vs
+    ``n_exact_hits`` (shingles genuinely in the eval set) — the gap IS
+    the false-positive overhang, deterministic here because the bitmap
+    and probe family are md5-derived (operators/bloom.py), so the
+    oracle reproduces the same false positives bit-for-bit."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(TXT.shingles(TXT.tokenize(F.col("text")), 3)).alias("s"),
+    ).select("doc_id", TXT.hash64(F.col("s"), seed=11).alias("hv"))
+    is_eval = F.col("doc_id") % 53 == 1
+    ev = sh.filter(is_eval).select("hv").distinct()
+    tr = sh.filter(~is_eval).select("doc_id", "hv").distinct()
+    bloom = bloom_build(ev)
+    flagged = bloom_probe(tr, bloom)
+    return (
+        flagged.join(
+            F.broadcast(ev.withColumn("in_eval", F.lit(1))), "hv", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bloom_hits"),
+            F.count("in_eval").alias("n_exact_hits"),
+        )
+    )
+
+
+@query(
     "q_dedup_norm",
     oracle="""
     WITH n AS (
