@@ -920,6 +920,186 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_token_colloc",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(trim(text)), ' ') AS ts
+        FROM documents
+    ),
+    uni AS (
+        SELECT t, count(*) AS c
+        FROM (SELECT unnest(ts) AS t FROM toks)
+        WHERE t <> '' GROUP BY t
+    ),
+    big AS (
+        SELECT ts[i] AS t1, ts[i+1] AS t2, count(*) AS c12
+        FROM toks, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+        WHERE ts[i] <> '' AND ts[i+1] <> ''
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST((SELECT sum(c) FROM uni) AS DOUBLE) AS t_total,
+               CAST((SELECT sum(c12) FROM big) AS DOUBLE) AS b_total
+    )
+    SELECT t1, t2, c12, u1.c AS c1, u2.c AS c2,
+           round((c12 / b_total) / ((u1.c / t_total) * (u2.c / t_total)), 6)
+               AS lift
+    FROM big
+    JOIN uni u1 ON u1.t = big.t1
+    JOIN uni u2 ON u2.t = big.t2
+    CROSS JOIN tot
+    WHERE c12 >= 5
+    """,
+)
+def q_token_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (Church & Hanks association-style): adjacent
+    bigram lift = p(t1,t2) / (p(t1)·p(t2)) over occurrence counts —
+    lift >> 1 marks phrases ("new york"), lift << 1 marks
+    anti-collocations.  Lift instead of log-PMI on purpose: +,-,*,/ are
+    IEEE-exact-rounded and therefore bit-identical across engines,
+    while ln() is implementation-defined in the last ulp and would
+    break the oracle's value hash.
+
+    Scale shape: bigrams come from zipping two shifted slices of the
+    per-doc token array (no position explode, no self-join — the
+    shingles() trick at multiplicity); unigram and bigram counting are
+    two token-keyed partial-agg shuffles whose exchanges carry at most
+    |vocab| and |vocab|² rows per task; the corpus totals are 1-row
+    aggregates crossJoined back (never collected) and the unigram table
+    broadcasts onto the bigram side twice.  The corpus itself is never
+    shuffled — at 100 TB this is three scans' worth of map-side work
+    and three tiny exchanges."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(TXT.tokenize(F.col("text")).alias("ts"))
+    uni = (
+        toks.select(F.explode("ts").alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    length = F.size("ts") - 1
+    pairs = F.zip_with(
+        F.slice("ts", 1, length),
+        F.slice("ts", 2, length),
+        lambda x, y: F.struct(x.alias("t1"), y.alias("t2")),
+    )
+    big = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.t1", "p.t2")
+        .filter((F.col("t1") != "") & (F.col("t2") != ""))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tot = uni.agg(F.sum("c").cast("double").alias("t_total")).crossJoin(
+        big.agg(F.sum("c12").cast("double").alias("b_total"))
+    )
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    return (
+        big.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "t1")
+        .join(F.broadcast(u2), "t2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                (F.col("c12") / F.col("b_total"))
+                / ((F.col("c1") / F.col("t_total")) * (F.col("c2") / F.col("t_total"))),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_corpus_drift",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id % 2 AS snap,
+               unnest(string_split(lower(trim(text)), ' ')) AS t
+        FROM documents
+    ),
+    counts AS (
+        SELECT t,
+               CAST(count(*) FILTER (snap = 0) AS DOUBLE) AS ca,
+               CAST(count(*) FILTER (snap = 1) AS DOUBLE) AS cb
+        FROM tok WHERE t <> '' GROUP BY t
+    ),
+    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts),
+    e AS (
+        SELECT t, ca, cb, ta, tb,
+               (ta * (ca + cb)) / (ta + tb) AS ea,
+               (tb * (ca + cb)) / (ta + tb) AS eb
+        FROM counts CROSS JOIN tot
+    )
+    SELECT t, CAST(ca AS BIGINT) AS count_a, CAST(cb AS BIGINT) AS count_b,
+           round(ca / ta, 8) AS rate_a,
+           round(cb / tb, 8) AS rate_b,
+           round(((ca - ea) * (ca - ea)) / ea
+                 + ((cb - eb) * (cb - eb)) / eb, 6) AS chi2
+    FROM e
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift detection — per-token chi-square between two corpus
+    snapshots (here the deterministic doc_id-parity halves; in
+    production, consecutive crawl dumps).  The monitoring step of a
+    training-data pipeline: a token whose rate shifts between snapshots
+    signals contamination, a crawler change, or genuine distribution
+    drift BEFORE the corpus reaches training.  chi2 per token over the
+    2x2 (token vs rest) x (snapshot A vs B) contingency; squares are
+    spelled d*d (not pow) so the arithmetic is the IEEE-exact +,-,*,/
+    subset that hashes identically across engines.
+
+    Scale shape: ONE scan — both snapshots' counts come from the same
+    token-keyed partial-agg exchange via conditional aggregates
+    (count FILTER), never a self-join of two scans; totals are a 1-row
+    aggregate crossJoined back.  The exchange carries |vocab| rows per
+    task; the corpus is never shuffled."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            (F.col("doc_id") % 2).alias("snap"),
+            F.explode(TXT.tokenize(F.col("text"))).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(
+            F.count_if(F.col("snap") == 0).cast("double").alias("ca"),
+            F.count_if(F.col("snap") == 1).cast("double").alias("cb"),
+        )
+    )
+    tot = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    e = counts.crossJoin(F.broadcast(tot)).withColumns(
+        {
+            "ea": (F.col("ta") * (F.col("ca") + F.col("cb")))
+            / (F.col("ta") + F.col("tb")),
+            "eb": (F.col("tb") * (F.col("ca") + F.col("cb")))
+            / (F.col("ta") + F.col("tb")),
+        }
+    )
+    da, db = F.col("ca") - F.col("ea"), F.col("cb") - F.col("eb")
+    return e.select(
+        "t",
+        F.col("ca").cast("long").alias("count_a"),
+        F.col("cb").cast("long").alias("count_b"),
+        F.round(F.col("ca") / F.col("ta"), 8).alias("rate_a"),
+        F.round(F.col("cb") / F.col("tb"), 8).alias("rate_b"),
+        F.round((da * da) / F.col("ea") + (db * db) / F.col("eb"), 6).alias(
+            "chi2"
+        ),
+    )
+
+
+@query(
     "q_text_stats",
     oracle="""
     SELECT lang,
@@ -1698,6 +1878,100 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.length("chunk").cast("long").alias("n_chars"),
     )
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One BPE iteration as DuckDB CTEs — generated, like the engine's
+    loop (operators/bpe.py), so oracle and engine stay structurally
+    identical iteration-for-iteration."""
+    return f"""
+    pairs{i} AS (
+        SELECT a, b, count(*) AS c
+        FROM (SELECT tok AS a,
+                     lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+              FROM tok{i})
+        WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    win{i} AS (SELECT a, b, c FROM pairs{i} ORDER BY c DESC, a, b LIMIT 1),
+    st{i} AS (
+        SELECT t.doc_id, t.pos, t.tok, w.a, w.b,
+               CASE WHEN t.tok = w.a
+                     AND lead(t.tok) OVER (PARTITION BY t.doc_id
+                                           ORDER BY t.pos) = w.b
+                    THEN 1 ELSE 0 END AS m
+        FROM tok{i} t CROSS JOIN win{i} w
+    ),
+    isl{i} AS (
+        SELECT *, pos - row_number() OVER (PARTITION BY doc_id, m
+                                           ORDER BY pos) AS grp
+        FROM st{i}
+    ),
+    tk{i} AS (
+        SELECT doc_id, pos, tok, m,
+               CASE WHEN m = 1
+                     AND row_number() OVER (PARTITION BY doc_id, grp, m
+                                            ORDER BY pos) % 2 = 1
+                    THEN 1 ELSE 0 END AS taken
+        FROM isl{i}
+    ),
+    nx{i} AS (
+        SELECT doc_id, pos, tok, taken,
+               lag(taken) OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS prev_taken,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM tk{i}
+    ),
+    tok{i + 1} AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos,
+               CASE WHEN taken = 1 THEN tok || nxt ELSE tok END AS tok
+        FROM nx{i}
+        WHERE coalesce(prev_taken, 0) = 0
+    )"""
+
+
+@query(
+    "q_bpe_merges",
+    oracle=f"""
+    WITH tok1 AS (
+        SELECT doc_id, p AS pos, substr(t, CAST(p AS INTEGER), 1) AS tok
+        FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents
+              WHERE len(lower(trim(text))) >= 1),
+             unnest(generate_series(1, least(len(t), 200))) AS u(p)
+    ),
+    {",".join(_bpe_iter_sql(i) for i in (1, 2, 3))}
+    SELECT 1 AS iter, a AS lhs, b AS rhs, a || b AS merged,
+           CAST(c AS BIGINT) AS pair_n,
+           (SELECT count(*) FROM tok2) AS tokens_after FROM win1
+    UNION ALL
+    SELECT 2, a, b, a || b, CAST(c AS BIGINT),
+           (SELECT count(*) FROM tok3) FROM win2
+    UNION ALL
+    SELECT 3, a, b, a || b, CAST(c AS BIGINT),
+           (SELECT count(*) FROM tok4) FROM win3
+    """,
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, 3 merge iterations (Sennrich et al.
+    2016) — count adjacent symbol pairs corpus-wide, merge the top pair
+    everywhere with greedy left-to-right non-overlap semantics (the
+    exact behavior of a sequential BPE trainer), repeat.  Returns the
+    merge table — the artifact a tokenizer ships.
+
+    Distributed shape (operators/bpe.py): the corpus lives at
+    (doc_id, pos, tok) grain, repartitioned by doc_id ONCE — every
+    window in every iteration reuses that exchange (their partition
+    keys all start with doc_id); per-iteration shuffles carry only
+    |pair-vocab| count rows; the winning pair is a TakeOrderedAndProject
+    crossJoin-broadcast back, never collected.  3 iterations and a
+    200-char cap are config; the iteration is the operator."""
+    from transitdata_hfp_deduplicator_spark.operators.bpe import (
+        char_tokens,
+        train_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return train_merges(char_tokens(d, cap=200), iters=3)
 
 
 @query(
