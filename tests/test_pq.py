@@ -1,0 +1,136 @@
+"""Product quantization (operators/pq.py).
+
+Two kinds of pins: (1) semantics — codes are one-per-(vector,
+subspace), ADC equals the hand-computed LUT sum, re-rank returns
+exactly the true nearest of whatever the shortlist admits; (2) scale
+shape — codebook/LUT/shortlist joins are broadcast, no cartesian, the
+raw-vector table is never shuffled.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pyspark.sql.functions as F
+
+from transitdata_hfp_deduplicator_spark.operators.pq import (
+    pq_adc_topk,
+    pq_codebooks,
+    pq_encode,
+    pq_rerank_topk,
+    sub_vectors,
+)
+from transitdata_hfp_deduplicator_spark.plans.inspect import physical_plan
+
+
+def _clustered(spark, n_clusters=8, per=25, dim=16, noise=0.05, seed=7):
+    """Tight planted clusters — the regime PQ is good at."""
+    rng = random.Random(seed)
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(per):
+            rows.append(
+                (vid, [x + rng.uniform(-noise, noise) for x in c], ci)
+            )
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+
+
+def test_one_code_per_vector_subspace(spark):
+    e = _clustered(spark)
+    sub = sub_vectors(e, subspaces=4, sub_dim=4)
+    books = pq_codebooks(sub, k=8)
+    codes = pq_encode(sub, books)
+    n_vec = e.count()
+    assert codes.count() == n_vec * 4
+    assert codes.groupBy("vid", "s").count().filter("count > 1").count() == 0
+
+
+def test_adc_equals_manual_lut_sum(spark):
+    e = _clustered(spark, n_clusters=4, per=10, dim=8)
+    sub = sub_vectors(e, subspaces=2, sub_dim=4)
+    books = pq_codebooks(sub, k=4)
+    codes = pq_encode(sub, books)
+    qsub = sub.filter(F.col("vid") == 0)
+    out = {
+        (r.q_id, r.item_id): r.adc_d2
+        for r in pq_adc_topk(codes, qsub, books, k=1000).collect()
+    }
+    # recompute one entry by hand
+    books_py = {(r.s, r.cell): r.c for r in books.collect()}
+    codes_py = {(r.vid, r.s): r.cell for r in codes.collect()}
+    qv = e.filter("vec_id = 0").collect()[0].embedding
+    item = 17
+    expect = 0.0
+    for s in (0, 1):
+        qsubv = qv[s * 4 : (s + 1) * 4]
+        c = books_py[(s, codes_py[(item, s)])]
+        d2 = (
+            sum(x * x for x in qsubv)
+            - 2 * sum(x * y for x, y in zip(qsubv, c))
+            + sum(x * x for x in c)
+        )
+        expect += d2
+    assert math.isclose(out[(0, item)], expect, abs_tol=1e-5)
+
+
+def test_planted_clusters_high_recall(spark):
+    # tight clusters, cluster diameter << inter-cluster distance:
+    # ADC-only top-5 must stay inside the query's own cluster
+    e = _clustered(spark, n_clusters=8, per=25, dim=16, noise=0.02)
+    sub = sub_vectors(e, subspaces=4, sub_dim=4)
+    books = pq_codebooks(sub, k=16)
+    codes = pq_encode(sub, books)
+    qsub = sub.filter(F.col("vid") % 50 == 0)
+    top = pq_adc_topk(codes, qsub, books, k=5)
+    labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
+    bad = [
+        (r.q_id, r.item_id)
+        for r in top.collect()
+        if labels[r.item_id] != labels[r.q_id]
+    ]
+    assert not bad, f"cross-cluster neighbors: {bad}"
+
+
+def test_rerank_is_exact_within_shortlist(spark):
+    # whatever the shortlist admits, re-rank must order EXACTLY like a
+    # brute-force L2 scan restricted to the shortlist
+    e = _clustered(spark, n_clusters=4, per=20, dim=16, noise=0.3)
+    sub = sub_vectors(e, subspaces=4, sub_dim=4)
+    books = pq_codebooks(sub, k=8)
+    codes = pq_encode(sub, books)
+    qsub = sub.filter(F.col("vid") == 0)
+    short = pq_adc_topk(codes, qsub, books, k=20)
+    rr = pq_rerank_topk(short, e, query_filter=F.col("vec_id") == 0, k=20)
+    vecs = {r.vec_id: r.embedding for r in e.collect()}
+    qv = vecs[0]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    short_ids = [r.item_id for r in short.collect()]
+    expect = sorted(short_ids, key=lambda i: (round(d2(vecs[i], qv), 6), i))
+    got = [r.item_id for r in rr.orderBy("rank").collect()]
+    assert got == expect
+
+
+def test_plan_shape_broadcast_only(spark):
+    e = _clustered(spark)
+    sub = sub_vectors(e, subspaces=4, sub_dim=4)
+    books = pq_codebooks(sub, k=8)
+    codes = pq_encode(sub, books)
+    qsub = sub.filter(F.col("vid") % 50 == 0)
+    short = pq_adc_topk(codes, qsub, books, k=10)
+    plan = physical_plan(
+        pq_rerank_topk(short, e, query_filter=F.col("vec_id") % 50 == 0)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
