@@ -357,3 +357,49 @@ def test_dedup_ladder_no_cartesian(spark, sf_dir):
     df = QUERIES["q_dedup_ladder"](spark, sf_dir)
     assert_no_cartesian(df)
     assert_partial_aggregation(df)
+
+
+def test_token_colloc_corpus_never_shuffled(spark, sf_dir):
+    """Collocation mining: the corpus scan must feed map-side work only
+    — every Exchange carries token/bigram COUNT rows or 1-row totals,
+    and the unigram/totals joins ride broadcasts.  A SortMergeJoin
+    would mean a corpus-sized shuffle crept in."""
+    df = QUERIES["q_token_colloc"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert_partial_aggregation(df)
+    cols = read_schema_columns(df)
+    assert cols <= {"text"}, f"reads extra columns: {cols}"
+
+
+def test_corpus_drift_one_scan_one_exchange(spark, sf_dir):
+    """Both snapshots' counts must come from ONE scan via conditional
+    aggregates — a per-snapshot self-join would double the 100 TB
+    read.  Exchanges: the token-keyed agg + the 1-row totals."""
+    df = QUERIES["q_corpus_drift"](spark, sf_dir)
+    p = physical_plan(df, mode="simple")
+    assert p.count("Scan parquet") == 1, "drift must scan once"
+    assert "SortMergeJoin" not in p
+    assert_partial_aggregation(df)
+
+
+def test_decontaminate_bloom_probe_rides_broadcast(spark, sf_dir):
+    """The bitmap (4096 words max) must BROADCAST onto the probe side;
+    the corpus-side exchanges carry only (doc_id, hv) grain — no
+    sort-merge join against the eval side anywhere."""
+    df = QUERIES["q_decontaminate_bloom"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SortMergeJoin" not in p
+    assert "BroadcastExchange" in p
+    assert_no_cartesian(df)
+
+
+def test_embed_ann_pq_raw_vectors_never_shuffled(spark, sf_dir):
+    """PQ: codebooks/LUT/shortlist are broadcast joins; the only keyed
+    exchanges reduce code-grain or (q, item) rows.  A SortMergeJoin
+    would mean raw vectors shuffled."""
+    df = QUERIES["q_embed_ann_pq"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SortMergeJoin" not in p
+    assert_no_cartesian(df)

@@ -223,6 +223,38 @@ COMMENTARY = {
         "shrink-stable (quota q picks are a subset of quota q+1's), "
         "partition-invariant — pinned in tests."
     ),
+    "q_decontaminate_bloom": (
+        "Bloom prefilter decontamination: the eval side aggregates into a "
+        "FIXED 4096-word bitmap (bit_or partial-agg — shuffle bounded by "
+        "words x partitions, independent of eval size) which broadcasts; "
+        "probes explode k=3 narrow position rows, left-join the broadcast "
+        "map-side, and reduce back with min(hit).  Bloom-negative docs — "
+        "the bulk of a clean corpus — never reach the exact confirmation "
+        "join.  The corpus-side exchanges carry only (doc_id, hv) pairs."
+    ),
+    "q_token_colloc": (
+        "Collocation lift: bigrams from two shifted array slices zipped "
+        "in-place (no position explode), unigram + bigram counts under "
+        "two token-keyed partial-agg exchanges carrying at most |vocab| "
+        "and |vocab|^2 rows; corpus totals are 1-row aggregates "
+        "crossJoin-broadcast back.  The corpus is never shuffled."
+    ),
+    "q_bpe_merges": (
+        "BPE training iteration: ONE doc_id exchange feeds every window "
+        "in every iteration (sorted persist advertises its ordering, so "
+        "windows skip re-sorts); pair counts shuffle |pair-vocab| rows; "
+        "the winning pair is TakeOrderedAndProject crossJoin-broadcast, "
+        "never collected.  The greedy left-to-right merge is a running-"
+        "max parity over the same (doc_id, pos) sort."
+    ),
+    "q_embed_ann_pq": (
+        "PQ + ADC + exact re-rank: codebooks are S*k rows (broadcast "
+        "everywhere); encode and LUT are broadcast joins against them; "
+        "ADC reduces (q, item) partial sums under one keyed exchange; "
+        "the 50-item shortlist broadcasts back onto the raw vectors so "
+        "full-width embeddings are touched only for candidates.  Raw "
+        "vectors: read twice, shuffled never."
+    ),
 }
 
 

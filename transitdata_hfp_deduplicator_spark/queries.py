@@ -1031,12 +1031,16 @@ def q_token_colloc(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) FILTER (snap = 1) AS DOUBLE) AS cb
         FROM tok WHERE t <> '' GROUP BY t
     ),
-    tot AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM counts),
+    tot AS (
+        SELECT t, ca, cb,
+               sum(ca) OVER () AS ta, sum(cb) OVER () AS tb
+        FROM counts
+    ),
     e AS (
         SELECT t, ca, cb, ta, tb,
                (ta * (ca + cb)) / (ta + tb) AS ea,
                (tb * (ca + cb)) / (ta + tb) AS eb
-        FROM counts CROSS JOIN tot
+        FROM tot
     )
     SELECT t, CAST(ca AS BIGINT) AS count_a, CAST(cb AS BIGINT) AS count_b,
            round(ca / ta, 8) AS rate_a,
@@ -1077,8 +1081,14 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("snap") == 1).cast("double").alias("cb"),
         )
     )
-    tot = counts.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
-    e = counts.crossJoin(F.broadcast(tot)).withColumns(
+    # corpus totals as an empty-partition window over the |vocab|-row
+    # counts table, NOT a second aggregate branch — the latter re-scans
+    # the corpus (2 scans of the 100 TB table; pinned in test_plans).
+    # Double sums of whole-number counts < 2^53 are exact in any order.
+    wall = W.partitionBy()
+    e = counts.withColumns(
+        {"ta": F.sum("ca").over(wall), "tb": F.sum("cb").over(wall)}
+    ).withColumns(
         {
             "ea": (F.col("ta") * (F.col("ca") + F.col("cb")))
             / (F.col("ta") + F.col("tb")),
