@@ -77,3 +77,33 @@ def test_membership_requires_all_k_bits(spark):
     assert a % m == b % m and (a >> 17) % m != (b >> 17) % m
     bloom = bloom_build(_hashes(spark, [a]))
     assert bloom_probe(_hashes(spark, [b]), bloom).count() == 0
+
+
+def test_member_rowjoin_agrees_with_probe(spark):
+    # the row-level k-join membership (streaming shape) and the
+    # explode+regroup probe (batch shape) must produce identical
+    # verdicts over the same bitmap — false positives included
+    from transitdata_hfp_deduplicator_spark.operators.bloom import bloom_member
+
+    inserted = [i * 1_000_003 + 17 for i in range(500)]
+    probes = _hashes(spark, [i * 31 + 5 for i in range(3000)])
+    bloom = bloom_build(_hashes(spark, inserted))
+    via_probe = {r.hv for r in bloom_probe(probes, bloom).collect()}
+    via_member = {
+        r.hv
+        for r in bloom_member(probes, bloom).filter("bloom_member").collect()
+    }
+    assert via_probe == via_member
+    assert via_probe  # non-degenerate: some hits exist
+
+
+def test_member_is_stateless_row_preserving(spark):
+    from transitdata_hfp_deduplicator_spark.operators.bloom import bloom_member
+
+    bloom = bloom_build(_hashes(spark, [1, 2, 3]))
+    probes = spark.createDataFrame(
+        [(1, 2, "x"), (2, 99, "y")], "doc_id int, hv bigint, tag string"
+    )
+    out = bloom_member(probes, bloom)
+    assert out.columns == ["doc_id", "hv", "tag", "bloom_member"]
+    assert out.count() == 2  # row-preserving, no explode residue

@@ -115,3 +115,39 @@ def bloom_probe(
         .filter(F.col("_all_hit") == 1)
         .drop("_all_hit")
     )
+
+
+def bloom_member(
+    probes: DataFrame,
+    bloom: DataFrame,
+    hash_col: str = "hv",
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Row-level Bloom membership: appends a boolean ``bloom_member``
+    column via k broadcast joins — one per probe position — with NO
+    explode/re-group.  The row-preserving shape STREAMS: a streaming
+    DataFrame can pass through (k stream-static broadcast joins are
+    stateless), where ``bloom_probe``'s explode→groupBy would need a
+    streaming aggregation.  Same bitmap, same verdicts (pinned in
+    tests); k is typically 3 — three map-side hash probes per row."""
+    pos = _positions(F.col(hash_col), m_bits, k)
+    out = probes
+    member = F.lit(True)
+    for i in range(k):
+        out = out.withColumn(f"_p{i}", pos[i])
+        out = out.withColumn(f"_w{i}", F.shiftright(F.col(f"_p{i}"), 5).cast("int"))
+        out = out.withColumn(
+            f"_m{i}",
+            F.expr(f"shiftleft(cast(1 as bigint), cast(_p{i} % 32 as int))"),
+        )
+        b = bloom.select(
+            F.col("w").alias(f"_w{i}"), F.col("mask").alias(f"_mask{i}")
+        )
+        out = out.join(F.broadcast(b), f"_w{i}", "left")
+        member = member & (
+            F.col(f"_mask{i}").isNotNull()
+            & (F.col(f"_mask{i}").bitwiseAND(F.col(f"_m{i}")) != 0)
+        )
+    drop = [c for i in range(k) for c in (f"_p{i}", f"_w{i}", f"_m{i}", f"_mask{i}")]
+    return out.withColumn("bloom_member", member).drop(*drop)

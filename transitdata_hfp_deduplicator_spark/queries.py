@@ -823,6 +823,37 @@ def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           round(percent_rank() OVER w, 8) AS pct_rank,
+           round(cume_dist() OVER w, 8) AS cume,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — percent_rank / cume_dist /
+    ntile(4) per order-priority stratum (the quantile-banding step of
+    corpus quality bucketing: 'keep the top quartile by score').
+    percent_rank's (rank-1)/(n-1) and cume_dist's n_le/n are single
+    IEEE divisions — bit-identical across engines; the window order
+    carries the usual unique tiebreaker."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
     "q_topk_per_group",
     oracle="""
     SELECT o_orderpriority, o_orderkey, o_totalprice, rn
@@ -2746,6 +2777,114 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bloom_hits"),
             F.count("in_eval").alias("n_exact_hits"),
         )
+    )
+
+
+@query(
+    "q_decontaminate_stream",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   [tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                    for i in range(1, len(tokens) - 1)])) AS s
+        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tokens
+              FROM documents)
+        WHERE len(tokens) >= 3
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('11|' || s), 1, 15))::BIGINT AS hv
+        FROM sh
+    ),
+    ev AS (SELECT DISTINCT hv FROM h WHERE doc_id % 53 = 1),
+    tr AS (SELECT DISTINCT doc_id, hv FROM h WHERE doc_id % 53 <> 1),
+    epos AS (
+        SELECT unnest([ (hv % 131072 + i * ((hv >> 17) % 131072)) % 131072
+                        for i in [0, 1, 2] ]) AS p
+        FROM ev
+    ),
+    bloom AS (
+        SELECT CAST(p >> 5 AS INTEGER) AS w,
+               bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS mask
+        FROM epos GROUP BY 1
+    ),
+    tpos AS (
+        SELECT doc_id, hv,
+               unnest([ (hv % 131072 + i * ((hv >> 17) % 131072)) % 131072
+                        for i in [0, 1, 2] ]) AS p
+        FROM tr
+    ),
+    memb AS (
+        SELECT doc_id, hv,
+               min(CASE WHEN b.mask IS NOT NULL
+                         AND (b.mask & (1::BIGINT << CAST(p % 32 AS INTEGER))) <> 0
+                        THEN 1 ELSE 0 END) AS is_pos
+        FROM tpos LEFT JOIN bloom b ON b.w = CAST(p >> 5 AS INTEGER)
+        GROUP BY doc_id, hv
+    ),
+    flagged AS (SELECT doc_id, hv FROM memb WHERE is_pos = 1)
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bloom_hits,
+           CAST(count(*) FILTER (e.hv IS NOT NULL) AS BIGINT) AS n_exact_hits
+    FROM flagged f LEFT JOIN ev e USING (hv)
+    GROUP BY f.doc_id
+    """,
+)
+def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE decontamination — the corpus arrives as a stream and is
+    tagged against a batch-built Bloom bitmap of the eval set: shingle
+    rows pass through k=3 stream-static broadcast joins (the row-level
+    ``bloom_member`` shape — stateless, no streaming aggregation
+    needed), bloom-positive shingles get the exact-confirm broadcast
+    join, and per-(doc, shingle) dedup rides the streaming dedup state
+    operator.  The spooled stream output aggregates to EXACTLY the
+    batch q_decontaminate_bloom result — same oracle, hash-checked:
+    online and offline decontamination verdicts agree bit-for-bit,
+    false positives included.
+
+    100 TB shape: the static side is 16 KB of bitmap + the eval hash
+    set; the stream side never shuffles until the final per-doc
+    aggregate over hit rows only."""
+    import os
+
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.operators.bloom import (
+        bloom_build,
+        bloom_member,
+    )
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        replay_shuffle_partitions,
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 53 == 1
+
+    def shingle_hashes(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(TXT.shingles(TXT.tokenize(F.col("text")), 3)).alias("s"),
+        ).select("doc_id", TXT.hash64(F.col("s"), seed=11).alias("hv"))
+
+    ev = shingle_hashes(d.filter(is_eval)).select("hv").distinct()
+    bloom = bloom_build(ev)
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    stream = parquet_stream(spark, src)
+    tr = shingle_hashes(stream.filter(~is_eval))
+    flagged = bloom_member(tr, bloom).filter(F.col("bloom_member"))
+    tagged = flagged.join(
+        F.broadcast(ev.withColumn("in_eval", F.lit(1))), "hv", "left"
+    ).select("doc_id", "hv", "in_eval")
+    deduped = tagged.dropDuplicates(["doc_id", "hv"])
+    with scoped_shuffle_partitions(spark, replay_shuffle_partitions(src)):
+        out = run_to_memory(deduped, output_mode="append")
+    return out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_hits"),
+        F.count("in_eval").alias("n_exact_hits"),
     )
 
 
@@ -5752,11 +5891,11 @@ GATE_ROTATION = [
     "q_corpus_drift",
     "q_bpe_merges",
     "q_embed_ann_pq",
-    # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the five
-    #    relational basics displaced to the tail by the five new
+    "q_window_distribution",
+    "q_decontaminate_stream",
+    # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the seven
+    #    relational basics displaced to the tail by the seven new
     #    entries above have both r3 driver rows and local re-runs) --
-    "q_set_ops",
-    "q_map_ops",
     "q_agg_hash",
     "q_agg_distinct",
     "q_agg_approx_check",
@@ -5800,12 +5939,14 @@ GATE_ROTATION = [
     "q_sample_stratified",
     "q_quality_funnel",
     "q_dedup_ladder",
-    # -- previously-evidenced re-confirmations (displaced five first) --
+    # -- previously-evidenced re-confirmations (displaced seven first) --
     "q_scan_project",
     "q_filter_pred",
     "q_scalar_datetime",
     "q_scalar_math",
     "q_json_extract",
+    "q_set_ops",
+    "q_map_ops",
     "q_string_agg",
     "q_hfp_golden",
     "q_merge_upsert",
