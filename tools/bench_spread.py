@@ -3,14 +3,20 @@
 Usage: python tools/bench_spread.py [n_runs]
 
 Outputs (repo root):
-- BENCH_local.json — run 1's merged bench dict ({metric, value, unit,
-  sf, calib_sec, queries}) in the shape tools/compare_bench.py loads;
-  the committed local reference point the r4 verdict asked for.
+- BENCH_local.json — the MEDIAN-total run's merged bench dict
+  ({metric, value, unit, sf, calib_sec, queries}) in the shape
+  tools/compare_bench.py loads; the committed local reference point
+  the r4 verdict asked for.  Median, not run 1: the first run after
+  other work regularly lands on a still-settling machine (measured
+  157.6/162.6/137.9s totals with calib 0.490/0.405/0.398 in one
+  invocation — run 1 was the OUTLIER).
 - BENCH_spread.json — per-run timings for every query plus
-  max/min spread stats; the LSH-family stability gate
-  (q_minhash_signature, q_minhash_simdup, q_stream_stream_join must
-  hold <30% spread across the runs) prints PASS/FAIL per query and the
-  process exits non-zero on FAIL.
+  max/min spread stats (raw and calib-normalized); the LSH-family
+  stability gate (q_minhash_signature, q_minhash_simdup,
+  q_stream_stream_join must hold <30% raw spread across the runs)
+  prints PASS/FAIL per query and the process exits non-zero on FAIL,
+  with the calib-normalized number alongside to show how much of a
+  failure is machine drift vs plan variance.
 
 Each run is a FRESH subprocess (fresh JVM, fresh JIT state) — that is
 the variance the cross-round comparison actually experiences.
@@ -65,23 +71,32 @@ def main() -> None:
             f"calib {r['calib_sec']:.3f}s",
             flush=True,
         )
-        if i == 0:
-            with open(os.path.join(ROOT, "BENCH_local.json"), "w") as f:
-                json.dump(r, f, indent=1, sort_keys=True)
+    # commit the median-total run as the local reference (see module
+    # docstring: run 1 is regularly the settling-machine outlier)
+    ref = sorted(runs, key=lambda r: r["value"])[len(runs) // 2]
+    with open(os.path.join(ROOT, "BENCH_local.json"), "w") as f:
+        json.dump(ref, f, indent=1, sort_keys=True)
     names = sorted(runs[0]["queries"])
     per_q = {
         q: [r["queries"].get(q, -1.0) for r in runs] for q in names
     }
+    calibs = [r.get("calib_sec") or 1.0 for r in runs]
+
+    def _spread(vals: list[float]) -> float:
+        mid = statistics.median(vals)
+        return round((max(vals) - min(vals)) / mid, 4) if mid > 0 else 0.0
+
     spread = {}
     for q, ts in per_q.items():
         ok = [t for t in ts if t >= 0]
         if not ok:
             continue
-        mid = statistics.median(ok)
+        norm = [t / c for t, c in zip(ts, calibs) if t >= 0]
         spread[q] = {
             "runs": ts,
-            "median": round(mid, 4),
-            "spread": round((max(ok) - min(ok)) / mid, 4) if mid > 0 else 0.0,
+            "median": round(statistics.median(ok), 4),
+            "spread": _spread(ok),
+            "spread_calib_norm": _spread(norm),
         }
     out = {
         "n_runs": n,
@@ -103,7 +118,7 @@ def main() -> None:
             failed = True
         print(
             f"GATE {verdict} {q}: runs={s['runs']} spread={s['spread']:.1%}"
-            f" (limit {SPREAD_MAX:.0%})"
+            f" (calib-norm {s['spread_calib_norm']:.1%}; limit {SPREAD_MAX:.0%})"
         )
     sys.exit(1 if failed else 0)
 
