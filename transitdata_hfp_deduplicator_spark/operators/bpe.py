@@ -151,8 +151,10 @@ def train_merges(toks: DataFrame, iters: int) -> DataFrame:
         # ~2.5s -> ~1.4s at sf0.1).  persist, NOT localCheckpoint: the
         # RDD checkpoint path re-serializes and loses the ordering
         # metadata (measured 42s vs 12s for the 3-iteration loop).
+        # Lazily: the next consumer (top_pair) populates the cache while
+        # doing its own work — an eager count() here would add a whole
+        # extra pass per iteration just to warm it.
         out = df.sortWithinPartitions("doc_id", "pos").persist()
-        out.count()
         persisted.append(out)
         return out
 
