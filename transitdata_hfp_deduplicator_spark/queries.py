@@ -3584,6 +3584,102 @@ def q_embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embed_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM e
+    ),
+    q AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                   ELSE greatest(-127, least(127,
+                        CAST(round(x * 127 / scale, 0) AS INTEGER))) END)
+                   AS code
+        FROM s
+    ),
+    r AS (
+        SELECT vec_id, scale, code,
+               list_transform(code, c -> c * scale / 127) AS deq,
+               round(CAST(list_sum(list_transform(
+                         [i for i in range(1, 65)],
+                         i -> CAST(round((v[i] - code[i] * scale / 127)
+                                         * (v[i] - code[i] * scale / 127),
+                                         12) AS DECIMAL(30,14))))
+                     AS DOUBLE) / 64, 10) AS mse
+        FROM q
+    )
+    SELECT vec_id, round(scale, 8) AS scale,
+           CAST(code[1] AS INTEGER) AS c1,
+           CAST(code[32] AS INTEGER) AS c32,
+           CAST(code[64] AS INTEGER) AS c64,
+           mse
+    FROM r
+    """,
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit — the third leg of the embedding
+    compression family (raw → SQ-int8 → PQ): per-vector max-abs scale,
+    symmetric round-to-nearest codes clamped to ±127, and the exact
+    per-vector reconstruction MSE in the SAME plan (the quantize-then-
+    audit pattern of q_agg_approx_check).  4x memory over float32, zero
+    index structure — the compression a 100 TB embedding store applies
+    before anything fancier.  All arithmetic is IEEE +,-,*,/ plus
+    round(), and the MSE sum routes each squared residual through
+    DECIMAL so partial-aggregation order cannot move the last ulp —
+    hash-checked including every code byte sampled (c1/c32/c64)."""
+    from transitdata_hfp_deduplicator_spark.functions import vectors as VEC
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = VEC.as_double(F.col("embedding"))
+    s = e.select("vec_id", v.alias("v")).withColumn(
+        "scale", F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    )
+    code = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0)).otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.round(x * 127 / F.col("scale"), 0).cast("int"),
+                ),
+            )
+        ),
+    )
+    q = s.withColumn("code", code)
+    resid2 = F.zip_with(
+        F.col("v"),
+        F.col("code"),
+        lambda x, c: F.round(
+            (x - c * F.col("scale") / 127) * (x - c * F.col("scale") / 127), 12
+        ).cast("decimal(30,14)"),
+    )
+    mse = F.round(
+        F.aggregate(
+            resid2,
+            F.lit(0).cast("decimal(30,14)"),
+            # decimal + widens to (31,14); fold back so the merge type
+            # matches the accumulator type (values are ~1e-4, far from
+            # the precision edge)
+            lambda acc, r: (acc + r).cast("decimal(30,14)"),
+        ).cast("double")
+        / 64,
+        10,
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.col("code")[0].alias("c1"),
+        F.col("code")[31].alias("c32"),
+        F.col("code")[63].alias("c64"),
+        mse.alias("mse"),
+    )
+
+
 _KMEANS_TRAIN_SQL = """
     e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
     a0 AS (
@@ -5893,11 +5989,11 @@ GATE_ROTATION = [
     "q_embed_ann_pq",
     "q_window_distribution",
     "q_decontaminate_stream",
-    # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the seven
-    #    relational basics displaced to the tail by the seven new
+    "q_embed_quantize_int8",
+    # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the eight
+    #    relational basics displaced to the tail by the eight new
     #    entries above have both r3 driver rows and local re-runs) --
     "q_agg_hash",
-    "q_agg_distinct",
     "q_agg_approx_check",
     "q_dedup_exact",
     "q_dedup_norm",
@@ -5939,7 +6035,8 @@ GATE_ROTATION = [
     "q_sample_stratified",
     "q_quality_funnel",
     "q_dedup_ladder",
-    # -- previously-evidenced re-confirmations (displaced seven first) --
+    # -- previously-evidenced re-confirmations (displaced eight first) --
+    "q_agg_distinct",
     "q_scan_project",
     "q_filter_pred",
     "q_scalar_datetime",
