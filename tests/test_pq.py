@@ -47,7 +47,7 @@ def test_one_code_per_vector_subspace(spark):
     e = _clustered(spark)
     sub = sub_vectors(e, subspaces=4, sub_dim=4)
     books = pq_codebooks(sub, k=8)
-    codes = pq_encode(sub, books)
+    codes = pq_encode(sub, books, sub_dim=4)
     n_vec = e.count()
     assert codes.count() == n_vec * 4
     assert codes.groupBy("vid", "s").count().filter("count > 1").count() == 0
@@ -57,11 +57,11 @@ def test_adc_equals_manual_lut_sum(spark):
     e = _clustered(spark, n_clusters=4, per=10, dim=8)
     sub = sub_vectors(e, subspaces=2, sub_dim=4)
     books = pq_codebooks(sub, k=4)
-    codes = pq_encode(sub, books)
+    codes = pq_encode(sub, books, sub_dim=4)
     qsub = sub.filter(F.col("vid") == 0)
     out = {
         (r.q_id, r.item_id): r.adc_d2
-        for r in pq_adc_topk(codes, qsub, books, k=1000).collect()
+        for r in pq_adc_topk(codes, qsub, books, k=1000, sub_dim=4, subspaces=2).collect()
     }
     # recompute one entry by hand
     books_py = {(r.s, r.cell): r.c for r in books.collect()}
@@ -87,9 +87,9 @@ def test_planted_clusters_high_recall(spark):
     e = _clustered(spark, n_clusters=8, per=25, dim=16, noise=0.02)
     sub = sub_vectors(e, subspaces=4, sub_dim=4)
     books = pq_codebooks(sub, k=16)
-    codes = pq_encode(sub, books)
+    codes = pq_encode(sub, books, sub_dim=4)
     qsub = sub.filter(F.col("vid") % 50 == 0)
-    top = pq_adc_topk(codes, qsub, books, k=5)
+    top = pq_adc_topk(codes, qsub, books, k=5, sub_dim=4)
     labels = {r.vec_id: r.label for r in e.select("vec_id", "label").collect()}
     bad = [
         (r.q_id, r.item_id)
@@ -105,10 +105,10 @@ def test_rerank_is_exact_within_shortlist(spark):
     e = _clustered(spark, n_clusters=4, per=20, dim=16, noise=0.3)
     sub = sub_vectors(e, subspaces=4, sub_dim=4)
     books = pq_codebooks(sub, k=8)
-    codes = pq_encode(sub, books)
+    codes = pq_encode(sub, books, sub_dim=4)
     qsub = sub.filter(F.col("vid") == 0)
-    short = pq_adc_topk(codes, qsub, books, k=20)
-    rr = pq_rerank_topk(short, e, query_filter=F.col("vec_id") == 0, k=20)
+    short = pq_adc_topk(codes, qsub, books, k=20, sub_dim=4)
+    rr = pq_rerank_topk(short, e, query_filter=F.col("vec_id") == 0, k=20, dim=16)
     vecs = {r.vec_id: r.embedding for r in e.collect()}
     qv = vecs[0]
 
@@ -125,11 +125,11 @@ def test_plan_shape_broadcast_only(spark):
     e = _clustered(spark)
     sub = sub_vectors(e, subspaces=4, sub_dim=4)
     books = pq_codebooks(sub, k=8)
-    codes = pq_encode(sub, books)
+    codes = pq_encode(sub, books, sub_dim=4)
     qsub = sub.filter(F.col("vid") % 50 == 0)
-    short = pq_adc_topk(codes, qsub, books, k=10)
+    short = pq_adc_topk(codes, qsub, books, k=10, sub_dim=4)
     plan = physical_plan(
-        pq_rerank_topk(short, e, query_filter=F.col("vec_id") % 50 == 0)
+        pq_rerank_topk(short, e, query_filter=F.col("vec_id") % 50 == 0, dim=16)
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan

@@ -45,10 +45,17 @@ from transitdata_hfp_deduplicator_spark.functions import vectors as VEC
 from transitdata_hfp_deduplicator_spark.operators.kmeans import hash_cell
 
 
-def _d2(a: Column, b: Column) -> Column:
+def _d2(a: Column, b: Column, dim: int) -> Column:
     """L2² via the dot-product identity — see module docstring for why
-    not a squared-difference fold."""
-    return VEC.dot(a, a) - F.lit(2.0) * VEC.dot(a, b) + VEC.dot(b, b)
+    not a squared-difference fold.  Explicit element sums (dim is
+    statically known everywhere PQ uses this), NOT the HOF fold: under
+    the encode/LUT join fan-out the fold is CodegenFallback and
+    measured ~10x slower at 25M candidate rows."""
+    return (
+        VEC.dot_explicit(a, a, dim)
+        - F.lit(2.0) * VEC.dot_explicit(a, b, dim)
+        + VEC.dot_explicit(b, b, dim)
+    )
 
 
 def sub_vectors(
@@ -96,18 +103,50 @@ def pq_codebooks(sub: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
-def pq_encode(sub: DataFrame, codebooks: DataFrame) -> DataFrame:
+def pq_encode(
+    sub: DataFrame, codebooks: DataFrame, sub_dim: int = 16
+) -> DataFrame:
     """(vid, s, cell): nearest-codeword assignment per subspace —
     argmin of round(L2², 6) with a cell tie-break, broadcast join
-    against the S·k codebook rows."""
-    cand = sub.join(F.broadcast(codebooks), "s").withColumn(
-        "d2", F.round(_d2(F.col("subv"), F.col("c")), 6)
+    against the S·k codebook rows.
+
+    The argmin is a map-side ``min_by`` partial aggregate, NOT a
+    row_number window: the candidate fan-out is |vectors|·S·k rows and
+    a window would SORT all of them (measured: the window encode was
+    the top cost at 1M vectors / 256M candidates), where min_by
+    collapses candidates to one row per (vid, s) inside each input
+    partition before the exchange — the q_dedup_exact discipline
+    (operators/dedup.py).  The norm terms are hoisted: ||subv||² once
+    per input row, ||c||² once per codeword (precomputed on the
+    broadcast side), leaving only the 8-16 cross products per
+    candidate; the full expression keeps the exact _d2 shape
+    ``(n2 - 2·cross) + cn2`` so values are bit-identical to the
+    naive form and to the DuckDB oracle."""
+    books = F.broadcast(
+        codebooks.withColumn(
+            "cn2", VEC.dot_explicit(F.col("c"), F.col("c"), sub_dim)
+        )
     )
-    rn = F.row_number().over(
-        W.partitionBy("vid", "s").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    cand = (
+        sub.withColumn("n2", VEC.dot_explicit(F.col("subv"), F.col("subv"), sub_dim))
+        .join(books, "s")
+        .select(
+            "vid",
+            "s",
+            "cell",
+            F.round(
+                (
+                    F.col("n2")
+                    - F.lit(2.0)
+                    * VEC.dot_explicit(F.col("subv"), F.col("c"), sub_dim)
+                )
+                + F.col("cn2"),
+                6,
+            ).alias("d2"),
+        )
     )
-    return cand.withColumn("rn", rn).filter(F.col("rn") == 1).select(
-        "vid", "s", "cell"
+    return cand.groupBy("vid", "s").agg(
+        F.min_by("cell", F.struct("d2", "cell")).alias("cell")
     )
 
 
@@ -116,24 +155,59 @@ def pq_adc_topk(
     queries_sub: DataFrame,
     codebooks: DataFrame,
     k: int = 5,
+    sub_dim: int = 16,
+    subspaces: int = 4,
 ) -> DataFrame:
     """Asymmetric distance top-k: per query, precompute the S·k LUT of
     exact query-subvector-to-codeword sub-distances, then score every
-    encoded vector as the DECIMAL-routed sum of its S looked-up
-    entries.  Returns (q_id, item_id, adc_d2, rank) with rank <= k."""
+    encoded vector by summing its S looked-up entries.  Returns
+    (q_id, item_id, adc_d2, rank) with rank <= k.
+
+    Shape: codes pivot WIDE (one row per vector, S cell columns), the
+    LUT pivots to S per-query cell→distance maps, and scoring is ONE
+    broadcast nested-loop of |vectors| × |queries| rows with S map
+    lookups each — versus the long-format (s, cell) join whose
+    candidate set is S× larger (measured the difference at 1M vectors
+    × 100 queries: 800M joined rows → 100M).  The S-term sum is an
+    explicit left-associated chain, so it is order-FIXED and therefore
+    engine-deterministic without routing through DECIMAL; the DuckDB
+    oracle mirrors it as an S-join chain adding in the same order.
+    Every lookup hits: codes only ever reference codebook cells, and
+    the LUT covers every (s, cell) of the codebook."""
     lut = (
         queries_sub.select(F.col("vid").alias("q_id"), "s", "subv")
         .join(F.broadcast(codebooks), "s")
-        .select("q_id", "s", "cell", _d2(F.col("subv"), F.col("c")).alias("d2q"))
-    )
-    adc = (
-        codes.join(F.broadcast(lut), ["s", "cell"])
-        .groupBy("q_id", F.col("vid").alias("item_id"))
-        .agg(
-            F.round(
-                F.sum(F.col("d2q").cast("decimal(30,12)")).cast("double"), 6
-            ).alias("adc_d2")
+        .select(
+            "q_id", "s", "cell",
+            _d2(F.col("subv"), F.col("c"), sub_dim).alias("d2q"),
         )
+    )
+    codes_w = codes.groupBy("vid").agg(
+        *[
+            F.max(F.when(F.col("s") == i, F.col("cell"))).alias(f"c{i}")
+            for i in range(subspaces)
+        ]
+    )
+    lut_w = (
+        lut.groupBy("q_id", "s")
+        .agg(F.map_from_entries(F.collect_list(F.struct("cell", "d2q"))).alias("m"))
+        .groupBy("q_id")
+        .agg(
+            *[
+                F.any_value(F.when(F.col("s") == i, F.col("m")), True).alias(
+                    f"m{i}"
+                )
+                for i in range(subspaces)
+            ]
+        )
+    )
+    score = F.element_at(F.col("m0"), F.col("c0"))
+    for i in range(1, subspaces):
+        score = score + F.element_at(F.col(f"m{i}"), F.col(f"c{i}"))
+    adc = codes_w.crossJoin(F.broadcast(lut_w)).select(
+        "q_id",
+        F.col("vid").alias("item_id"),
+        F.round(score, 6).alias("adc_d2"),
     )
     rank = F.row_number().over(
         W.partitionBy("q_id").orderBy(F.col("adc_d2").asc(), F.col("item_id").asc())
@@ -152,6 +226,7 @@ def pq_rerank_topk(
     vec_col: str = "embedding",
     query_filter: Column | None = None,
     k: int = 5,
+    dim: int = 64,
 ) -> DataFrame:
     """Exact re-rank of an ADC shortlist — how PQ ships in production
     (Jégou et al. §V): the quantized distances SELECT candidates, the
@@ -167,7 +242,7 @@ def pq_rerank_topk(
     rr = (
         items.join(F.broadcast(shortlist.select("q_id", "item_id")), "item_id")
         .join(F.broadcast(qs), "q_id")
-        .withColumn("d2", F.round(_d2(F.col("iv"), F.col("qv")), 6))
+        .withColumn("d2", F.round(_d2(F.col("iv"), F.col("qv"), dim), 6))
     )
     rank = F.row_number().over(
         W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("item_id").asc())

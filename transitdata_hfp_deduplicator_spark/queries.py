@@ -3520,12 +3520,30 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                + list_dot_product(c, c) AS d2q
         FROM q JOIN cent ON q.s = cent.s
     ),
+    codes_w AS (
+        SELECT vid,
+               max(CASE WHEN s = 0 THEN cell END) AS c0,
+               max(CASE WHEN s = 1 THEN cell END) AS c1,
+               max(CASE WHEN s = 2 THEN cell END) AS c2,
+               max(CASE WHEN s = 3 THEN cell END) AS c3,
+               max(CASE WHEN s = 4 THEN cell END) AS c4,
+               max(CASE WHEN s = 5 THEN cell END) AS c5,
+               max(CASE WHEN s = 6 THEN cell END) AS c6,
+               max(CASE WHEN s = 7 THEN cell END) AS c7
+        FROM codes GROUP BY vid
+    ),
     adc AS (
-        SELECT q_id, vid AS item_id,
-               round(CAST(sum(CAST(d2q AS DECIMAL(30,12))) AS DOUBLE), 6)
-                   AS adc_d2
-        FROM codes JOIN lut ON codes.s = lut.s AND codes.cell = lut.cell
-        GROUP BY q_id, vid
+        SELECT l0.q_id, w.vid AS item_id,
+               round((((((((l0.d2q + l1.d2q) + l2.d2q) + l3.d2q) + l4.d2q) + l5.d2q) + l6.d2q) + l7.d2q), 6) AS adc_d2
+        FROM codes_w w
+        JOIN lut l0 ON l0.s = 0 AND l0.cell = w.c0
+        JOIN lut l1 ON l1.s = 1 AND l1.cell = w.c1 AND l1.q_id = l0.q_id
+        JOIN lut l2 ON l2.s = 2 AND l2.cell = w.c2 AND l2.q_id = l0.q_id
+        JOIN lut l3 ON l3.s = 3 AND l3.cell = w.c3 AND l3.q_id = l0.q_id
+        JOIN lut l4 ON l4.s = 4 AND l4.cell = w.c4 AND l4.q_id = l0.q_id
+        JOIN lut l5 ON l5.s = 5 AND l5.cell = w.c5 AND l5.q_id = l0.q_id
+        JOIN lut l6 ON l6.s = 6 AND l6.cell = w.c6 AND l6.q_id = l0.q_id
+        JOIN lut l7 ON l7.s = 7 AND l7.cell = w.c7 AND l7.q_id = l0.q_id
     ),
     short AS (
         SELECT q_id, item_id FROM adc
@@ -3576,9 +3594,9 @@ def q_embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     sub = sub_vectors(e, subspaces=8, sub_dim=8)
     books = pq_codebooks(sub, k=32)
-    codes = pq_encode(sub, books)
+    codes = pq_encode(sub, books, sub_dim=8)
     qsub = sub.filter(F.col("vid") % 100 == 0)
-    short = pq_adc_topk(codes, qsub, books, k=50)
+    short = pq_adc_topk(codes, qsub, books, k=50, sub_dim=8, subspaces=8)
     return pq_rerank_topk(
         short, e, query_filter=F.col("vec_id") % 100 == 0, k=5
     )
