@@ -403,3 +403,13 @@ def test_embed_ann_pq_raw_vectors_never_shuffled(spark, sf_dir):
     p = physical_plan(df)
     assert "SortMergeJoin" not in p
     assert_no_cartesian(df)
+
+
+def test_dedup_incr_substring_history_is_join_side_only(spark, sf_dir):
+    """Incremental substring dedup: history participates only as a
+    gram-keyed join side — no cartesian, no history x history pair
+    enumeration (the plan's only pair sources are hist-join-new and
+    new-join-new), and the gram aggregate partial-aggregates."""
+    df = QUERIES["q_dedup_incr_substring"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)

@@ -3164,6 +3164,132 @@ def q_dedup_incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_incr_substring",
+    oracle="""
+    WITH cut AS (
+        SELECT CAST(floor(0.6 * count(*)) AS BIGINT) AS c FROM documents
+    ),
+    norm AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    g AS (
+        SELECT DISTINCT doc_id,
+               ('0x' || substr(md5(substr(t, p, 20)), 1, 15))::BIGINT AS h
+        FROM (SELECT * FROM norm WHERE len(t) >= 20),
+             unnest(generate_series(1, len(t) - 19)) AS u(p)
+        WHERE ('0x' || substr(md5(substr(t, p, 20)), 1, 15))::BIGINT % 4 = 0
+    ),
+    keep AS (SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND 20),
+    gh AS (SELECT doc_id, h FROM g, cut WHERE doc_id < c),
+    gn AS (SELECT doc_id, h FROM g, cut WHERE doc_id >= c),
+    pairs AS (
+        SELECT gh.doc_id AS i, gn.doc_id AS j
+        FROM gh JOIN keep USING (h) JOIN gn USING (h)
+        UNION ALL
+        SELECT a.doc_id AS i, b.doc_id AS j
+        FROM gn a JOIN keep USING (h) JOIN gn b USING (h)
+        WHERE a.doc_id < b.doc_id
+    ),
+    shared AS (
+        SELECT i, j, count(*) AS n FROM pairs GROUP BY i, j
+    ),
+    hits AS (
+        SELECT j AS doc_id, min(i) AS dup_of, max(n) AS shared_grams
+        FROM shared GROUP BY j
+    )
+    SELECT n.doc_id, h.doc_id IS NOT NULL AS is_dup,
+           h.dup_of, h.shared_grams
+    FROM (SELECT doc_id FROM documents, cut WHERE doc_id >= c) n
+    LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_dedup_incr_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT-SUBSTRING dedup — completes the incremental
+    family (exact digests → near-text Jaccard → exact substring): the
+    last 40% of the corpus arrives as a new batch and each new doc is
+    checked for a shared ≥20-char exact run against the historical 60%
+    (its content-defined gram index) plus earlier docs of the same
+    batch.  History×history pairs are NEVER enumerated — the history
+    side participates only as the build side of gram-keyed joins, the
+    production shape where the historical index is large and the batch
+    is small.
+
+    Same content-defined selection as q_dedup_substring (md5 20-gram,
+    hash%4==0 — alignment-free), same df-cap discipline (grams in 2..20
+    docs corpus-wide), same keep-min-id verdicts; counts of shared
+    selected grams arrive from the pair-keyed aggregate, not arrays."""
+    k, sel_mod, df_cap = 20, 4, 20
+    d = _t(spark, sf_dir, "documents")
+    cut = d.agg(F.floor(0.6 * F.count(F.lit(1))).cast("bigint").alias("c"))
+    norm = d.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    ).filter(F.length("t") >= k)
+    g = (
+        norm.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.length("t") - F.lit(k - 1))
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.col("t").substr(F.col("p"), F.lit(k)).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .filter(F.col("h") % sel_mod == 0)
+        .distinct()
+    )
+    keep = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select("h")
+    )
+    gk = g.join(keep, "h")
+    gh = gk.join(F.broadcast(cut)).filter(F.col("doc_id") < F.col("c"))
+    gn = gk.join(F.broadcast(cut)).filter(F.col("doc_id") >= F.col("c"))
+    hist_new = gh.select(F.col("doc_id").alias("i"), "h").join(
+        gn.select(F.col("doc_id").alias("j"), "h"), "h"
+    )
+    new_new = (
+        gn.select(F.col("doc_id").alias("i"), "h")
+        .join(gn.select(F.col("doc_id").alias("j"), "h"), "h")
+        .filter(F.col("i") < F.col("j"))
+    )
+    shared = (
+        hist_new.select("i", "j")
+        .unionAll(new_new.select("i", "j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hits = shared.groupBy(F.col("j").alias("doc_id")).agg(
+        F.min("i").alias("dup_of"), F.max("n").alias("shared_grams")
+    )
+    new_docs = (
+        d.select("doc_id")
+        .join(F.broadcast(cut))
+        .filter(F.col("doc_id") >= F.col("c"))
+        .select("doc_id")
+    )
+    return new_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+        "dup_of",
+        "shared_grams",
+    )
+
+
+@query(
     "q_dedup_minhash_lsh",
     oracle="""
     WITH sh AS (
@@ -6008,10 +6134,10 @@ GATE_ROTATION = [
     "q_window_distribution",
     "q_decontaminate_stream",
     "q_embed_quantize_int8",
-    # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the eight
-    #    relational basics displaced to the tail by the eight new
+    "q_dedup_incr_substring",
+    # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the nine
+    #    relational basics displaced to the tail by the nine new
     #    entries above have both r3 driver rows and local re-runs) --
-    "q_agg_hash",
     "q_agg_approx_check",
     "q_dedup_exact",
     "q_dedup_norm",
@@ -6053,7 +6179,8 @@ GATE_ROTATION = [
     "q_sample_stratified",
     "q_quality_funnel",
     "q_dedup_ladder",
-    # -- previously-evidenced re-confirmations (displaced eight first) --
+    # -- previously-evidenced re-confirmations (displaced nine first) --
+    "q_agg_hash",
     "q_agg_distinct",
     "q_scan_project",
     "q_filter_pred",
