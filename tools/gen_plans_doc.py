@@ -249,11 +249,20 @@ COMMENTARY = {
     ),
     "q_embed_ann_pq": (
         "PQ + ADC + exact re-rank: codebooks are S*k rows (broadcast "
-        "everywhere); encode and LUT are broadcast joins against them; "
-        "ADC reduces (q, item) partial sums under one keyed exchange; "
-        "the 50-item shortlist broadcasts back onto the raw vectors so "
-        "full-width embeddings are touched only for candidates.  Raw "
-        "vectors: read twice, shuffled never."
+        "everywhere); encode is a broadcast join whose argmin is a "
+        "map-side min_by partial aggregate (a row_number window would "
+        "sort the |vectors|*S*k candidate fan-out); ADC scores wide-"
+        "pivoted codes (one row per vector, S map lookups, order-fixed "
+        "S-term sum — deterministic without DECIMAL); the 50-item "
+        "shortlist broadcasts back onto the raw vectors so full-width "
+        "embeddings are touched only for candidates.  Raw vectors: "
+        "read twice, shuffled never."
+    ),
+    "q_dedup_incr_substring": (
+        "Incremental substring dedup: the historical gram index is the "
+        "BUILD side of gram-keyed joins only — history x history pairs "
+        "never enumerated; df-cap filters grams before any pairing; "
+        "shared-gram counts come from the pair-keyed aggregate."
     ),
 }
 
