@@ -6028,6 +6028,47 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RCTE_SQL = """
+    WITH RECURSIVE walk(root, node, depth) AS (
+        SELECT p_partkey, p_partkey, 0 FROM {part} WHERE p_partkey < 10
+        UNION ALL
+        SELECT w.root, p.p_partkey, w.depth + 1
+        FROM walk w
+        JOIN {part} p
+          ON CAST(floor(p.p_partkey / 10) AS BIGINT) = w.node
+         AND p.p_partkey >= 10
+    )
+    SELECT root,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           max(depth) AS max_depth,
+           round(CAST(sum(CAST(p.p_retailprice AS DECIMAL(30,4)))
+                      AS DOUBLE), 4) AS subtree_price
+    FROM walk JOIN {part} p ON p.p_partkey = walk.node
+    GROUP BY root
+"""
+
+
+@query("q_recursive_cte", oracle=_RCTE_SQL.format(part="part"))
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x WITH RECURSIVE): hierarchical subtree
+    rollup over the implicit decimal-digit part forest (parent(p) =
+    floor(p/10), roots p < 10) — the BOM-explosion / org-chart shape
+    that windows cannot express (a subtree aggregate needs the
+    transitive closure).  The recursive step is restricted to
+    p_partkey >= 10 — partkey 0 exists in the data and floor(0/10) = 0
+    is a self-loop that would recurse forever (roots are the sub-10
+    keys, so excluding them from the CHILD side loses nothing);
+    parents are then strictly smaller than children, the recursion is
+    provably acyclic, depth ~ log10(|part|); Spark executes it as an
+    iterated UNION loop (UnionLoop) with the per-step join planned by
+    Catalyst, and DuckDB runs the IDENTICAL statement — engine and
+    oracle share the SQL text itself.  Depth stays far under
+    spark.sql.cteRecursionLevelLimit (100)."""
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_rcte_v")
+    return spark.sql(_RCTE_SQL.format(part="part_rcte_v"))
+
+
 @query(
     "q_histogram",
     oracle="""
@@ -6135,10 +6176,10 @@ GATE_ROTATION = [
     "q_decontaminate_stream",
     "q_embed_quantize_int8",
     "q_dedup_incr_substring",
-    # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the nine
-    #    relational basics displaced to the tail by the nine new
+    "q_recursive_cte",
+    # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the ten
+    #    relational basics displaced to the tail by the ten new
     #    entries above have both r3 driver rows and local re-runs) --
-    "q_agg_approx_check",
     "q_dedup_exact",
     "q_dedup_norm",
     "q_dup_stats",
@@ -6179,7 +6220,8 @@ GATE_ROTATION = [
     "q_sample_stratified",
     "q_quality_funnel",
     "q_dedup_ladder",
-    # -- previously-evidenced re-confirmations (displaced nine first) --
+    # -- previously-evidenced re-confirmations (displaced ten first) --
+    "q_agg_approx_check",
     "q_agg_hash",
     "q_agg_distinct",
     "q_scan_project",
