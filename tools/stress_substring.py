@@ -66,44 +66,15 @@ def main() -> None:
     docs = base.select("doc_id", text.alias("t")).localCheckpoint()
     n_chars = docs.agg(F.sum(F.length("t"))).first()[0]
 
-    postings = (
-        docs.select(
-            "doc_id",
-            "t",
-            F.explode(
-                F.sequence(F.lit(1), F.length("t") - F.lit(K - 1))
-            ).alias("p"),
-        )
-        .select(
-            "doc_id",
-            F.conv(
-                F.substring(
-                    F.md5(F.col("t").substr(F.col("p"), F.lit(K)).cast("binary")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
-        )
-        .filter(F.col("h") % SEL_MOD == 0)
+    from transitdata_hfp_deduplicator_spark.operators.substring import (
+        bucket_pairs,
+        char_gram_postings,
+        gram_buckets,
     )
-    buckets = (
-        postings.groupBy("h")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-        .filter((F.size("ds") > 1) & (F.size("ds") <= DF_CAP))
-    )
-    pair_struct = F.expr(
-        "flatten(transform(ds, (x, ix) -> "
-        "transform(slice(ds, ix + 2, size(ds) - ix - 1), y -> struct(x as i, y as j))))"
-    )
-    pairs_q = (
-        buckets.select(F.explode(pair_struct).alias("p"))
-        .select("p.i", "p.j")
-        .distinct()
-    )
+
+    postings = char_gram_postings(docs, k=K, sel_mod=SEL_MOD)
+    buckets = gram_buckets(postings, df_cap=DF_CAP)
+    pairs_q = bucket_pairs(buckets).distinct()
     # steady-state protocol (as stress_dedup.py): a cold single shot
     # measures JIT/codegen compile, not the plan — measured 153s cold vs
     # ~4x less warm on the identical plan at 500k docs

@@ -84,37 +84,15 @@ def bloom_probe(
     """Filter ``probes`` to the rows whose ``hash_col`` is
     bloom-POSITIVE (member per all k probe positions).
 
-    The bitmap broadcasts (≤ m_bits/32 rows); each probe row explodes
-    to k position rows, left-joins the broadcast map-side, and
-    reduces back with min(hit) — all k bits set ⇒ positive.  The
-    grouping key includes every original column, so callers keep their
-    schema; the re-group exchange carries only probe rows, and at k=3
-    the explode is a 3× narrow amplification of (key, position), never
-    of the payload (positions ride a single array column until the
-    explode right before the join)."""
-    cols = probes.columns
-    pos = probes.withColumn(
-        "p", F.explode(_positions(F.col(hash_col), m_bits, k))
-    ).select(
-        *cols,
-        F.shiftright("p", 5).cast("int").alias("w"),
-        F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("m"),
-    )
-    hit = pos.join(F.broadcast(bloom), "w", "left").select(
-        *cols,
-        F.when(
-            F.col("mask").isNotNull() & (F.col("mask").bitwiseAND(F.col("m")) != 0),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("hit"),
-    )
-    return (
-        hit.groupBy(*cols)
-        .agg(F.min("hit").alias("_all_hit"))
-        .filter(F.col("_all_hit") == 1)
-        .drop("_all_hit")
-    )
+    ROW-PRESERVING: delegates to ``bloom_member`` (k map-side broadcast
+    joins, one per probe position) and filters — every input row keeps
+    its multiplicity and schema, any column type passes through, and
+    the plan has NO exchange at all (an earlier explode→groupBy(*cols)
+    formulation collapsed duplicate probe rows, rejected map-typed
+    payload columns — grouping keys can't be maps — and paid a re-group
+    shuffle carrying the full probe payload for nothing)."""
+    out = bloom_member(probes, bloom, hash_col=hash_col, m_bits=m_bits, k=k)
+    return out.filter(F.col("bloom_member")).drop("bloom_member")
 
 
 def bloom_member(

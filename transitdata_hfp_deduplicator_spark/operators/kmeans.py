@@ -405,7 +405,13 @@ def semdedup_verdicts(
         pdf = pdf.sort_values("vid", kind="mergesort")
         ids = pdf["vid"].to_numpy(dtype=np.int64)
         V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        # Zero-norm guard: an all-zero embedding (failed embed / padding
+        # row) normalizes to the zero row, so every cosine involving it
+        # is exactly 0 and can never clear tau > 0 — no NaN rows, and
+        # identical verdicts to the DuckDB oracle, where x/0.0 is NULL
+        # and NULL >= tau filters the pair out.
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(n == 0.0, 1.0, n)
         o_vid, o_dup, o_sim = [], [], []
         for lo in range(0, len(ids), block):
             hi = min(lo + block, len(ids))

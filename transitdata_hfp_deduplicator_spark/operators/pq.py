@@ -18,8 +18,10 @@ as the k-means trainer it borrows its init from:
   (one Lloyd "mean" step from a deterministic partition — the trained
   refinement path is ``kmeans_cells`` applied per subspace);
 * encoding = argmin over round(L2², 6) with a cell tie-break;
-* ADC sums route through DECIMAL so partial-aggregation order cannot
-  perturb the ranking.
+* ADC sums are a FIXED-ORDER double chain (an in-order fold over the
+  S subspace terms, not a partial aggregation) so summation order
+  cannot perturb the ranking — see ``pq_adc_topk``; only the codebook
+  means route through DECIMAL.
 
 L2² is spelled ``dot(a,a) - 2·dot(a,b) + dot(b,b)`` because both
 engines evaluate each dot product as a sequential in-order fold
