@@ -405,6 +405,18 @@ def test_embed_ann_pq_raw_vectors_never_shuffled(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_embed_ann_ivfpq_codes_join_cell_pruned(spark, sf_dir):
+    """IVFADC: coarse means/codebooks/LUTs/shortlist all broadcast;
+    the ADC candidate join is keyed on the coarse cell (probed cells
+    only — the IVF pruning), so no SortMergeJoin and no cartesian
+    anywhere; code/assignment aggregates partial-aggregate map-side."""
+    df = QUERIES["q_embed_ann_ivfpq"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SortMergeJoin" not in p
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+
+
 def test_dedup_incr_substring_history_is_join_side_only(spark, sf_dir):
     """Incremental substring dedup: history participates only as a
     gram-keyed join side — no cartesian, no history x history pair

@@ -121,6 +121,103 @@ def test_rerank_is_exact_within_shortlist(spark):
     assert got == expect
 
 
+def test_ivfadc_shortlist_restricted_to_probed_cells(spark):
+    # IVFADC: every shortlist candidate must come from a coarse cell the
+    # query probed — the IVF pruning is a hard guarantee, not a ranking
+    # preference.  Also exercises the carry= path (ccell rides through
+    # sub_vectors -> pq_encode with no vid-keyed join back).
+    from transitdata_hfp_deduplicator_spark.operators.kmeans import (
+        _cell_means,
+        hash_cell,
+    )
+    from transitdata_hfp_deduplicator_spark.operators.pq import (
+        _d2,
+        ivfadc_shortlist,
+    )
+
+    e = _clustered(spark, n_clusters=6, per=20, dim=16, noise=0.05)
+    vecs = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("v"))
+    cmeans = _cell_means(vecs.withColumn("cell", hash_cell("vid", 4)))
+    cand = vecs.join(F.broadcast(cmeans)).select(
+        "vid", "v", "cell",
+        F.round(_d2(F.col("v"), F.col("centroid"), 16), 6).alias("d2"),
+    )
+    assigned = cand.groupBy("vid").agg(
+        F.min_by("cell", F.struct("d2", "cell")).alias("ccell"),
+        F.any_value("v").alias("v"),
+    )
+    resid = assigned.join(
+        F.broadcast(cmeans.withColumnRenamed("cell", "ccell")), "ccell"
+    ).select(
+        "vid", "ccell",
+        F.zip_with("v", "centroid", lambda a, b: a - b).alias("r"),
+    )
+    sub = sub_vectors(
+        resid, id_col="vid", vec_col="r", subspaces=4, sub_dim=4,
+        carry=("ccell",),
+    )
+    books = pq_codebooks(sub, k=8)
+    codes = pq_encode(sub, books, sub_dim=4, carry=("ccell",))
+    assert dict(codes.groupBy("vid", "s").count().filter("count > 1").collect()) == {}
+
+    qs = assigned.filter(F.col("vid") % 40 == 0)
+    probes = qs.join(F.broadcast(cmeans)).select(
+        F.col("vid").alias("q_id"),
+        F.col("cell").alias("ccell"),
+        "centroid",
+        F.col("v").alias("qv"),
+        F.round(_d2(F.col("v"), F.col("centroid"), 16), 6).alias("d2"),
+    )
+    from pyspark.sql.window import Window as W
+
+    probes = probes.withColumn(
+        "c_rank",
+        F.row_number().over(W.partitionBy("q_id").orderBy("d2", "ccell")),
+    ).filter(F.col("c_rank") <= 2)
+    qresid = probes.select(
+        "q_id", "ccell",
+        F.zip_with("qv", "centroid", lambda a, b: a - b).alias("rq"),
+    )
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col("rq"), s * 4 + 1, 4).alias("subv"),
+            )
+            for s in range(4)
+        ]
+    )
+    qsub = qresid.select("q_id", "ccell", F.explode(parts).alias("x")).select(
+        "q_id", "ccell", "x.s", "x.subv"
+    )
+    lut = qsub.join(F.broadcast(books), "s").select(
+        "q_id", "ccell", "s", "cell",
+        _d2(F.col("subv"), F.col("c"), 4).alias("d2q"),
+    )
+    short = ivfadc_shortlist(codes, lut, subspaces=4, shortlist=10)
+
+    probed = {(r.q_id, r.ccell) for r in probes.select("q_id", "ccell").collect()}
+    cells = {r.vid: r.ccell for r in assigned.select("vid", "ccell").collect()}
+    for r in short.collect():
+        assert (r.q_id, cells[r.item_id]) in probed, (
+            f"shortlist item {r.item_id} of q {r.q_id} sits in unprobed "
+            f"cell {cells[r.item_id]}"
+        )
+
+
+def test_ivfadc_query_self_recall(spark, sf_dir):
+    # corpus-member queries: the re-ranked rank-1 item must be the query
+    # itself at d2 = 0 (exact-copy recall through coarse probe + ADC
+    # shortlist + re-rank)
+    from transitdata_hfp_deduplicator_spark.queries import QUERIES
+
+    out = QUERIES["q_embed_ann_ivfpq"](spark, sf_dir)
+    top1 = {(r.q_id, r.item_id, r.d2) for r in out.filter("rank = 1").collect()}
+    assert top1, "no rank-1 rows"
+    for q_id, item_id, d2 in top1:
+        assert item_id == q_id and d2 == 0.0, (q_id, item_id, d2)
+
+
 def test_plan_shape_broadcast_only(spark):
     e = _clustered(spark)
     sub = sub_vectors(e, subspaces=4, sub_dim=4)

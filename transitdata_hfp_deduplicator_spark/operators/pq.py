@@ -66,8 +66,14 @@ def sub_vectors(
     vec_col: str = "embedding",
     subspaces: int = 4,
     sub_dim: int = 16,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Long-format subspace view: (vid, s, subv double[sub_dim])."""
+    """Long-format subspace view: (vid, s, subv double[sub_dim], *carry).
+
+    ``carry`` threads extra per-vector columns (e.g. the IVFADC coarse
+    cell) through the explode so downstream never needs a vid-keyed
+    join back to the source — in deployment those columns are written
+    WITH the codes."""
     v = VEC.as_double(F.col(vec_col))
     parts = F.array(
         *[
@@ -79,8 +85,8 @@ def sub_vectors(
         ]
     )
     return vecs.select(
-        F.col(id_col).alias("vid"), F.explode(parts).alias("x")
-    ).select("vid", "x.s", "x.subv")
+        F.col(id_col).alias("vid"), *carry, F.explode(parts).alias("x")
+    ).select("vid", *carry, "x.s", "x.subv")
 
 
 def pq_codebooks(sub: DataFrame, k: int = 8) -> DataFrame:
@@ -106,7 +112,10 @@ def pq_codebooks(sub: DataFrame, k: int = 8) -> DataFrame:
 
 
 def pq_encode(
-    sub: DataFrame, codebooks: DataFrame, sub_dim: int = 16
+    sub: DataFrame,
+    codebooks: DataFrame,
+    sub_dim: int = 16,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(vid, s, cell): nearest-codeword assignment per subspace —
     argmin of round(L2², 6) with a cell tie-break, broadcast join
@@ -134,6 +143,7 @@ def pq_encode(
         .join(books, "s")
         .select(
             "vid",
+            *carry,
             "s",
             "cell",
             F.round(
@@ -148,7 +158,8 @@ def pq_encode(
         )
     )
     return cand.groupBy("vid", "s").agg(
-        F.min_by("cell", F.struct("d2", "cell")).alias("cell")
+        F.min_by("cell", F.struct("d2", "cell")).alias("cell"),
+        *[F.any_value(c).alias(c) for c in carry],
     )
 
 
@@ -218,6 +229,70 @@ def pq_adc_topk(
         adc.withColumn("rank", rank.cast("long"))
         .filter(F.col("rank") <= k)
         .select("q_id", "item_id", "adc_d2", "rank")
+    )
+
+
+def ivfadc_shortlist(
+    codes: DataFrame,
+    lut: DataFrame,
+    subspaces: int = 8,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVFADC shortlist (Jégou et al. 2011, §VII): ADC scoring
+    restricted to the coarse cells each query PROBES, with the lookup
+    table built per (query, probed cell) — because codes quantize
+    RESIDUALS, a vector's sub-distances depend on which coarse centroid
+    it was encoded against.
+
+    codes: (vid, s, cell, ccell) PQ codes of the residuals WITH the
+    coarse assignment carried through encode (``pq_encode(carry=
+    ("ccell",))`` — no vid-keyed join back to the assignment, matching
+    the deployed layout where codes are written with their cell); lut:
+    (q_id, ccell, s, cell, d2q) per-probed-cell query LUT.  Returns
+    (q_id, item_id) shortlist rows.
+
+    Shape: same wide pivot as ``pq_adc_topk`` (one row per vector, S
+    map lookups), but the cross join becomes a broadcast join ON THE
+    COARSE CELL — only vectors in probed cells are ever scored, so the
+    candidate set is (nprobe / n_cells) of the corpus per query, the
+    IVF pruning applied to the memory-resident codes.  At 100 TB the
+    codes table is written partitioned by ccell and the join prunes
+    partitions."""
+    cw = codes.groupBy("vid").agg(
+        *[
+            F.max(F.when(F.col("s") == i, F.col("cell"))).alias(f"c{i}")
+            for i in range(subspaces)
+        ],
+        F.any_value("ccell").alias("ccell"),
+    )
+    lut_w = (
+        lut.groupBy("q_id", "ccell", "s")
+        .agg(F.map_from_entries(F.collect_list(F.struct("cell", "d2q"))).alias("m"))
+        .groupBy("q_id", "ccell")
+        .agg(
+            *[
+                F.any_value(F.when(F.col("s") == i, F.col("m")), True).alias(
+                    f"m{i}"
+                )
+                for i in range(subspaces)
+            ]
+        )
+    )
+    score = F.element_at(F.col("m0"), F.col("c0"))
+    for i in range(1, subspaces):
+        score = score + F.element_at(F.col(f"m{i}"), F.col(f"c{i}"))
+    adc = cw.join(F.broadcast(lut_w), "ccell").select(
+        "q_id",
+        F.col("vid").alias("item_id"),
+        F.round(score, 6).alias("adc_d2"),
+    )
+    rank = F.row_number().over(
+        W.partitionBy("q_id").orderBy(F.col("adc_d2").asc(), F.col("item_id").asc())
+    )
+    return (
+        adc.withColumn("rank", rank)
+        .filter(F.col("rank") <= shortlist)
+        .select("q_id", "item_id")
     )
 
 

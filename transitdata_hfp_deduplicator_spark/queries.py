@@ -3637,6 +3637,289 @@ def q_embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_ann_ivfpq",
+    oracle="""
+    WITH e AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+    i0 AS (
+        SELECT vid, v,
+               ('0x' || substr(md5(vid::VARCHAR), 1, 15))::BIGINT % 8 AS cell
+        FROM e
+    ),
+    cm AS (
+        SELECT cell, i,
+               CAST(SUM(CAST(v[i] AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+        FROM i0, (SELECT unnest(range(1, 65)) AS i) t
+        GROUP BY cell, i
+    ),
+    cmv AS MATERIALIZED (SELECT cell, list(m ORDER BY i) AS c FROM cm GROUP BY cell),
+    a AS MATERIALIZED (
+        SELECT vid, v, cell FROM (
+            SELECT i0.vid, i0.v, cmv.cell,
+                   round(list_dot_product(i0.v, i0.v)
+                         - 2 * list_dot_product(i0.v, cmv.c)
+                         + list_dot_product(cmv.c, cmv.c), 6) AS d2
+            FROM i0 CROSS JOIN cmv
+        ) QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d2, cell) = 1
+    ),
+    r AS (
+        SELECT a.vid, a.cell AS ccell,
+               list_transform(range(1, 65), i -> a.v[i] - cmv.c[i]) AS rv
+        FROM a JOIN cmv ON a.cell = cmv.cell
+    ),
+    sub AS (
+        SELECT vid, s, rv[s*8+1 : s*8+8] AS subv
+        FROM r, (SELECT unnest(range(0, 8)) AS s) t
+    ),
+    init AS (
+        SELECT vid, s, subv,
+               ('0x' || substr(md5(vid::VARCHAR), 1, 15))::BIGINT % 32 AS cell
+        FROM sub
+    ),
+    m AS (
+        SELECT s, cell, i,
+               CAST(SUM(CAST(subv[i] AS DECIMAL(30,12))) AS DOUBLE)
+                   / count(*) AS m
+        FROM init, (SELECT unnest(range(1, 9)) AS i) u
+        GROUP BY s, cell, i
+    ),
+    cent AS MATERIALIZED (SELECT s, cell, list(m ORDER BY i) AS c FROM m GROUP BY s, cell),
+    codes AS MATERIALIZED (
+        SELECT vid, s, cell FROM (
+            SELECT sub.vid, sub.s, cent.cell,
+                   round(list_dot_product(subv, subv)
+                         - 2 * list_dot_product(subv, c)
+                         + list_dot_product(c, c), 6) AS d2
+            FROM sub JOIN cent ON sub.s = cent.s
+        ) QUALIFY row_number() OVER (PARTITION BY vid, s
+                                     ORDER BY d2, cell) = 1
+    ),
+    q AS (SELECT vid AS q_id, v AS qv FROM e WHERE vid % 100 = 0),
+    probes AS (
+        SELECT q_id, qv, cell AS ccell FROM (
+            SELECT q.q_id, q.qv, cmv.cell,
+                   round(list_dot_product(q.qv, q.qv)
+                         - 2 * list_dot_product(q.qv, cmv.c)
+                         + list_dot_product(cmv.c, cmv.c), 6) AS d2
+            FROM q CROSS JOIN cmv
+        ) QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY d2, cell) <= 2
+    ),
+    qr AS (
+        SELECT p.q_id, p.ccell,
+               list_transform(range(1, 65), i -> p.qv[i] - cmv.c[i]) AS rq
+        FROM probes p JOIN cmv ON p.ccell = cmv.cell
+    ),
+    qsub AS (
+        SELECT q_id, ccell, s, rq[s*8+1 : s*8+8] AS subv
+        FROM qr, (SELECT unnest(range(0, 8)) AS s) t
+    ),
+    lut AS MATERIALIZED (
+        SELECT q_id, ccell, cent.s, cell,
+               list_dot_product(subv, subv)
+               - 2 * list_dot_product(subv, c)
+               + list_dot_product(c, c) AS d2q
+        FROM qsub JOIN cent ON qsub.s = cent.s
+    ),
+    codes_w AS (
+        SELECT vid,
+               max(CASE WHEN s = 0 THEN cell END) AS c0,
+               max(CASE WHEN s = 1 THEN cell END) AS c1,
+               max(CASE WHEN s = 2 THEN cell END) AS c2,
+               max(CASE WHEN s = 3 THEN cell END) AS c3,
+               max(CASE WHEN s = 4 THEN cell END) AS c4,
+               max(CASE WHEN s = 5 THEN cell END) AS c5,
+               max(CASE WHEN s = 6 THEN cell END) AS c6,
+               max(CASE WHEN s = 7 THEN cell END) AS c7
+        FROM codes GROUP BY vid
+    ),
+    cw AS (
+        SELECT codes_w.*, a.cell AS ccell FROM codes_w JOIN a USING (vid)
+    ),
+    adc AS (
+        SELECT l0.q_id, w.vid AS item_id,
+               round((((((((l0.d2q + l1.d2q) + l2.d2q) + l3.d2q) + l4.d2q) + l5.d2q) + l6.d2q) + l7.d2q), 6) AS adc_d2
+        FROM cw w
+        JOIN lut l0 ON l0.ccell = w.ccell AND l0.s = 0 AND l0.cell = w.c0
+        JOIN lut l1 ON l1.ccell = w.ccell AND l1.s = 1 AND l1.cell = w.c1 AND l1.q_id = l0.q_id
+        JOIN lut l2 ON l2.ccell = w.ccell AND l2.s = 2 AND l2.cell = w.c2 AND l2.q_id = l0.q_id
+        JOIN lut l3 ON l3.ccell = w.ccell AND l3.s = 3 AND l3.cell = w.c3 AND l3.q_id = l0.q_id
+        JOIN lut l4 ON l4.ccell = w.ccell AND l4.s = 4 AND l4.cell = w.c4 AND l4.q_id = l0.q_id
+        JOIN lut l5 ON l5.ccell = w.ccell AND l5.s = 5 AND l5.cell = w.c5 AND l5.q_id = l0.q_id
+        JOIN lut l6 ON l6.ccell = w.ccell AND l6.s = 6 AND l6.cell = w.c6 AND l6.q_id = l0.q_id
+        JOIN lut l7 ON l7.ccell = w.ccell AND l7.s = 7 AND l7.cell = w.c7 AND l7.q_id = l0.q_id
+    ),
+    short AS (
+        SELECT q_id, item_id FROM adc
+        QUALIFY row_number() OVER (PARTITION BY q_id
+                                   ORDER BY adc_d2, item_id) <= 50
+    ),
+    rr AS (
+        SELECT s.q_id, s.item_id,
+               round(list_dot_product(iv.v, iv.v)
+                     - 2 * list_dot_product(iv.v, qv.v)
+                     + list_dot_product(qv.v, qv.v), 6) AS d2
+        FROM short s
+        JOIN e iv ON iv.vid = s.item_id
+        JOIN e qv ON qv.vid = s.q_id
+    )
+    SELECT q_id, item_id, d2,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY d2, item_id) AS BIGINT)
+               AS "rank"
+    FROM rr QUALIFY "rank" <= 5
+    """,
+)
+def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the ANN ladder's capstone (Jégou et al. 2011, §VII,
+    the shape FAISS ships as IVFx,PQy): a coarse quantizer (8 cells,
+    DECIMAL-mean of md5-hash-init, L2 argmin assignment) prunes the
+    corpus to nprobe=2 probed cells per query, and within probed cells
+    vectors are scored by ADC over PQ codes of the RESIDUAL
+    v - centroid(cell) — residual quantization is what makes the two
+    structures compose: the coarse cell removes the vector's coarse
+    position, so the 8x8/32-codeword PQ spends its rate on the
+    remainder.  Because codes quantize residuals, the per-query LUT is
+    built per (query, probed cell) against the query's OWN residual in
+    that cell (operators/pq.py::ivfadc_shortlist).  ADC shortlist of
+    50, exact re-rank to top-5.
+
+    At 100 TB this is THE deployed ANN shape: codes partitioned by
+    coarse cell (partition-pruned probes), raw vectors touched only for
+    shortlist candidates.  HASH-CHECKED end-to-end in DuckDB: coarse
+    training, assignment, residuals (exact IEEE subtraction), PQ
+    codebooks, codes, per-cell LUTs, fixed-order ADC sums, the
+    shortlist cut and the re-ranked result."""
+    from transitdata_hfp_deduplicator_spark.functions import vectors as VEC
+    from transitdata_hfp_deduplicator_spark.operators.kmeans import (
+        _cell_means,
+        hash_cell,
+    )
+    from transitdata_hfp_deduplicator_spark.operators.pq import (
+        _d2,
+        ivfadc_shortlist,
+        pq_codebooks,
+        pq_encode,
+        pq_rerank_topk,
+        sub_vectors,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        F.col("vec_id").alias("vid"), VEC.as_double(F.col("embedding")).alias("v")
+    )
+    # coarse quantizer: one DECIMAL-routed mean step from the md5 init
+    # partition, then L2 argmin assignment (min_by partial agg — the
+    # pq_encode discipline, no window sort over the n x C candidates)
+    # materialize the index-build stages: cmeans feeds 4 subtrees,
+    # assigned feeds 3, books feeds 2 — unchecked, every consumer
+    # re-executes the whole upstream (the kmeans_cells discipline,
+    # operators/kmeans.py:244-256).  At 100 TB these ARE the structures
+    # a deployment writes once (codes partitioned by ccell) and reuses
+    # across queries; the checkpoint expresses that boundary inline.
+    cmeans = _cell_means(
+        vecs.withColumn("cell", hash_cell("vid", 8))
+    ).localCheckpoint()
+    # hoisted norms (the pq_encode discipline): ||v||² once per vector,
+    # ||c||² once per centroid on the broadcast side — one cross product
+    # per candidate instead of three 64-dim dots; (n2 - 2·cross) + cn2
+    # keeps the exact _d2 association so values match the oracle
+    cbooks = F.broadcast(
+        cmeans.withColumn(
+            "cn2", VEC.dot_explicit(F.col("centroid"), F.col("centroid"), 64)
+        )
+    )
+    cand = (
+        vecs.withColumn("n2", VEC.dot_explicit(F.col("v"), F.col("v"), 64))
+        .join(cbooks)
+        .select(
+            "vid",
+            "v",
+            "cell",
+            F.round(
+                (
+                    F.col("n2")
+                    - F.lit(2.0)
+                    * VEC.dot_explicit(F.col("v"), F.col("centroid"), 64)
+                )
+                + F.col("cn2"),
+                6,
+            ).alias("d2"),
+        )
+    )
+    assigned = cand.groupBy("vid").agg(
+        F.min_by("cell", F.struct("d2", "cell")).alias("ccell"),
+        F.any_value("v").alias("v"),
+    ).localCheckpoint()
+    resid = assigned.join(
+        F.broadcast(cmeans.withColumnRenamed("cell", "ccell")), "ccell"
+    ).select(
+        "vid",
+        "ccell",
+        F.zip_with("v", "centroid", lambda a, b: a - b).alias("r"),
+    )
+    sub = sub_vectors(
+        resid, id_col="vid", vec_col="r", subspaces=8, sub_dim=8,
+        carry=("ccell",),
+    )
+    books = pq_codebooks(sub, k=32).localCheckpoint()
+    codes = pq_encode(sub, books, sub_dim=8, carry=("ccell",))
+
+    qs = vecs.filter(F.col("vid") % 100 == 0).select(
+        F.col("vid").alias("q_id"), F.col("v").alias("qv")
+    )
+    probes = (
+        qs.withColumn("n2", VEC.dot_explicit(F.col("qv"), F.col("qv"), 64))
+        .join(cbooks)
+        .select(
+            "q_id",
+            "qv",
+            F.col("cell").alias("ccell"),
+            "centroid",
+            F.round(
+                (
+                    F.col("n2")
+                    - F.lit(2.0)
+                    * VEC.dot_explicit(F.col("qv"), F.col("centroid"), 64)
+                )
+                + F.col("cn2"),
+                6,
+            ).alias("d2"),
+        )
+        .withColumn(
+            "c_rank",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("d2"), F.col("ccell"))
+            ),
+        )
+        .filter(F.col("c_rank") <= 2)
+    )
+    qresid = probes.select(
+        "q_id",
+        "ccell",
+        F.zip_with("qv", "centroid", lambda a, b: a - b).alias("rq"),
+    )
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(F.col("rq"), s * 8 + 1, 8).alias("subv"),
+            )
+            for s in range(8)
+        ]
+    )
+    qsub = qresid.select("q_id", "ccell", F.explode(parts).alias("x")).select(
+        "q_id", "ccell", "x.s", "x.subv"
+    )
+    lut = qsub.join(F.broadcast(books), "s").select(
+        "q_id", "ccell", "s", "cell",
+        _d2(F.col("subv"), F.col("c"), 8).alias("d2q"),
+    )
+    short = ivfadc_shortlist(codes, lut, subspaces=8, shortlist=50)
+    return pq_rerank_topk(
+        short, e, query_filter=F.col("vec_id") % 100 == 0, k=5
+    )
+
+
+@query(
     "q_embed_quantize_int8",
     oracle="""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -6075,6 +6358,7 @@ GATE_ROTATION = [
     # -- oracled in r4 but never driver-evidenced: goes first --
     "q_multimodal_decode",
     # -- NEW this session (no prior evidence possible) --
+    "q_embed_ann_ivfpq",
     "q_decontaminate_bloom",
     "q_token_colloc",
     "q_corpus_drift",
