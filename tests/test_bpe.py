@@ -88,6 +88,48 @@ def test_train_merges_matches_sequential_reference(spark):
     assert rows[2].merged == "aba" and rows[2].tokens_after == 3
 
 
+def test_apply_merges_encodes_held_out_docs(spark):
+    # train on 'aaaa' x2: merge1 = (a,a) -> [aa,aa]; iter2 pairs:
+    # (aa,aa) x1 per doc -> merge2 = (aa,aa).  Encode the HELD-OUT
+    # doc 'aaaaa': merge1 greedy -> [aa,aa,a]; merge2 -> [aaaa,a].
+    from transitdata_hfp_deduplicator_spark.operators.bpe import apply_merges
+
+    train = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaa")], "doc_id int, text string"
+    )
+    merges = train_merges(char_tokens(train, cap=10), iters=2)
+    rows = {r.iter: (r.lhs, r.rhs) for r in merges.collect()}
+    assert rows == {1: ("a", "a"), 2: ("aa", "aa")}
+    held_out = spark.createDataFrame([(9, "aaaaa")], "doc_id int, text string")
+    enc = apply_merges(char_tokens(held_out, cap=10), merges, iters=2)
+    got = [r.tok for r in enc.orderBy("pos").collect()]
+    assert got == ["aaaa", "a"]
+
+
+def test_apply_merges_reproduces_trainer_final_state(spark):
+    # apply(train(corpus), corpus) == the trainer's own final token
+    # table (also pinned cell-exactly by q_bpe_encode's oracle)
+    from transitdata_hfp_deduplicator_spark.operators.bpe import apply_merges
+
+    docs = spark.createDataFrame(
+        [(1, "abab"), (2, "aba"), (3, "bbab")], "doc_id int, text string"
+    )
+    toks = char_tokens(docs, cap=10)
+    merges = train_merges(toks, iters=3)
+    enc = apply_merges(toks, merges, iters=3)
+    # re-derive the trainer's final state by replaying merge_pair with
+    # each winner (the trainer's internal loop, reconstructed)
+    cur = toks
+    for i in (1, 2, 3):
+        w = merges.filter(F.col("iter") == i).select(
+            F.col("lhs").alias("a"), F.col("rhs").alias("b")
+        )
+        cur = merge_pair(cur, w)
+    lhs = {(r.doc_id, r.pos, r.tok) for r in enc.collect()}
+    rhs = {(r.doc_id, r.pos, r.tok) for r in cur.collect()}
+    assert lhs == rhs
+
+
 def test_train_merges_rejects_zero_iters(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id int, text string")
     try:

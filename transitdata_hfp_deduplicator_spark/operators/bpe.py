@@ -132,6 +132,33 @@ def merge_pair(toks: DataFrame, winner: DataFrame) -> DataFrame:
     )
 
 
+def apply_merges(toks: DataFrame, merges: DataFrame, iters: int) -> DataFrame:
+    """ENCODE with a trained merge table — the tokenizer inference path,
+    and the one that runs at corpus scale (training happens once; every
+    pretraining document is encoded).  Applies the rank-``i`` merge for
+    i = 1..iters in rank order, each as one ``merge_pair`` window pass —
+    greedy left-to-right per rank, exactly how single-node BPE encoders
+    apply a merge list.
+
+    NO pair counting, NO per-iteration aggregate shuffles — unlike the
+    training loop, the only exchange is the initial doc_id repartition
+    that every window pass reuses; each rank's merge row is a 1-row
+    filter of the (bounded, tokenizer-artifact-sized) merge table,
+    crossJoin-broadcast, never collected.  Applying the trained merges
+    to the training corpus reproduces the trainer's final token table
+    exactly (the oracle of q_bpe_encode pins this equivalence).
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    cur = toks.repartition("doc_id").sortWithinPartitions("doc_id", "pos")
+    for i in range(1, iters + 1):
+        w = merges.filter(F.col("iter") == i).select(
+            F.col("lhs").alias("a"), F.col("rhs").alias("b")
+        )
+        cur = merge_pair(cur, w)
+    return cur
+
+
 def train_merges(toks: DataFrame, iters: int) -> DataFrame:
     """Run ``iters`` BPE iterations; returns the merge table
     (iter, lhs, rhs, merged, pair_n, tokens_after) — the trained

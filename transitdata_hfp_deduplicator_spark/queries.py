@@ -1981,6 +1981,61 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bpe_encode",
+    oracle=f"""
+    WITH tok1 AS (
+        SELECT doc_id, p AS pos, substr(t, CAST(p AS INTEGER), 1) AS tok
+        FROM (SELECT doc_id, lower(trim(text)) AS t FROM documents
+              WHERE len(lower(trim(text))) >= 1),
+             unnest(generate_series(1, least(len(t), 200))) AS u(p)
+    ),
+    {",".join(_bpe_iter_sql(i) for i in (1, 2, 3))}
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           string_agg(CASE WHEN pos <= 8 THEN tok END, '|' ORDER BY pos)
+               AS head
+    FROM tok4 GROUP BY doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — tokenizer application, the pipeline's actual
+    100 TB hot path (training runs once on a sample; encoding touches
+    every pretraining byte): train 3 merges (q_bpe_merges's loop), then
+    encode the corpus by applying the merge table in rank order via
+    ``apply_merges`` (operators/bpe.py) — pure window passes over ONE
+    doc_id exchange, no pair-count shuffles, the merge rows broadcast.
+
+    Per doc: encoded token count + the first 8 tokens (pipe-joined) —
+    enough to hash-pin every merge's effect on every document.  The
+    oracle re-derives the trained merges AND their application in one
+    chain (tok4), so the check also pins the engine equivalence
+    apply(train(corpus), corpus) == trainer's final token table."""
+    from transitdata_hfp_deduplicator_spark.operators.bpe import (
+        apply_merges,
+        char_tokens,
+        train_merges,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = char_tokens(d, cap=200)
+    merges = train_merges(toks, iters=3)
+    enc = apply_merges(toks, merges, iters=3)
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda st: st.tok,
+                ),
+                1,
+                8,
+            ),
+            "|",
+        ).alias("head"),
+    )
+
+
+@query(
     "q_corpus_prep",
     oracle="""
     WITH q AS (
@@ -6359,6 +6414,7 @@ GATE_ROTATION = [
     "q_multimodal_decode",
     # -- NEW this session (no prior evidence possible) --
     "q_embed_ann_ivfpq",
+    "q_bpe_encode",
     "q_decontaminate_bloom",
     "q_token_colloc",
     "q_corpus_drift",
