@@ -99,6 +99,80 @@ def char_gram_postings(
     )
 
 
+def cdc_chunks(
+    norm: DataFrame,
+    w: int = 16,
+    mod: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "t",
+) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al. SOSP'01, LBFS):
+    (id, start, clen, digest) — a chunk boundary falls wherever the
+    w-char window's content hash ≡ 0 (mod ``mod``), so boundaries move
+    WITH the content: an insertion shifts only the chunk it lands in
+    and every later chunk keeps its digest (mean chunk ≈ mod chars).
+
+    Boundary detection is the char-gram posting discipline (explode
+    positions, md5 as a TOP-LEVEL codegen column, selection before any
+    exchange); chunk assembly is per-doc array math off one id-keyed
+    boundary collect.  Boundaries start at position 2 (a boundary at 1
+    would make a zero-length first chunk); documents shorter than w+1
+    chars are a single chunk.  Min/max chunk-size clamps (the
+    production refinement) are a greedy sequential rule that would ride
+    the same boundary stream."""
+    t, ln = F.col(text_col), F.length(text_col)
+    b = (
+        norm.filter(ln >= w + 1)
+        .select(
+            id_col,
+            text_col,
+            F.explode(F.sequence(F.lit(2), ln - F.lit(w - 1))).alias("p"),
+        )
+        .select(
+            id_col,
+            "p",
+            F.conv(
+                F.substring(
+                    F.md5(t.substr(F.col("p"), F.lit(w)).cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .filter(F.col("h") % mod == 0)
+        .select(id_col, "p")
+    )
+    bounds = b.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("p")).alias("bp")
+    )
+    wb = norm.join(bounds, id_col, "left").select(
+        id_col,
+        text_col,
+        ln.alias("ln"),
+        F.coalesce(F.col("bp"), F.array().cast("array<int>")).alias("bp"),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.col("bp"))
+    spans = F.transform(
+        starts,
+        lambda x, i: F.struct(
+            x.alias("start"),
+            (F.coalesce(F.get(starts, i + 1), F.col("ln") + 1) - x).alias(
+                "clen"
+            ),
+        ),
+    )
+    return wb.select(id_col, text_col, F.explode(spans).alias("sp")).select(
+        id_col,
+        F.col("sp.start").alias("start"),
+        F.col("sp.clen").alias("clen"),
+        F.md5(
+            t.substr(F.col("sp.start"), F.col("sp.clen")).cast("binary")
+        ).alias("digest"),
+    )
+
+
 def gram_buckets(
     postings: DataFrame, df_cap: int = DF_CAP, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -4755,6 +4755,82 @@ def q_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cdc_chunks",
+    oracle="""
+    WITH d AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+    b AS (
+        SELECT doc_id, p
+        FROM (SELECT * FROM d WHERE len(t) >= 17),
+             unnest(generate_series(2, len(t) - 15)) AS u(p)
+        WHERE ('0x' || substr(md5(substr(t, CAST(p AS INTEGER), 16)), 1, 15))::BIGINT
+              % 32 = 0
+    ),
+    bounds AS (SELECT doc_id, list_sort(list(p)) AS bp FROM b GROUP BY doc_id),
+    wb AS (
+        SELECT d.doc_id, d.t, len(d.t) AS ln, coalesce(bounds.bp, []) AS bp
+        FROM d LEFT JOIN bounds USING (doc_id)
+    ),
+    st AS (SELECT doc_id, t, ln, list_prepend(1, bp) AS starts FROM wb),
+    ch AS (
+        SELECT doc_id,
+               coalesce(starts[i+1], ln + 1) - starts[i] AS clen,
+               md5(substr(t, CAST(starts[i] AS INTEGER),
+                          CAST(coalesce(starts[i+1], ln + 1) - starts[i]
+                               AS INTEGER))) AS digest
+        FROM st, unnest(generate_series(1, len(starts))) AS u(i)
+    ),
+    cnt AS (SELECT *, count(*) OVER (PARTITION BY digest) AS nd FROM ch)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (nd >= 2) AS BIGINT) AS n_dup_chunks,
+           CAST(coalesce(sum(clen) FILTER (nd >= 2), 0) AS BIGINT) AS dup_chars
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup accounting — the
+    storage-dedup shape (Muthitacharoen et al. SOSP'01, LBFS; the
+    rolling-hash chunking every backup/media dedup system uses, and the
+    binary-asset analog of exact-substring text dedup): a chunk boundary
+    falls wherever the 16-char window's content hash ≡ 0 (mod 32), so
+    boundaries move WITH the content — an insertion early in a document
+    shifts only the chunk it lands in, and all later chunks keep their
+    digests (the property fixed-offset chunking lacks; mean chunk ~32
+    chars here, a config).  Per doc: chunk count, chunks whose digest
+    recurs anywhere in the corpus, and the duplicated char mass — the
+    dedup-savings ledger.
+
+    Scale shape: boundary detection is the substring-dedup posting
+    discipline (explode positions, md5 as a TOP-LEVEL codegen column,
+    selection filter BEFORE any exchange — operators/substring.py);
+    chunking itself is per-doc array math off one doc_id-keyed boundary
+    collect; multiplicity is one digest-keyed window.  Three linear
+    exchanges, no joins wider than the corpus, nothing quadratic.
+    Min/max chunk-size clamps (the production refinement) are a greedy
+    sequential rule and would ride the same boundary stream.
+    """
+    from transitdata_hfp_deduplicator_spark.operators.substring import (
+        cdc_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    ch = cdc_chunks(d, w=16, mod=32)
+    cnt = ch.withColumn(
+        "nd", F.count(F.lit(1)).over(W.partitionBy("digest"))
+    )
+    return cnt.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(F.col("nd") >= 2, 1)).alias("n_dup_chunks"),
+        F.coalesce(
+            F.sum(F.when(F.col("nd") >= 2, F.col("clen"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("dup_chars"),
+    )
+
+
+@query(
     "q_multimodal_bytes",
     oracle="""
     SELECT doc_id,
@@ -6415,6 +6491,7 @@ GATE_ROTATION = [
     # -- NEW this session (no prior evidence possible) --
     "q_embed_ann_ivfpq",
     "q_bpe_encode",
+    "q_cdc_chunks",
     "q_decontaminate_bloom",
     "q_token_colloc",
     "q_corpus_drift",
