@@ -417,6 +417,21 @@ def test_embed_ann_ivfpq_codes_join_cell_pruned(spark, sf_dir):
     assert_partial_aggregation(df)
 
 
+def test_pagerank_iterations_partial_aggregate(spark, sf_dir):
+    """PageRank: the per-iteration contribution aggregate must partial-
+    aggregate (node-sized combined rows cross the wire, not edge-sized);
+    no cartesian anywhere (the only cross joins are broadcast 1-row
+    scalars); rank mass stays conserved below 1."""
+    df = QUERIES["q_graph_pagerank"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+    rows = df.collect()
+    total = sum(r.pr for r in rows)
+    n = len(rows)
+    assert 0.5 < total <= 1.0 + 1e-9, total
+    assert all(r.pr >= 0.15 / n - 1e-12 for r in rows)
+
+
 def test_dedup_incr_substring_history_is_join_side_only(spark, sf_dir):
     """Incremental substring dedup: history participates only as a
     gram-keyed join side — no cartesian, no history x history pair
