@@ -151,3 +151,32 @@ def test_stratified_quota_shrink_stable_and_partition_invariant(spark):
         ).collect()
     )
     assert set(per_stratum.values()) == {3}  # 400 rows / 15 strata >= 3
+
+
+def test_systematic_pps_total_picks_and_heavy_multi_hit(spark):
+    # k pointers always land somewhere: sum(n_picks) == k; a row heavier
+    # than W/k MUST be hit at least floor(w*k/W) times (true PPS)
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    rows = [(i, 10) for i in range(100)] + [(100, 500)]  # W=1500, heavy=500
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    out = systematic_pps_sample(df, "doc_id", "w", k=15)
+    got = {r.doc_id: r.n_picks for r in out.collect()}
+    assert sum(got.values()) == 15
+    # heavy row: w*k/W = 500*15/1500 = 5 -> at least 5 picks
+    assert got.get(100, 0) >= 5
+
+
+def test_systematic_pps_partition_invariant(spark):
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    rows = [(i, (i * 37) % 90 + 1) for i in range(400)]
+    df1 = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    df2 = df1.repartition(13)
+    a = {(r.doc_id, r.n_picks) for r in systematic_pps_sample(df1, "doc_id", "w", k=40).collect()}
+    b = {(r.doc_id, r.n_picks) for r in systematic_pps_sample(df2, "doc_id", "w", k=40).collect()}
+    assert a == b and sum(n for _, n in a) == 40

@@ -114,3 +114,104 @@ def stratified_quota_sample(
         df.withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= quota)
     )
+
+
+def systematic_pps_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    shards: int = 32,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (Madow
+    1949) — k deterministic picks with inclusion probability
+    proportional to an integer weight: lay every row's weight end to
+    end in id order, drop k evenly spaced pointers at
+    t_j = (2j+1)·W/(2k), and select the row each pointer lands in.  A
+    row heavier than W/k can be hit multiple times (true PPS
+    semantics), reported via ``n_picks``.  ENTIRELY integer arithmetic
+    (the pointer test (2j+1)·W < 2k·cum is cross-multiplied, never
+    divided), so verdicts are exact in any engine — no transcendental
+    u^(1/w) keys (Efraimidis-Spirakis needs pow/log, which are not
+    correctly-rounded IEEE and can differ across engines in the last
+    ulp; systematic PPS gives the same proportional-inclusion guarantee
+    for ordered data with none of that risk).
+
+    Scale shape: the global cumulative sum is the classic TWO-PASS
+    range-sharded form, not a single-partition global window — rows
+    bucket into ``shards`` id ranges, pass 1 aggregates one partial sum
+    per shard (broadcast back as running offsets, shards² tiny rows),
+    pass 2 cumsums WITHIN each shard in parallel.  Returns
+    (id, weight, n_picks) for rows with n_picks >= 1.
+    """
+    stats = df.select(
+        F.max(F.col(id_col)).alias("mx"),
+        F.sum(F.col(weight_col)).cast("bigint").alias("tw"),
+    )
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    ).crossJoin(F.broadcast(stats))
+    d = d.withColumn(
+        "shard",
+        (F.col("id") * shards / (F.col("mx") + 1)).cast("bigint"),
+    )
+    # pass 1: per-shard totals -> exclusive running offsets (tiny table)
+    from pyspark.sql.window import Window as W
+
+    sh = (
+        d.groupBy("shard")
+        .agg(F.sum("w").alias("sw"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("sw").over(
+                    W.orderBy("shard").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "off")
+    )
+    # pass 2: within-shard cumulative sums, all shards in parallel
+    cum = (
+        d.join(F.broadcast(sh), "shard")
+        .withColumn(
+            "cum",
+            F.col("off")
+            + F.sum("w").over(
+                W.partitionBy("shard")
+                .orderBy("id")
+                .rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("cprev", F.col("cum") - F.col("w"))
+    )
+    # g(c) = #{ j >= 0 : (2j+1) * W < 2k * c } — TRUE integer division
+    # (SQL `div`), never `/`: BIGINT `/` routes through double, which
+    # loses exactness past 2^53 (reachable when k·W crosses ~9e15 at
+    # corpus scale)
+    out = (
+        cum.withColumn("nhi", F.lit(2 * k) * F.col("cum") - F.col("tw") - 1)
+        .withColumn("nlo", F.lit(2 * k) * F.col("cprev") - F.col("tw") - 1)
+        .withColumn(
+            "ghi",
+            F.when(F.col("nhi") >= 0, F.expr("nhi div (2 * tw) + 1")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "glo",
+            F.when(F.col("nlo") >= 0, F.expr("nlo div (2 * tw) + 1")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn("n_picks", (F.col("ghi") - F.col("glo")).cast("bigint"))
+    )
+    return out.filter(F.col("n_picks") >= 1).select(
+        F.col("id").alias(id_col),
+        F.col("w").alias(weight_col),
+        "n_picks",
+    )

@@ -6261,6 +6261,54 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "pick_rank")
 
 
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH s AS (SELECT CAST(sum(n_chars) AS BIGINT) AS tw FROM documents),
+    c AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+               sum(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id) AS cum
+        FROM documents
+    ),
+    t AS (SELECT doc_id, w, cum, cum - w AS cprev, tw FROM c, s),
+    g AS (
+        SELECT doc_id, w,
+               (CASE WHEN 200 * cum - tw - 1 >= 0
+                     THEN (200 * cum - tw - 1) // (2 * tw) + 1 ELSE 0 END)
+             - (CASE WHEN 200 * cprev - tw - 1 >= 0
+                     THEN (200 * cprev - tw - 1) // (2 * tw) + 1 ELSE 0 END)
+                   AS n_picks
+        FROM t
+    )
+    SELECT doc_id, w AS n_chars, CAST(n_picks AS BIGINT) AS n_picks
+    FROM g WHERE n_picks >= 1
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling: k=100 systematic PPS picks
+    (Madow 1949) with inclusion probability proportional to document
+    length — the "sample by token mass, not by document count" corpus-
+    prep primitive.  Weights lay end to end in doc order; k evenly
+    spaced pointers select their landing rows; docs heavier than W/k
+    can be hit multiple times (n_picks — true PPS semantics, the basis
+    of weighted corpus mixing without replacement hacks).
+
+    ENTIRELY integer arithmetic — the pointer test cross-multiplies,
+    Efraimidis-Spirakis's u^(1/w) keys would ride pow/log (not
+    correctly-rounded IEEE, engine-divergent in the last ulp) — so the
+    whole sample hash-checks exactly.  The global cumulative sum runs
+    as the range-sharded TWO-PASS form (operators/sampling.py::
+    systematic_pps_sample): per-shard partials broadcast back as
+    offsets, within-shard windows in parallel — never a
+    single-partition global window."""
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return systematic_pps_sample(d, "doc_id", "n_chars", k=100)
+
+
 # ---------------------------------------------------------------------------
 # Exact percentiles, ordered string agg, scalar subquery, histogram
 # ---------------------------------------------------------------------------
@@ -6613,6 +6661,7 @@ GATE_ROTATION = [
     "q_bpe_encode",
     "q_cdc_chunks",
     "q_graph_pagerank",
+    "q_sample_weighted",
     "q_decontaminate_bloom",
     "q_token_colloc",
     "q_corpus_drift",
