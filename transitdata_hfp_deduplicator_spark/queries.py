@@ -5315,6 +5315,51 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_range",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_10m,
+           round(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE), 6)
+               AS sum_10m
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS sec
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per user, the trailing-10-minute event count
+    and value sum at every event — the time-range moving aggregate ROWS
+    frames cannot express when event spacing varies (a ROWS frame
+    counts rows, not seconds; sessions with bursts and gaps need the
+    VALUE-based frame).  The in-frame sum routes through DECIMAL so
+    frame-evaluation order cannot move the last ulp — hash-checked.
+
+    Scale shape: one user-keyed exchange, sort within partitions, the
+    running frame evaluated in a single pass per partition (Spark's
+    bounded-preceding range frame keeps a sliding aggregate buffer, not
+    a per-row rescan)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.col("ts").cast("long").alias("sec")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_10m"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double"),
+            6,
+        ).alias("sum_10m"),
+    )
+
+
+@query(
     "q_unpivot",
     oracle="""
     SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
@@ -6662,6 +6707,7 @@ GATE_ROTATION = [
     "q_cdc_chunks",
     "q_graph_pagerank",
     "q_sample_weighted",
+    "q_window_range",
     "q_decontaminate_bloom",
     "q_token_colloc",
     "q_corpus_drift",
