@@ -2876,6 +2876,165 @@ def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'https'
+                     ELSE 'Https' END)
+               || '://'
+               || (CASE doc_id % 2 WHEN 0 THEN 'www.Example.COM'
+                        ELSE 'www.example.com' END)
+               || (CASE doc_id % 5 WHEN 0 THEN ':443' ELSE '' END)
+               || '/docs/' || CAST(doc_id // 7 AS VARCHAR)
+               || (CASE doc_id % 2 WHEN 0 THEN '/' ELSE '' END)
+               || (CASE doc_id % 4
+                        WHEN 0 THEN '?utm_source=feed&id='
+                                    || CAST(doc_id // 7 AS VARCHAR)
+                        WHEN 1 THEN '?id=' || CAST(doc_id // 7 AS VARCHAR)
+                        WHEN 2 THEN '?id=' || CAST(doc_id // 7 AS VARCHAR)
+                                    || '&utm_campaign=x'
+                        ELSE '' END) AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               lower(split_part(url, '://', 1)) AS scheme,
+               split_part(split_part(url, '://', 2), '/', 1) AS hostport,
+               substr(split_part(url, '://', 2),
+                      len(split_part(split_part(url, '://', 2), '/', 1)) + 1)
+                   AS pathq
+        FROM u
+    ),
+    norm AS (
+        SELECT doc_id, url, scheme,
+               lower(CASE WHEN scheme = 'https'
+                          THEN regexp_replace(hostport, ':443$', '')
+                          WHEN scheme = 'http'
+                          THEN regexp_replace(hostport, ':80$', '')
+                          ELSE hostport END) AS host,
+               regexp_replace(split_part(pathq, '?', 1), '/+$', '') AS path,
+               CASE WHEN position('?' IN pathq) > 0
+                    THEN array_to_string(list_sort(list_filter(
+                             string_split(substr(pathq,
+                                 position('?' IN pathq) + 1), '&'),
+                             x -> NOT regexp_matches(x,
+                                 '^(utm_[^=]*|ref|fbclid|gclid)='))), '&')
+                    ELSE '' END AS params
+        FROM parts
+    ),
+    canon AS (
+        SELECT doc_id,
+               scheme || '://' || host || path
+               || (CASE WHEN params <> '' THEN '?' || params ELSE '' END)
+                   AS curl
+        FROM norm
+    )
+    SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies, curl
+    FROM canon GROUP BY curl
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization dedup — the Common-Crawl-style pipeline
+    step that collapses scheme/host case, default ports, trailing
+    slashes, tracking parameters (utm_*/ref/fbclid/gclid), and query-
+    parameter order before URL-level dedup (the cheapest rung of the
+    web-corpus dedup ladder: most crawl duplicates are the same page
+    fetched under trivially-different URLs).  The corpus carries no URL
+    column, so one is SYNTHESIZED from doc_id with the variation shapes
+    above baked in — the canonicalizer is generic and never inverts the
+    synthesis; each 7-doc group collapses to two canonical identities
+    (with and without the real ?id= parameter).
+
+    Scale shape: canonicalization is pure narrow string/array ops
+    (split, filter, sort, join — all codegen); the only exchange is the
+    canonical-key groupBy with map-side partial min/count — exactly
+    q_dedup_norm's shape with the canonicalize step swapped."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    k = (F.col("doc_id") - F.pmod(F.col("doc_id"), 7)) / 7
+    k = k.cast("bigint").cast("string")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("Https")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("www.Example.COM")).otherwise(
+            F.lit("www.example.com")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        k,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0, F.concat(F.lit("?utm_source=feed&id="), k)
+        )
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("?id="), k))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("?id="), k, F.lit("&utm_campaign=x")),
+        )
+        .otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.substring_index(F.col("url"), "://", 1))
+    rest = F.substring_index(F.col("url"), "://", -1)
+    hostport = F.substring_index(rest, "/", 1)
+    pathq = F.expr("substr(substring_index(url, '://', -1), "
+                   "length(substring_index(substring_index(url, '://', -1), '/', 1)) + 1)")
+    p = u.select(
+        "doc_id",
+        scheme.alias("scheme"),
+        hostport.alias("hostport"),
+        pathq.alias("pathq"),
+    )
+    host = F.lower(
+        F.when(
+            F.col("scheme") == "https",
+            F.regexp_replace(F.col("hostport"), ":443$", ""),
+        )
+        .when(
+            F.col("scheme") == "http",
+            F.regexp_replace(F.col("hostport"), ":80$", ""),
+        )
+        .otherwise(F.col("hostport"))
+    )
+    path = F.regexp_replace(F.substring_index(F.col("pathq"), "?", 1), "/+$", "")
+    params = F.when(
+        F.instr(F.col("pathq"), "?") > 0,
+        F.array_join(
+            F.array_sort(
+                F.filter(
+                    F.split(
+                        F.expr("substr(pathq, instr(pathq, '?') + 1)"), "&"
+                    ),
+                    lambda x: ~x.rlike("^(utm_[^=]*|ref|fbclid|gclid)="),
+                )
+            ),
+            "&",
+        ),
+    ).otherwise(F.lit(""))
+    n = p.select("doc_id", "scheme", host.alias("host"), path.alias("path"),
+                 params.alias("params"))
+    curl = F.concat(
+        F.col("scheme"),
+        F.lit("://"),
+        F.col("host"),
+        F.col("path"),
+        F.when(F.col("params") != "", F.concat(F.lit("?"), F.col("params")))
+        .otherwise(F.lit("")),
+    )
+    return (
+        n.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies", "curl")
+    )
+
+
+@query(
     "q_dedup_norm",
     oracle="""
     WITH n AS (
@@ -6708,6 +6867,7 @@ GATE_ROTATION = [
     "q_graph_pagerank",
     "q_sample_weighted",
     "q_window_range",
+    "q_dedup_url",
     "q_decontaminate_bloom",
     "q_token_colloc",
     "q_corpus_drift",
