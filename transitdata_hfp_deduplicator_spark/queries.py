@@ -6764,6 +6764,98 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_skyline",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 4) AS price,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate
+    FROM (
+        SELECT o_orderkey, o_totalprice, o_orderdate,
+               max(o_orderdate) OVER (
+                   ORDER BY o_totalprice DESC, o_orderdate DESC, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS pmax
+        FROM orders
+    )
+    WHERE pmax IS NULL OR o_orderdate > pmax
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, Börzsönyi et al. ICDE'01): orders
+    not dominated on (totalprice, orderdate) — maximize both; exact
+    ties keep the lowest key.  The classic sort-based reduction: ordered
+    by (price desc, date desc, key), a row is dominated iff the running
+    max of dates over all PRECEDING rows reaches its date — every
+    preceding row has >= price, so a >= date there witnesses dominance;
+    one pass, no pairwise comparisons (the NOT EXISTS formulation is
+    corpus-quadratic).
+
+    Scale shape: the global running max — normally a single-partition
+    window, the classic scale-killer — runs as the range-sharded
+    TWO-PASS form (the systematic_pps_sample cumsum discipline): rows
+    shard by price range (all equal prices land in one shard, so the
+    tie-order never crosses a boundary), pass 1 reduces one (max-date)
+    row per shard and broadcasts cumulative offsets, pass 2 windows
+    WITHIN each shard in parallel; a row survives iff its date beats
+    greatest(shard offset, within-shard running max)."""
+    shards = 32
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    stats = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    d = o.crossJoin(F.broadcast(stats)).withColumn(
+        "shard",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))  # degenerate span
+        .otherwise(
+            F.least(
+                F.lit(shards - 1),
+                F.floor(
+                    (F.col("hi") - F.col("o_totalprice"))
+                    / (F.col("hi") - F.col("lo"))
+                    * shards
+                ),
+            )
+        )
+        .cast("bigint"),
+    )
+    # pass 1: per-shard max date -> exclusive cumulative offsets (tiny)
+    sh = (
+        d.groupBy("shard")
+        .agg(F.max("o_orderdate").alias("md"))
+        .withColumn(
+            "off",
+            F.max("md").over(
+                W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+            ),
+        )
+        .select("shard", "off")
+    )
+    # pass 2: within-shard running max, all shards in parallel
+    win = (
+        W.partitionBy("shard")
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").desc(),
+            F.col("o_orderkey"),
+        )
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scored = (
+        d.join(F.broadcast(sh), "shard")
+        .withColumn("wmax", F.max("o_orderdate").over(win))
+        .withColumn("pmax", F.greatest("off", "wmax"))
+    )
+    return scored.filter(
+        F.col("pmax").isNull() | (F.col("o_orderdate") > F.col("pmax"))
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("price"),
+        F.col("o_orderdate").cast("long").alias("odate"),
+    )
+
+
+@query(
     "q_histogram",
     oracle="""
     WITH stats AS (
@@ -6868,6 +6960,7 @@ GATE_ROTATION = [
     "q_sample_weighted",
     "q_window_range",
     "q_dedup_url",
+    "q_skyline",
     "q_decontaminate_bloom",
     "q_token_colloc",
     "q_corpus_drift",
