@@ -6006,6 +6006,86 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cdc_latest_stream",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               max({'sec': CAST(floor(epoch(ts)) AS BIGINT),
+                    'eid': event_id, 'val': value,
+                    'typ': event_type}) AS last,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(floor(epoch(ts))) AS BIGINT) AS last_sec
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, round(last.val, 6) AS last_value,
+           last.typ AS last_type, n_events, last_sec
+    FROM m
+    """,
+)
+def q_cdc_latest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE latest-state materialized view (the CDC-apply shape): the
+    event stream replays through a streaming max_by aggregation keyed
+    by user, maintaining each key's most recent (value, type) — i.e.
+    the continuously-maintained "current state" table every changelog
+    consumer builds, with no custom state operator: Spark's streaming
+    aggregation state IS the materialized view, complete-mode snapshots
+    make the final batch the answer.  The streaming q_merge_upsert: the
+    batch query refreshes a snapshot from a change set; this maintains
+    it incrementally.
+
+    HASH-CHECKED against the batch arg_max over the same events —
+    online and offline current-state agree bit-for-bit (ties broken by
+    (ts, event_id), both engines).
+
+    Scale shape: state is one row per key (the view itself), updates
+    partial-aggregate map-side before the keyed exchange; at 100 TB
+    the view partitions by key like any streaming agg."""
+    import os as _os
+
+    from transitdata_hfp_deduplicator_spark.streaming import (
+        parquet_stream,
+        replay_shuffle_partitions,
+        run_to_memory,
+        scoped_shuffle_partitions,
+    )
+
+    src = _os.path.join(sf_dir, "events.parquet")
+    stream = parquet_stream(spark, src).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    # lexicographic struct max — (ts, event_id) leads, payload rides
+    # along; the one composite-argmax spelling BOTH engines order
+    # identically (DuckDB's arg_max takes no composite key)
+    last = F.max(
+        F.struct(
+            F.col("sec"), F.col("event_id"),
+            F.col("value").alias("val"), F.col("event_type").alias("typ"),
+        )
+    )
+    state = (
+        stream.groupBy("user_id")
+        .agg(
+            last.alias("last"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("sec").alias("last_sec"),
+        )
+        .select(
+            "user_id",
+            F.round(F.col("last.val"), 6).alias("last_value"),
+            F.col("last.typ").alias("last_type"),
+            "n_events",
+            "last_sec",
+        )
+    )
+    with scoped_shuffle_partitions(spark, replay_shuffle_partitions(src)):
+        return run_to_memory(state, output_mode="complete")
+
+
 # ---------------------------------------------------------------------------
 # Time-series: batch sessionization and gap-fill (operators/timeseries.py)
 # ---------------------------------------------------------------------------
@@ -6961,6 +7041,7 @@ GATE_ROTATION = [
     "q_window_range",
     "q_dedup_url",
     "q_skyline",
+    "q_cdc_latest_stream",
     "q_decontaminate_bloom",
     "q_token_colloc",
     "q_corpus_drift",
