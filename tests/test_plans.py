@@ -417,6 +417,35 @@ def test_embed_ann_ivfpq_codes_join_cell_pruned(spark, sf_dir):
     assert_partial_aggregation(df)
 
 
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    """The sharded running-max reduction must equal the NOT-EXISTS
+    dominance definition — an INDEPENDENT check (the DuckDB oracle uses
+    the same windowed reduction, so it could share a bug shape)."""
+    from transitdata_hfp_deduplicator_spark import tables
+
+    pts = [
+        (r.o_orderkey, r.o_totalprice, r.o_orderdate)
+        for r in tables.table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .collect()
+    ]
+
+    def dominated(i):
+        ki, pi, di = i
+        for kj, pj, dj in pts:
+            if (
+                (pj > pi and dj >= di)
+                or (pj >= pi and dj > di)
+                or (pj == pi and dj == di and kj < ki)
+            ):
+                return True
+        return False
+
+    expect = {k for (k, p, d) in pts if not dominated((k, p, d))}
+    got = {r.o_orderkey for r in QUERIES["q_skyline"](spark, sf_dir).collect()}
+    assert got == expect
+
+
 def test_pagerank_iterations_partial_aggregate(spark, sf_dir):
     """PageRank: the per-iteration contribution aggregate must partial-
     aggregate (node-sized combined rows cross the wire, not edge-sized);
