@@ -84,15 +84,45 @@ def bloom_probe(
     """Filter ``probes`` to the rows whose ``hash_col`` is
     bloom-POSITIVE (member per all k probe positions).
 
-    ROW-PRESERVING: delegates to ``bloom_member`` (k map-side broadcast
-    joins, one per probe position) and filters — every input row keeps
-    its multiplicity and schema, any column type passes through, and
-    the plan has NO exchange at all (an earlier explode→groupBy(*cols)
-    formulation collapsed duplicate probe rows, rejected map-typed
-    payload columns — grouping keys can't be maps — and paid a re-group
-    shuffle carrying the full probe payload for nothing)."""
-    out = bloom_member(probes, bloom, hash_col=hash_col, m_bits=m_bits, k=k)
-    return out.filter(F.col("bloom_member")).drop("bloom_member")
+    ROW-PRESERVING: each probe row explodes to k position rows, left-
+    joins the broadcast bitmap ONCE, and re-groups by a generated row
+    id — NOT by the payload columns (an earlier groupBy(*cols)
+    formulation collapsed duplicate probe rows and rejected map-typed
+    payload columns; grouping by the row id keeps every input row's
+    multiplicity and schema, any column type rides through
+    ``any_value``).  One broadcast build + one narrow exchange;
+    measured faster batch-side than ``bloom_member``'s k join passes
+    (which remain the STREAMING shape — a streaming frame cannot
+    re-group).  All k bits set ⇒ positive."""
+    cols = probes.columns
+    pr = probes.withColumn("_rid", F.monotonically_increasing_id())
+    pos = pr.withColumn(
+        "p", F.explode(_positions(F.col(hash_col), m_bits, k))
+    ).select(
+        "_rid",
+        *cols,
+        F.shiftright("p", 5).cast("int").alias("w"),
+        F.expr("shiftleft(cast(1 as bigint), cast(p % 32 as int))").alias("m"),
+    )
+    hit = pos.join(F.broadcast(bloom), "w", "left").select(
+        "_rid",
+        *cols,
+        F.when(
+            F.col("mask").isNotNull() & (F.col("mask").bitwiseAND(F.col("m")) != 0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("hit"),
+    )
+    return (
+        hit.groupBy("_rid")
+        .agg(
+            F.min("hit").alias("_all_hit"),
+            *[F.any_value(c).alias(c) for c in cols],
+        )
+        .filter(F.col("_all_hit") == 1)
+        .select(*cols)
+    )
 
 
 def bloom_member(
