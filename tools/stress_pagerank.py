@@ -58,11 +58,14 @@ def pagerank(edges, nodes, iters: int = ITERS):
             ed.join(r.withColumnRenamed("v", "src"), "src")
             .groupBy(F.col("dst").alias("cv"))
             .agg(
-                F.sum(
-                    F.round(F.col("r") / F.col("d"), 12).cast("decimal(30,14)")
-                )
-                .cast("double")
-                .alias("s")
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("r") / F.col("d") * 1e12 + F.lit(0.5)
+                        ).cast("bigint")
+                    ).cast("double")
+                    / F.lit(1e12)
+                ).alias("s")
             )
         )
         r = (
