@@ -4039,15 +4039,20 @@ def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     # hoisted norms (the pq_encode discipline): ||v||² once per vector,
     # ||c||² once per centroid on the broadcast side — one cross product
-    # per candidate instead of three 64-dim dots; (n2 - 2·cross) + cn2
-    # keeps the exact _d2 association so values match the oracle
+    # per candidate; (n2 - 2·cross) + cn2 keeps the exact _d2
+    # association so values match the oracle.  The 64-dim dots here use
+    # the FOLD (VEC.dot, sequential in-order — bit-identical to the
+    # explicit chain): the coarse fan-out is only n x 8 candidates, and
+    # the explicit 64-term spelling tripled the generated-code size
+    # (2.6 MiB task binaries) for no win at this fan-out — dot_explicit
+    # remains right for pq_encode's n x S x k blow-up (operators/pq.py).
     cbooks = F.broadcast(
         cmeans.withColumn(
-            "cn2", VEC.dot_explicit(F.col("centroid"), F.col("centroid"), 64)
+            "cn2", VEC.dot(F.col("centroid"), F.col("centroid"))
         )
     )
     cand = (
-        vecs.withColumn("n2", VEC.dot_explicit(F.col("v"), F.col("v"), 64))
+        vecs.withColumn("n2", VEC.dot(F.col("v"), F.col("v")))
         .join(cbooks)
         .select(
             "vid",
@@ -4056,8 +4061,7 @@ def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (
                     F.col("n2")
-                    - F.lit(2.0)
-                    * VEC.dot_explicit(F.col("v"), F.col("centroid"), 64)
+                    - F.lit(2.0) * VEC.dot(F.col("v"), F.col("centroid"))
                 )
                 + F.col("cn2"),
                 6,
@@ -4086,7 +4090,7 @@ def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vid").alias("q_id"), F.col("v").alias("qv")
     )
     probes = (
-        qs.withColumn("n2", VEC.dot_explicit(F.col("qv"), F.col("qv"), 64))
+        qs.withColumn("n2", VEC.dot(F.col("qv"), F.col("qv")))
         .join(cbooks)
         .select(
             "q_id",
@@ -4096,8 +4100,7 @@ def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (
                     F.col("n2")
-                    - F.lit(2.0)
-                    * VEC.dot_explicit(F.col("qv"), F.col("centroid"), 64)
+                    - F.lit(2.0) * VEC.dot(F.col("qv"), F.col("centroid"))
                 )
                 + F.col("cn2"),
                 6,
