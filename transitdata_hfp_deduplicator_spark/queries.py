@@ -2348,6 +2348,136 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_tfidf_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, t AS token, count(*) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(trim(text)), ' ')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY doc_id, t
+    ),
+    nn AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+    w AS (
+        SELECT tok.doc_id, tok.token,
+               round(tok.tf * ln(1.0 + CAST(nn.n AS DOUBLE) / df.df), 6)
+                   AS wq
+        FROM tok JOIN df ON tok.token = df.token CROSS JOIN nn
+        WHERE df.df * 20 <= nn.n
+    ),
+    nrm AS (
+        SELECT doc_id,
+               sqrt(sum(CAST(floor(wq * wq * 1e6 + 0.5) AS BIGINT)) / 1e6)
+                   AS nv
+        FROM w GROUP BY doc_id
+    ),
+    p AS (
+        SELECT w.doc_id, w.token, round(w.wq / nrm.nv, 8) AS nw
+        FROM w JOIN nrm ON w.doc_id = nrm.doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(sum(CAST(floor(a.nw * b.nw * 1e12 + 0.5) AS BIGINT))
+                 / 1e12, 6) AS cos_sim
+    FROM p a JOIN p b ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING round(sum(CAST(floor(a.nw * b.nw * 1e12 + 0.5) AS BIGINT))
+                 / 1e12, 6) >= 0.3
+    """,
+)
+def q_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs similarity (the lexical twin of
+    q_embed_neardup): documents as L2-normalized tf-idf vectors, pair
+    cosine accumulated token-by-token through a posting-list self-join
+    — the sparse-vector analog of DIMSUM/all-pairs-similarity (Zadeh &
+    Goel 2013), with a deterministic df-cap (token in <= 5% of docs)
+    instead of their probabilistic sampling, the winnow/LSH cap
+    discipline: recall-only loss on stopword-mass tokens that carry no
+    discriminative weight anyway (idf ~ 0), mirrored in the oracle.
+
+    HASH-CHECKED determinism: idf = ln(1 + N/df) rounds to 6 before
+    any multiply (ln's last ulp is implementation-defined; rounding
+    re-synchronizes engines — the q_bm25 convention); per-doc norm**2
+    and per-pair cosine both accumulate as FIXED-POINT BIGINT sums
+    (floor(x*scale + 0.5)) — exact integer addition, order-free by
+    construction — with one IEEE sqrt / division on the exact total
+    (norm**2 <= ~1e13 scaled units, cosine <= 1e12 + |tokens|/2, both
+    far inside double-exact 2^53).
+
+    Scale shape: term frequencies are one (doc_id, token)-keyed
+    partial-agg exchange; df re-aggregates token-keyed; df attaches to
+    postings via a TOKEN-KEYED SHUFFLE join, not a broadcast — the
+    postings must land token-partitioned for the pair join anyway, so
+    the df attach rides the exchange the self-join already needs (at
+    100 TB vocab is hapax-heavy and does not broadcast); norms are one
+    doc-keyed exchange joined back; the self-join emits pair
+    contributions straight into a (doc_a, doc_b)-keyed partial agg —
+    pair fan-out bounded per token by the df-cap (<= (N/20)^2/2), the
+    corpus text itself never shuffles."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    d = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = (
+        d.select("doc_id", F.explode(TXT.tokenize(F.col("text"))).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # N from the base table (docs with no tokens still count, as in the
+    # oracle's count(*) FROM documents)
+    nn = d.agg(F.count(F.lit(1)).alias("n"))
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tok.join(df, "token")  # token-keyed shuffle join by design
+        .crossJoin(F.broadcast(nn))
+        .filter(F.col("df") * 20 <= F.col("n"))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(1.0 + F.col("n").cast("double") / F.col("df")),
+                6,
+            ).alias("wq"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(
+            F.sum(
+                F.floor(F.col("wq") * F.col("wq") * 1e6 + 0.5).cast("bigint")
+            )
+            / F.lit(1e6)
+        ).alias("nv")
+    )
+    p = (
+        w.join(nrm, "doc_id")
+        .select("doc_id", "token", F.round(F.col("wq") / F.col("nv"), 8).alias("nw"))
+        .localCheckpoint()  # 2 consumers of the self-join
+    )
+    a = p.select(F.col("doc_id").alias("doc_a"), "token", F.col("nw").alias("nwa"))
+    b = p.select(F.col("doc_id").alias("doc_b"), "token", F.col("nw").alias("nwb"))
+    return (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("nwa") * F.col("nwb") * 1e12 + 0.5
+                    ).cast("bigint")
+                )
+                / F.lit(1e12),
+                6,
+            ).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
+
+
+@query(
     "q_containment",
     oracle="""
     WITH sh AS (
@@ -3037,6 +3167,122 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_copies", "curl")
     )
+
+
+@query(
+    "q_dedup_fuzzy",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lower(substr(text, 1, 24)) AS key0 FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               CASE WHEN (doc_id * 9973) % 7 < 2
+                    THEN substr(key0, 1, ((doc_id * 31) % 20 + 1) - 1)
+                         || substr(key0, ((doc_id * 31) % 20 + 1) + 1)
+                    ELSE key0 END AS key
+        FROM base
+    ),
+    dvars AS (
+        SELECT DISTINCT doc_id, key, v
+        FROM keyed,
+             unnest(list_distinct(list_prepend(key,
+                 [substr(key, 1, i - 1) || substr(key, i + 1)
+                  for i in range(1, len(key) + 1)]))) AS t(v)
+    ),
+    big AS (SELECT v FROM dvars GROUP BY v HAVING count(*) > 100),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.key AS ka, b.key AS kb
+        FROM dvars a
+        JOIN dvars b ON a.v = b.v AND a.doc_id < b.doc_id
+        ANTI JOIN big ON a.v = big.v
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ka, kb) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(ka, kb) <= 1
+    """,
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 fuzzy dedup via deletion neighborhoods (FastSS,
+    Bocek et al. 2007) — the short-key rung of the dedup ladder (titles,
+    product names, normalized headings): two keys within edit distance
+    1 ALWAYS share an element of {key} ∪ {single-char deletions of
+    key}, so candidacy is an equi-join on deletion variants and the
+    exact Levenshtein verify runs only on bucket pairs — never corpus-
+    quadratic, and no theta join anywhere.  (Sharing a variant does NOT
+    imply ed<=1 — two different deletions can collide at distance 2 —
+    hence the verify; the neighborhood guarantees RECALL.)  Keys are
+    the 24-char lowercased doc prefix; the corpus's duplicate prefixes
+    are byte-exact, so typos are SYNTHESIZED: ~29% of docs (key-hash
+    selected, the q_split_hash multiplicative discipline) get one
+    deterministic char deleted at a hash-derived position — the
+    detector is generic and never inverts the synthesis.
+
+    Scale shape: each doc emits <= len(key)+1 = 25 variant rows (pure
+    codegen transform/explode — no UDF); ONE variant-keyed exchange
+    builds the FastSS index; degenerate buckets (> 100 docs sharing a
+    variant — stop-prefix mass) are dropped via a broadcast anti-join,
+    mirrored in the oracle (the LSH/winnow cap discipline: recall-only
+    loss on mass that exact-dedup already catches); candidate pairs
+    dedup through one pair-keyed exchange, then the Levenshtein kernel
+    (codegen'd JVM dynamic program, ~25x25 chars) touches candidates
+    only.  Hash-checked: integer distances, no floats anywhere."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    key0 = F.lower(F.substring(F.col("text"), 1, 24))
+    pos = (F.col("doc_id") * 31) % 20 + 1
+    typo = F.concat(
+        key0.substr(F.lit(1), (pos - 1).cast("int")),
+        key0.substr((pos + 1).cast("int"), F.lit(24)),
+    )
+    keyed = d.select(
+        "doc_id",
+        F.when((F.col("doc_id") * 9973) % 7 < 2, typo)
+        .otherwise(key0)
+        .alias("key"),
+    )
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("key"))),
+        lambda i: F.concat(
+            F.col("key").substr(F.lit(1), (i - 1).cast("int")),
+            F.col("key").substr((i + 1).cast("int"), F.lit(24)),
+        ),
+    )
+    dvars = keyed.select(
+        "doc_id",
+        "key",
+        F.explode(
+            F.array_distinct(F.concat(F.array(F.col("key")), dels))
+        ).alias("v"),
+    ).localCheckpoint()  # 3 consumers: big-bucket scan + both join sides
+    big = (
+        dvars.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") > 100)
+        .select("v")
+    )
+    a = dvars.join(F.broadcast(big), "v", "left_anti").select(
+        F.col("v"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("key").alias("ka"),
+    )
+    b = dvars.select(
+        F.col("v"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("key").alias("kb"),
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ka", "kb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.levenshtein(F.col("ka"), F.col("kb")).cast("long").alias("dist"),
+    ).filter(F.col("dist") <= 1)
 
 
 @query(
@@ -6633,6 +6879,166 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CAST(floor(epoch(s1.t1)) AS BIGINT) AS view_s,
+           CAST(floor(epoch(s2.t2)) AS BIGINT) AS click_s,
+           CAST(floor(epoch(s3.t3)) AS BIGINT) AS purchase_s,
+           CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3
+                     WHEN s2.t2 IS NOT NULL THEN 2
+                     ELSE 1 END AS INTEGER) AS stage
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s2.user_id = s3.user_id
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase), the
+    product-analytics staple whose ORDER constraint plain conditional
+    aggregation cannot express: step N's timestamp is the first
+    qualifying event STRICTLY AFTER step N-1's — a user who clicked
+    before ever viewing hasn't converted step 2.  Each step is a
+    filtered per-user min(ts) seeded by the previous step's time, with
+    left joins assembling per-user stage attribution.
+
+    Scale shape: every aggregation and join in the cascade is keyed on
+    user_id — one partitioning reused throughout (the filtered step
+    scans prune on event_type at the parquet reader, so each pass
+    reads one type's rows, not the corpus); the step tables shrink
+    monotonically (funnel attrition), so the later joins carry only
+    converting users.  An equivalent single-exchange form (collect each
+    user's sorted events, walk once with an aggregate fold) trades the
+    extra scans for per-user array state; the cascade keeps memory flat
+    and lets the column reader do the filtering.  Hash-checked: integer
+    epochs and stages, no float arithmetic."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1.select("user_id", "t1"), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("t1").cast("long").alias("view_s"),
+            F.col("t2").cast("long").alias("click_s"),
+            F.col("t3").cast("long").alias("purchase_s"),
+            F.when(F.col("t3").isNotNull(), F.lit(3))
+            .when(F.col("t2").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("stage"),
+        )
+    )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, med.med,
+               abs(e.value - med.med) AS adev
+        FROM events e JOIN med ON e.event_type = med.event_type
+    ),
+    mad AS (
+        SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_id, dev.event_type, dev.value,
+           round(dev.adev / (1.4826 * mad.mad), 6) AS robust_z
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    WHERE mad.mad > 0 AND dev.adev > 4.4478 * mad.mad
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    quality-monitoring primitive that survives the heavy-tailed value
+    distributions mean/stddev z-scores drown in (one extreme event
+    drags the mean; the median and MAD barely move).  Per event type:
+    med = median(value), MAD = median(|v - med|), outlier iff
+    |v - med| > 3 * 1.4826 * MAD (1.4826 = the Gaussian consistency
+    constant, so the threshold reads as "3 robust sigmas").
+
+    HASH-CHECKED across engines: exact interpolated medians round to 6
+    digits BEFORE re-entering arithmetic (Spark interpolates
+    (1-g)*a + g*b, DuckDB a + (b-a)*g — up to 1 ulp apart; rounding
+    re-synchronizes, the q_bm25 ln convention), after which every step
+    (abs, subtract, one multiply, one divide) is a single IEEE
+    operation with a final round.
+
+    Scale shape: two tiny per-type aggregates (exact percentile sorts
+    within each group's hash-agg buffer — group count is the type
+    cardinality, bounded) BROADCAST back onto the event stream; the
+    events table itself never shuffles — both passes are scans with a
+    broadcast hash join, and the second scan reuses the first's
+    columnar read.  At 100 TB swap exact percentile for the
+    percentile_approx sketch (q_agg_approx) if type cardinality grows
+    unbounded; the join shape is unchanged."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 6).alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.percentile("adev", 0.5), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("mad") > 0) & (F.col("adev") > 4.4478 * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("adev") / (1.4826 * F.col("mad")), 6).alias(
+                "robust_z"
+            ),
+        )
+    )
+
+
+@query(
     "q_string_agg",
     oracle="""
     SELECT n.n_name,
@@ -6991,6 +7397,131 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                        greatest(a.l_partkey, b.l_partkey) AS v
+        FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey <> b.l_partkey
+    ),
+    deg AS (
+        SELECT x AS node, count(*) AS d
+        FROM (SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0)
+        GROUP BY x
+    ),
+    o AS (
+        SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                    THEN u ELSE v END AS s,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                    THEN v ELSE u END AS t,
+               CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v)
+                    THEN dv.d ELSE du.d END AS dt
+        FROM e0
+        JOIN deg du ON du.node = e0.u
+        JOIN deg dv ON dv.node = e0.v
+    ),
+    tri AS (
+        SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        FROM o e1
+        JOIN o e2 ON e1.s = e2.s
+                 AND (e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t))
+        JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t
+    ),
+    pernode AS (
+        SELECT x AS part_id, count(*) AS n_tri
+        FROM (SELECT a AS x FROM tri UNION ALL SELECT b AS x FROM tri
+              UNION ALL SELECT c AS x FROM tri)
+        GROUP BY x
+    )
+    SELECT part_id, n_tri FROM pernode
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting over the part co-purchase graph —
+    the clustering-coefficient / community-density primitive beside
+    PageRank (flow) and connected components (reachability).  Classic
+    degree-oriented wedge enumeration (Cohen 2009 / Suri & Vassilvitskii
+    WWW'11 "node-iterator++"): orient every undirected edge from the
+    lower (degree, id) endpoint to the higher, enumerate wedges
+    (s->b, s->c) ordered by the same rank, and close them with an
+    equi-join probe for the oriented edge b->c.  Each triangle is found
+    EXACTLY once (at its lowest-rank vertex), then credited to all three
+    corners.
+
+    Orientation is the whole trick at scale: out-degrees under the
+    (degree, id) order are O(sqrt(|E|))-bounded for any graph, so the
+    wedge fan-out is sum(outdeg^2) << sum(deg^2) — the unoriented
+    wedge join explodes on hub vertices (a degree-10k hub contributes
+    1e8 unoriented wedges but only its sqrt-bounded oriented share).
+    The rank comparator (dt, t) is carried ON the oriented edge rows,
+    so wedge ordering is a post-join filter and the closing probe is a
+    pure equi-join on (s=b, t=c) — no theta join anywhere.
+
+    Scale shape: edges build once from per-order part arrays (one
+    orderkey exchange, explosion bounded by order size — the
+    q_graph_pagerank build); degrees are one node-keyed partial-agg
+    exchange over the both-direction edge list; the node-sized degree
+    table broadcasts onto the edge list (at 100 TB: a node-keyed
+    shuffle join on u then v — two exchanges, still edge-linear); the
+    wedge join and closing probe are s-keyed / (s,t)-keyed shuffle
+    joins whose exchanges carry oriented edges, never wedges (wedges
+    materialize only inside the join, flowing straight into the
+    per-vertex partial agg).  Hash-checked: pure integer counting."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    pairs = F.expr(
+        "flatten(transform(ps, x -> transform(ps, "
+        "y -> struct(x as u, y as v))))"
+    )
+    e0 = (
+        grp.select(F.explode(pairs).alias("p"))
+        .select("p.u", "p.v")
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .localCheckpoint()  # 2 consumers (degree build + orientation)
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e0.join(
+            F.broadcast(deg.select(F.col("node").alias("u"),
+                                   F.col("d").alias("du"))), "u")
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("v"),
+                                   F.col("d").alias("dv"))), "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+        .localCheckpoint()  # 3 consumers (two wedge legs + closing probe)
+    )
+    e1 = o.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
+    e2 = o.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = e1.join(e2, "s").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("s", "b", "c")
+    return (
+        tri.select(F.col("s").alias("part_id"))
+        .unionAll(tri.select(F.col("b").alias("part_id")))
+        .unionAll(tri.select(F.col("c").alias("part_id")))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+
+
 @query("q_dedup_lru")
 def q_dedup_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Size-bound LRU dedup — the reference A6's ACTUAL eviction
@@ -7049,6 +7580,11 @@ GATE_ROTATION = [
     # -- oracled in r4 but never driver-evidenced: goes first --
     "q_multimodal_decode",
     # -- NEW this session (no prior evidence possible) --
+    "q_graph_triangles",
+    "q_tfidf_pairs",
+    "q_dedup_fuzzy",
+    "q_anomaly_mad",
+    "q_funnel",
     "q_embed_ann_ivfpq",
     "q_bpe_encode",
     "q_cdc_chunks",
