@@ -469,3 +469,66 @@ def test_dedup_incr_substring_history_is_join_side_only(spark, sf_dir):
     df = QUERIES["q_dedup_incr_substring"](spark, sf_dir)
     assert_no_cartesian(df)
     assert_partial_aggregation(df)
+
+
+def test_graph_triangles_equi_joins_only(spark, sf_dir):
+    """Triangle counting: the wedge join and closing probe must both be
+    equi-joins (the rank comparator is a post-join filter, never a
+    theta-join condition that would force a nested-loop/cartesian), and
+    the per-vertex count partial-aggregates.  Sanity: every triangle
+    credits exactly 3 corners, so sum(n_tri) % 3 == 0."""
+    df = QUERIES["q_graph_triangles"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+    total = sum(r.n_tri for r in df.collect())
+    assert total > 0 and total % 3 == 0, total
+
+
+def test_tfidf_pairs_token_keyed_no_broadcast_df(spark, sf_dir):
+    """TF-IDF all-pairs: the posting self-join must be a token-keyed
+    equi-join (no cartesian / nested-loop pair source — the doc_a <
+    doc_b ordering is a post-join condition) and the pair cosine
+    partial-aggregates.  (The df-attach join lives behind the posting
+    checkpoint; its token-keyed shape is documented in the query — at
+    test SF AQE may broadcast the small checkpointed side, which is the
+    correct size-based call, so no broadcast-count pin here.)"""
+    df = QUERIES["q_tfidf_pairs"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+
+
+def test_dedup_fuzzy_variant_index_no_cartesian(spark, sf_dir):
+    """FastSS fuzzy dedup: candidacy must ride the variant-keyed
+    equi-join (no cartesian / nested-loop pair source), with Levenshtein
+    applied after candidate generation only.  Semantics: every reported
+    pair is at distance <= 1 and synthesized typos yield at least one
+    pair at distance exactly 1."""
+    df = QUERIES["q_dedup_fuzzy"](spark, sf_dir)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert all(r.dist <= 1 for r in rows)
+    assert any(r.dist == 1 for r in rows), "typo synthesis found no ed=1 pair"
+
+
+def test_anomaly_mad_events_never_shuffled(spark, sf_dir):
+    """MAD outliers: both median tables are tiny per-type aggregates
+    that BROADCAST back onto the event scan — the events table itself
+    must never hash-shuffle for a join (no SortMergeJoin; the only
+    exchanges feed the two aggregates)."""
+    df = QUERIES["q_anomaly_mad"](spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert_broadcast_join(df, expect=2)
+
+
+def test_funnel_pushes_event_type_and_keys_on_user(spark, sf_dir):
+    """Funnel: each step's scan must push its event_type equality to the
+    parquet reader (one type's rows read per pass, not the corpus), and
+    stage ordering must hold (view <= click <= purchase count-wise)."""
+    df = QUERIES["q_funnel"](spark, sf_dir)
+    assert_pushed_filter(df, "event_type")
+    rows = df.collect()
+    n1 = len(rows)
+    n2 = sum(1 for r in rows if r.stage >= 2)
+    n3 = sum(1 for r in rows if r.stage == 3)
+    assert n1 >= n2 >= n3 > 0
