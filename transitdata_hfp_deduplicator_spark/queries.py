@@ -5309,6 +5309,172 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id AS media_id,
+               16 + ('0x' || substr(sha256(coalesce(text, '')), 1, 2))::INT
+                   AS width,
+               16 + ('0x' || substr(sha256(coalesce(text, '')), 3, 2))::INT
+                   AS height
+        FROM documents
+    ),
+    s AS (
+        SELECT media_id, width, height,
+               least(1.0, 64.0 / greatest(width, height)) AS scale
+        FROM d
+    )
+    SELECT media_id, width, height,
+           CAST(greatest(1, floor(width * scale)) AS INT) AS target_w,
+           CAST(greatest(1, floor(height * scale)) AS INT) AS target_h,
+           CAST(CASE WHEN CAST(greatest(1, floor(width * scale)) AS INT)
+                          <> width
+                       OR CAST(greatest(1, floor(height * scale)) AS INT)
+                          <> height
+                     THEN 1 ELSE 0 END AS INTEGER) AS needs_resize
+    FROM s
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize PLANNING (the operators/multimodal.py
+    resize_media shape): decode geometry via the fake codec, then
+    compute aspect-preserving targets (longest side clamped to 64,
+    never upscale) as pure JVM columns.  The lake-scale point of this
+    operator is the FILTER — only rows with needs_resize=1 would enter
+    the (stubbed) pixel-resample kernel, and most media is already
+    within bounds — so the plan keeps geometry JVM-side and defers the
+    Arrow kernel to exactly the rows that need it.  HASH-CHECKED like
+    q_multimodal_decode: geometry derives from sha256(content), which
+    DuckDB reproduces; the scale/floor arithmetic is single IEEE ops."""
+    from transitdata_hfp_deduplicator_spark.operators.multimodal import (
+        decode_media,
+        media_from_binary,
+        resize_media,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_binary(d, "doc_id", "text", "image")
+    planned = resize_media(decode_media(media), max_side=64)
+    return planned.select(
+        "media_id",
+        "width",
+        "height",
+        "target_w",
+        "target_h",
+        F.col("needs_resize").cast("int").alias("needs_resize"),
+    )
+
+
+@query(
+    "q_dq_audit",
+    oracle="""
+    WITH m AS (
+        SELECT
+            count(*) AS n_rows,
+            CAST(count(l_shipdate) AS DOUBLE) / count(*) AS compl_shipdate,
+            CAST(count(l_returnflag) AS DOUBLE) / count(*)
+                AS compl_returnflag,
+            CAST(count(DISTINCT l_orderkey * 10 + l_linenumber) AS DOUBLE)
+                / count(*) AS key_uniqueness,
+            CAST(min(l_quantity) AS DOUBLE) AS min_quantity,
+            CAST(max(l_quantity) AS DOUBLE) AS max_quantity,
+            round(CAST(sum(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE)
+                  / count(*), 6) AS mean_quantity,
+            CAST(count(*) FILTER (l_quantity BETWEEN 1 AND 50) AS DOUBLE)
+                / count(*) AS compliance_quantity_1_50,
+            CAST(count(*) FILTER (l_discount BETWEEN 0 AND 0.1) AS DOUBLE)
+                / count(*) AS compliance_discount_0_01
+        FROM lineitem
+    )
+    SELECT metric, round(value, 6) AS value
+    FROM (
+        SELECT unnest(['n_rows', 'compl_shipdate', 'compl_returnflag',
+                       'key_uniqueness', 'min_quantity', 'max_quantity',
+                       'mean_quantity', 'compliance_quantity_1_50',
+                       'compliance_discount_0_01']) AS metric,
+               unnest([CAST(n_rows AS DOUBLE), compl_shipdate,
+                       compl_returnflag, key_uniqueness, min_quantity,
+                       max_quantity, mean_quantity,
+                       compliance_quantity_1_50,
+                       compliance_discount_0_01]) AS value
+        FROM m
+    )
+    """,
+)
+def q_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/expectations shape —
+    Schelter et al. VLDB'18): completeness, key uniqueness, min/max,
+    mean, and range-compliance constraints computed as ONE aggregate
+    pass over the table, emitted long-format as (metric, value) rows —
+    the pipeline pre-flight check that gates a 100 TB ingest before any
+    expensive downstream work runs.
+
+    Scale shape: every metric except key uniqueness folds into a single
+    hash-agg scan (conditional counts, min/max, one DECIMAL-routed
+    sum); the exact count-distinct adds Spark's expand-based distinct
+    pass over the synthetic key only — swap in approx_count_distinct
+    (q_agg_approx) when an approximate uniqueness bound suffices.  The
+    long-format emit is a 1-row unpivot: no second scan.  Determinism:
+    fractions are single IEEE divisions on exact integer counts; the
+    mean routes through DECIMAL (the dsum convention)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    m = li.agg(
+        n.cast("double").alias("n_rows"),
+        (F.count("l_shipdate").cast("double") / n).alias("compl_shipdate"),
+        (F.count("l_returnflag").cast("double") / n).alias("compl_returnflag"),
+        (
+            F.countDistinct(
+                F.col("l_orderkey") * 10 + F.col("l_linenumber")
+            ).cast("double")
+            / n
+        ).alias("key_uniqueness"),
+        F.min("l_quantity").cast("double").alias("min_quantity"),
+        F.max("l_quantity").cast("double").alias("max_quantity"),
+        F.round(dsum(F.col("l_quantity")) / n, 6).alias("mean_quantity"),
+        (
+            F.count(
+                F.when(F.col("l_quantity").between(1, 50), F.lit(1))
+            ).cast("double")
+            / n
+        ).alias("compliance_quantity_1_50"),
+        (
+            F.count(
+                F.when(F.col("l_discount").between(0, 0.1), F.lit(1))
+            ).cast("double")
+            / n
+        ).alias("compliance_discount_0_01"),
+    )
+    metrics = [
+        "n_rows",
+        "compl_shipdate",
+        "compl_returnflag",
+        "key_uniqueness",
+        "min_quantity",
+        "max_quantity",
+        "mean_quantity",
+        "compliance_quantity_1_50",
+        "compliance_discount_0_01",
+    ]
+    stacked = m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"),
+                        F.col(name).alias("value"),
+                    )
+                    for name in metrics
+                ]
+            )
+        ).alias("kv")
+    )
+    return stacked.select(
+        "kv.metric", F.round("kv.value", 6).alias("value")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Coverage extras: pivot, approximate aggregates, UDTF
 # ---------------------------------------------------------------------------
@@ -7585,6 +7751,8 @@ GATE_ROTATION = [
     "q_dedup_fuzzy",
     "q_anomaly_mad",
     "q_funnel",
+    "q_multimodal_resize",
+    "q_dq_audit",
     "q_embed_ann_ivfpq",
     "q_bpe_encode",
     "q_cdc_chunks",
