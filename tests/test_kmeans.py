@@ -125,3 +125,44 @@ def test_blas_kernel_agrees_with_fold(spark):
     blas = {(r.q_id, r.item_id, r.rank) for r in ivf_topk_trained(
         e, q, k=5, nprobe=2, n_cells=10, iters=2, kernel="blas").collect()}
     assert fold == blas
+
+
+def test_incr_semdedup_new_judged_history_untouched(spark):
+    """Incremental SemDeDup: a new exact copy of a history vector must
+    be verdicted against it; a new copy of a LATER new vector must
+    point at the lower batch id; history vectors never appear as
+    duplicate rows; dup_of is always the minimum qualifying id."""
+    import numpy as np
+
+    from transitdata_hfp_deduplicator_spark.operators.kmeans import (
+        assign_cells,
+        semdedup_incr_verdicts,
+    )
+
+    rng = np.random.default_rng(7)
+    base = [[float(x) for x in rng.normal(size=8)] for _ in range(6)]
+    # history ids 0..5 (vectors 0..5); history 4 and 5 are EXACT copies
+    # of history 0 — settled history dups that must NOT re-emit
+    hist_rows = [(i, base[i]) for i in range(4)] + [(4, base[0]), (5, base[0])]
+    # new ids: 10 = copy of history 2; 11 = fresh; 12 = copy of new 11
+    fresh = [float(x) for x in rng.normal(size=8)]
+    new_rows = [(10, base[2]), (11, fresh), (12, fresh)]
+    hist = spark.createDataFrame(hist_rows, "vec_id long, embedding array<double>")
+    new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
+
+    # single-cell centroid => everything lands in one cell; the verdict
+    # logic (not the clustering) is under test.  Must be non-zero: the
+    # assignment cosine keeps the oracle-mirrored unguarded divide.
+    cents = spark.createDataFrame(
+        [(0, [1.0] * 8)], "cell long, centroid array<double>"
+    )
+    a_h = assign_cells(hist, cents)
+    a_n = assign_cells(new, cents)
+    out = {
+        r.vid: r
+        for r in semdedup_incr_verdicts(a_h, a_n, tau=0.999999).collect()
+    }
+    assert set(out) == {10, 12}, out  # 11 is fresh; history never emits
+    assert out[10].dup_of == 2
+    assert out[12].dup_of == 11  # lower-id batch-mate, not itself
+    assert out[10].max_sim == 1.0 and out[12].max_sim == 1.0

@@ -532,3 +532,23 @@ def test_funnel_pushes_event_type_and_keys_on_user(spark, sf_dir):
     n2 = sum(1 for r in rows if r.stage >= 2)
     n3 = sum(1 for r in rows if r.stage == 3)
     assert n1 >= n2 >= n3 > 0
+
+
+def test_scd2_build_single_user_exchange(spark, sf_dir):
+    """SCD2 interval build: one user-keyed exchange feeding the lead()
+    window, event_type equality pushed to the parquet reader; exactly
+    one is_current version per user, and half-open intervals chain
+    (every non-current valid_to equals some later valid_from)."""
+    df = QUERIES["q_scd2_build"](spark, sf_dir)
+    assert_pushed_filter(df, "event_type")
+    plan = physical_plan(df, mode="simple")
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1, plan
+    rows = df.collect()
+    users = {}
+    for r in rows:
+        users.setdefault(r.user_id, []).append(r)
+    for vs in users.values():
+        assert sum(1 for r in vs if r.is_current == 1) == 1
+        froms = sorted(r.valid_from_s for r in vs)
+        tos = sorted(r.valid_to_s for r in vs if r.valid_to_s is not None)
+        assert tos == froms[1:]

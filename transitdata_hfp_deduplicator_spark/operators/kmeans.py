@@ -435,3 +435,92 @@ def semdedup_verdicts(
     return assigned.select("vid", "v", "cell").groupBy("cell").applyInPandas(
         cell_fn, "vid long, dup_of long, max_sim double"
     )
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "fold",
+) -> DataFrame:
+    """Assign NEW vectors to FROZEN trained centroids — the incremental
+    path: centroids come from ``kmeans_cells(history)`` and the new
+    batch never moves them (re-training would silently re-shuffle the
+    historical cell assignments the index/verdict state depends on).
+    Returns (vid, v, cell) in ``kmeans_cells`` assignment format."""
+    vecs = vectors.select(
+        F.col(id_col).alias("vid"),
+        VEC.as_double(F.col(vec_col)).alias("v"),
+    )
+    return _assign(vecs, centroids, kernel=kernel)
+
+
+def semdedup_incr_verdicts(
+    assigned_hist: DataFrame,
+    assigned_new: DataFrame,
+    tau: float,
+    block: int = 1024,
+) -> DataFrame:
+    """Incremental SemDeDup verdicts: NEW vectors judged against the
+    historical corpus plus lower-id members of their own batch —
+    history×history is never re-scored (those verdicts are already
+    settled; the q_dedup_incremental discipline applied to the semantic
+    rung).  A new vid is a duplicate iff some same-cell candidate —
+    ANY history vector, or a new vector with a lower id — has
+    round(cosine, 6) >= tau; dup_of is the minimum qualifying id.
+
+    Scale shape: one cell-keyed applyInPandas over history∪new rows;
+    per cell ONE row-blocked GEMM of the new rows against the cell
+    matrix (peak block×|cell| floats).  The history side enters the
+    exchange once per batch — at 100 TB you persist the assigned
+    history partitioned by cell so only the (small) new batch shuffles.
+    """
+    both = assigned_hist.select(
+        "vid", "v", "cell", F.lit(0).alias("is_new")
+    ).unionByName(
+        assigned_new.select("vid", "v", "cell", F.lit(1).alias("is_new"))
+    )
+
+    def cell_fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"vid": [], "dup_of": [], "max_sim": []}).astype(
+            {"vid": "int64", "dup_of": "int64", "max_sim": "float64"}
+        )
+        if len(pdf) < 2 or not (pdf["is_new"] == 1).any():
+            return empty
+        pdf = pdf.sort_values("vid", kind="mergesort")
+        ids = pdf["vid"].to_numpy(dtype=np.int64)
+        isn = pdf["is_new"].to_numpy(dtype=np.int64).astype(bool)
+        V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        # zero-norm guard: same convention as semdedup_verdicts
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(n == 0.0, 1.0, n)
+        pos = np.arange(len(ids))
+        new_pos = pos[isn]
+        o_vid, o_dup, o_sim = [], [], []
+        for lo in range(0, len(new_pos), block):
+            rows = new_pos[lo : lo + block]
+            S = np.round(Vn[rows] @ Vn.T, 6)  # (block, |cell|)
+            for r, j in enumerate(rows):
+                # candidates: all history + lower-id new (ids sorted,
+                # so "columns < j" is exactly "lower vid")
+                allowed = (~isn) | (pos < j)
+                allowed[j] = False
+                row = S[r]
+                hits = np.nonzero((row >= tau) & allowed)[0]
+                if hits.size:
+                    o_vid.append(int(ids[j]))
+                    o_dup.append(int(ids[hits[0]]))  # min qualifying id
+                    o_sim.append(float(row[hits].max()))
+        if not o_vid:
+            return empty
+        return pd.DataFrame(
+            {"vid": o_vid, "dup_of": o_dup, "max_sim": o_sim}
+        ).astype({"vid": "int64", "dup_of": "int64", "max_sim": "float64"})
+
+    return both.groupBy("cell").applyInPandas(
+        cell_fn, "vid long, dup_of long, max_sim double"
+    )

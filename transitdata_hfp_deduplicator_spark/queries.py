@@ -4662,6 +4662,99 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_HIST_SQL = _KMEANS_TRAIN_SQL.replace(
+    "AS v FROM embeddings)",
+    "AS v FROM embeddings WHERE vec_id % 5 <> 0)",
+)
+
+
+@query(
+    "q_dedup_incr_semantic",
+    oracle="WITH "
+    + _KMEANS_HIST_SQL
+    + """,
+    newv AS (SELECT vec_id AS vid, embedding::DOUBLE[] AS v
+             FROM embeddings WHERE vec_id % 5 = 0),
+    an AS MATERIALIZED (
+        SELECT vid, v, cell FROM (
+            SELECT newv.vid, newv.v, c2v.cell,
+                   round(list_dot_product(newv.v, c2v.c)
+                         / (sqrt(list_dot_product(newv.v, newv.v))
+                            * sqrt(list_dot_product(c2v.c, c2v.c))), 6)
+                       AS sim
+            FROM newv CROSS JOIN c2v
+        )
+        QUALIFY row_number() OVER (PARTITION BY vid
+                                   ORDER BY sim DESC, cell) = 1
+    ),
+    cands AS (
+        SELECT n.vid AS j, h.vid AS i,
+               round(list_dot_product(n.v, h.v)
+                     / (sqrt(list_dot_product(n.v, n.v))
+                        * sqrt(list_dot_product(h.v, h.v))), 6) AS s
+        FROM an n JOIN a2 h ON n.cell = h.cell
+        UNION ALL
+        SELECT b.vid AS j, a.vid AS i,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+        FROM an a JOIN an b ON a.cell = b.cell AND a.vid < b.vid
+    ),
+    dups AS (
+        SELECT j AS vec_id, min(i) AS dup_of, max(s) AS max_sim
+        FROM cands WHERE s >= 0.40 GROUP BY j
+    )
+    SELECT an.vid AS vec_id, an.cell,
+           d.vec_id IS NOT NULL AS is_semdup, d.dup_of, d.max_sim
+    FROM an LEFT JOIN dups d ON d.vec_id = an.vid
+    """,
+)
+def q_dedup_incr_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL semantic dedup — completes the incremental family
+    (exact → near-text → substring → SEMANTIC, mirroring the batch
+    ladder): centroids train on the HISTORICAL corpus only
+    (vec_id % 5 != 0) and stay FROZEN; the new batch assigns to those
+    cells (operators/kmeans.py:assign_cells) and each new vector is
+    judged against same-cell history plus lower-id batch-mates —
+    history×history is never re-scored (those verdicts are settled;
+    re-training would silently re-shuffle the historical assignments
+    the verdict state depends on).
+
+    HASH-CHECKED end-to-end like q_dedup_semantic: the frozen-centroid
+    training chain reproduces bit-for-bit in DuckDB, and the
+    incremental GEMM kernel (semdedup_incr_verdicts) rounds to the same
+    6 dp as the oracle's list_dot_product candidates.
+
+    Scale shape: one cell-keyed exchange carries history∪new into the
+    per-cell row-blocked GEMM; at 100 TB the assigned history persists
+    partitioned by cell, so only the (small) new batch shuffles per
+    increment — the same history-is-a-join-side-only contract as
+    q_dedup_incremental / q_dedup_incr_substring."""
+    from transitdata_hfp_deduplicator_spark.operators.kmeans import (
+        assign_cells,
+        kmeans_cells,
+        semdedup_incr_verdicts,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    hist = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    assigned_h, cents = kmeans_cells(hist, k=8, iters=2)
+    assigned_n = assign_cells(new, cents)
+    verdicts = semdedup_incr_verdicts(assigned_h, assigned_n, tau=0.40)
+    return (
+        assigned_n.select("vid", "cell")
+        .join(verdicts, "vid", "left")
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            F.col("dup_of").isNotNull().alias("is_semdup"),
+            "dup_of",
+            "max_sim",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Array / map surface
 # ---------------------------------------------------------------------------
@@ -6383,6 +6476,48 @@ def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scd2_build",
+    oracle="""
+    SELECT user_id, event_id, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS valid_from_s,
+           CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS valid_to_s,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                AS INTEGER) AS is_current
+    FROM events
+    WHERE event_type = 'signup'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: turn a change stream
+    into validity intervals — each version's valid_to is the NEXT
+    version's valid_from (half-open intervals), the latest version
+    flagged current.  This is the third leg of the CDC family:
+    q_merge_upsert keeps only the latest snapshot, q_cdc_latest_stream
+    maintains it online, and SCD2 keeps the full history queryable by
+    as-of joins (q_join_asof consumes exactly this interval shape).
+
+    Scale shape: ONE user-keyed exchange; the lead() window sorts
+    within each user's partition only (total order (ts, event_id)
+    breaks timestamp ties deterministically); event_type pruning
+    reaches the parquet reader.  Hash-checked: integer epochs and
+    flags."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return e.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").cast("long").alias("valid_from_s"),
+        F.lead("ts").over(w).cast("long").alias("valid_to_s"),
+        F.when(F.lead("ts").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_current"),
+    )
+
+
+@query(
     "q_merge_upsert",
     oracle="""
     WITH updates AS (
@@ -7753,6 +7888,8 @@ GATE_ROTATION = [
     "q_funnel",
     "q_multimodal_resize",
     "q_dq_audit",
+    "q_scd2_build",
+    "q_dedup_incr_semantic",
     "q_embed_ann_ivfpq",
     "q_bpe_encode",
     "q_cdc_chunks",
