@@ -472,10 +472,9 @@ def test_dedup_incr_substring_history_is_join_side_only(spark, sf_dir):
 
 
 def test_graph_triangles_equi_joins_only(spark, sf_dir):
-    """Triangle counting: the wedge join and closing probe must both be
-    equi-joins (the rank comparator is a post-join filter, never a
-    theta-join condition that would force a nested-loop/cartesian), and
-    the per-vertex count partial-aggregates.  Sanity: every triangle
+    """Triangle counting: the two adjacency-attach joins must be
+    equi-joins (never a nested-loop/cartesian pair source), and the
+    per-vertex count partial-aggregates.  Sanity: every triangle
     credits exactly 3 corners, so sum(n_tri) % 3 == 0."""
     df = QUERIES["q_graph_triangles"](spark, sf_dir)
     assert_no_cartesian(df)

@@ -49,7 +49,9 @@ def build_edges(spark, k: int, c: int):
 
 
 def triangles(e0):
-    """q_graph_triangles's exact plan over an arbitrary (u < v) edge set."""
+    """q_graph_triangles's exact plan over an arbitrary (u < v) edge
+    set: (degree, id) orientation + adjacency-array intersection —
+    wedges never hit an exchange."""
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
@@ -65,18 +67,16 @@ def triangles(e0):
         .select(
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("dt"),
         )
         .localCheckpoint()
     )
-    e1 = o.select("s", F.col("t").alias("b"), F.col("dt").alias("db"))
-    e2 = o.select("s", F.col("t").alias("c"), F.col("dt").alias("dc"))
-    wedges = e1.join(e2, "s").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("ns"))
+    tri = (
+        o.join(adj, "s")
+        .select("s", F.col("t").alias("b"), "ns")
+        .join(adj.select(F.col("s").alias("b"), F.col("ns").alias("nb")), "b")
+        .select("s", "b", F.explode(F.array_intersect("ns", "nb")).alias("c"))
     )
-    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select("s", "b", "c")
     return (
         tri.select(F.col("s").alias("part_id"))
         .unionAll(tri.select(F.col("b").alias("part_id")))

@@ -7743,43 +7743,52 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counting over the part co-purchase graph —
     the clustering-coefficient / community-density primitive beside
     PageRank (flow) and connected components (reachability).  Classic
-    degree-oriented wedge enumeration (Cohen 2009 / Suri & Vassilvitskii
-    WWW'11 "node-iterator++"): orient every undirected edge from the
-    lower (degree, id) endpoint to the higher, enumerate wedges
-    (s->b, s->c) ordered by the same rank, and close them with an
-    equi-join probe for the oriented edge b->c.  Each triangle is found
-    EXACTLY once (at its lowest-rank vertex), then credited to all three
-    corners.
+    degree-oriented edge iterator (Cohen 2009 / Suri & Vassilvitskii
+    WWW'11 "node-iterator++", adjacency-array form): orient every
+    undirected edge from the lower (degree, id) endpoint to the higher,
+    attach each endpoint's oriented out-neighbor ARRAY to the edge, and
+    intersect the two arrays JVM-side (``array_intersect``) — each
+    common out-neighbor c closes the triangle (s, b, c).  A triangle is
+    found EXACTLY once, at its oriented edge s->b (c is an out-neighbor
+    of both only when s is the lowest-rank corner: b->c orients c out
+    of b, and s->b, s->c orient both out of s), then credited to all
+    three corners.
 
-    Orientation is the whole trick at scale: out-degrees under the
+    Orientation is the first trick at scale: out-degrees under the
     (degree, id) order are O(sqrt(|E|))-bounded for any graph, so the
-    wedge fan-out is sum(outdeg^2) << sum(deg^2) — the unoriented
-    wedge join explodes on hub vertices (a degree-10k hub contributes
-    1e8 unoriented wedges but only its sqrt-bounded oriented share).
-    The rank comparator (dt, t) is carried ON the oriented edge rows,
-    so wedge ordering is a post-join filter and the closing probe is a
-    pure equi-join on (s=b, t=c) — no theta join anywhere.
+    per-edge intersection work is sum(outdeg^2) << sum(deg^2) — an
+    unoriented wedge join explodes on hub vertices (a degree-10k hub
+    contributes 1e8 unoriented wedges but only its sqrt-bounded
+    oriented share; tools/stress_triangles.py plants a 500k-degree hub
+    to prove the asymmetry).  The adjacency-array form is the second:
+    the earlier wedge-join + (b,c)-keyed closing-probe formulation
+    pushed EVERY wedge through an exchange (41M wedge rows vs 1.9M
+    triangles at sf0.1 — 9s of pure shuffle); here wedges never
+    materialize at all — the exchanges carry oriented edges with
+    neighbor-array payloads (sum(outdeg^2) longs as compact array
+    bytes, no per-wedge row overhead), and the intersection streams
+    straight into the per-vertex partial agg.
 
-    Scale shape: edges build once from per-order part arrays (one
-    orderkey exchange, explosion bounded by order size — the
-    q_graph_pagerank build); degrees are one node-keyed partial-agg
-    exchange over the both-direction edge list; the node-sized degree
-    table broadcasts onto the edge list (at 100 TB: a node-keyed
-    shuffle join on u then v — two exchanges, still edge-linear); the
-    wedge join and closing probe are s-keyed / (s,t)-keyed shuffle
-    joins whose exchanges carry oriented edges, never wedges (wedges
-    materialize only inside the join, flowing straight into the
-    per-vertex partial agg).  Hash-checked: pure integer counting."""
+    Scale shape: edges build once from per-order sorted part arrays
+    (one orderkey exchange; the index-slice transform emits only u < v
+    pairs — no diagonal, no post-filter); degrees are one node-keyed
+    partial-agg exchange; the node-sized degree table broadcasts onto
+    the edge list (at 100 TB: a node-keyed shuffle join on u then v —
+    two exchanges, still edge-linear); the adjacency table groupBys on
+    s and joins back co-partitioned, so the only added exchange is the
+    b-keyed one carrying ns arrays.  Hash-checked: pure integer
+    counting."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    grp = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = F.expr(
-        "flatten(transform(ps, x -> transform(ps, "
-        "y -> struct(x as u, y as v))))"
+        "flatten(transform(ps, (x, i) -> transform("
+        "slice(ps, i + 2, size(ps)), y -> struct(x as u, y as v))))"
     )
     e0 = (
         grp.select(F.explode(pairs).alias("p"))
         .select("p.u", "p.v")
-        .filter(F.col("u") < F.col("v"))
         .distinct()
         .localCheckpoint()  # 2 consumers (degree build + orientation)
     )
@@ -7802,18 +7811,19 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lower, F.col("dv")).otherwise(F.col("du")).alias("dt"),
         )
-        .localCheckpoint()  # 3 consumers (two wedge legs + closing probe)
+        .localCheckpoint()  # 2 consumers (adjacency build + edge probe)
     )
-    e1 = o.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
-    e2 = o.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
-    wedges = e1.join(e2, "s").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    adj = o.groupBy("s").agg(F.collect_list("t").alias("ns"))
+    tri = (
+        o.join(adj, "s")
+        .select("s", F.col("t").alias("b"), "ns")
+        .join(adj.select(F.col("s").alias("b"), F.col("ns").alias("nb")),
+              "b")
+        .select(
+            "s", "b", F.explode(F.array_intersect("ns", "nb")).alias("c")
+        )
     )
-    closing = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select("s", "b", "c")
     return (
         tri.select(F.col("s").alias("part_id"))
         .unionAll(tri.select(F.col("b").alias("part_id")))
