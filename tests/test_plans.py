@@ -533,6 +533,29 @@ def test_funnel_pushes_event_type_and_keys_on_user(spark, sf_dir):
     assert n1 >= n2 >= n3 > 0
 
 
+def test_labelprop_iterations_fuse_on_dst(spark, sf_dir):
+    """Label propagation: each iteration must add ZERO edge-sized
+    exchanges — the edge list's repartition("dst") satisfies both the
+    (dst, label) count and the per-dst argmax, and the label table
+    joins as a broadcast.  Pin: non-broadcast Exchange count must not
+    grow with the per-iteration aggregations (edge build contributes
+    orderkey + distinct + repartition per in-plan copy, carry join
+    adds one nodes-side exchange per iteration = at most 13 before AQE
+    reuse; any per-iteration agg exchange pushes it past that).
+    Sanity: labels are node ids, community <= part_id never violated
+    for the min-tie-break variant... not true in general — check
+    instead that every community label IS some node id."""
+    df = QUERIES["q_graph_labelprop"](spark, sf_dir)
+    p = physical_plan(df, mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    n_shuffle = p.count("Exchange hashpartitioning")
+    assert n_shuffle <= 13, f"{n_shuffle} shuffles:\n{p}"
+    rows = df.collect()
+    ids = {r.part_id for r in rows}
+    assert all(r.community in ids for r in rows)
+    assert len(rows) == len(ids)
+
+
 def test_scd2_build_single_user_exchange(spark, sf_dir):
     """SCD2 interval build: one user-keyed exchange feeding the lead()
     window, event_type equality pushed to the parquet reader; exactly
