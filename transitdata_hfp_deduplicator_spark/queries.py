@@ -7029,6 +7029,106 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_file_stats(li, "l_partkey", "l_suppkey", n_files=16, bits=10)
 
 
+@query(
+    "q_compact_plan",
+    oracle="""
+    WITH files AS (
+        SELECT CAST(floor(epoch(date_trunc('month', o_orderdate)))
+                    AS BIGINT) AS month_s,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS fday,
+               count(*) AS n_rows
+        FROM orders GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT *,
+               sum(n_rows) OVER (PARTITION BY month_s) AS total,
+               count(*) OVER (PARTITION BY month_s) AS cnt
+        FROM files
+    ),
+    small AS (
+        SELECT month_s, fday, n_rows, (2 * total) // cnt AS cap,
+               coalesce(sum(n_rows) OVER (
+                   PARTITION BY month_s ORDER BY fday
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS prev
+        FROM sized WHERE n_rows * 5 * cnt < total * 4
+    )
+    SELECT month_s, CAST(prev // cap AS BIGINT) AS job_id,
+           CAST(count(*) AS BIGINT) AS n_files_in,
+           CAST(sum(n_rows) AS BIGINT) AS rows_out, min(fday) AS min_day,
+           max(fday) AS max_day
+    FROM small GROUP BY month_s, prev // cap
+    UNION ALL
+    SELECT month_s, -fday AS job_id, CAST(1 AS BIGINT),
+           CAST(n_rows AS BIGINT), fday, fday
+    FROM sized WHERE NOT (n_rows * 5 * cnt < total * 4)
+    """,
+)
+def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the OTHER lakehouse OPTIMIZE
+    mode beside the Z-order rewrite (q_zorder_layout): per partition
+    (order month), files below 0.8x the partition's mean size are
+    binned date-order into compaction jobs of ~2x-mean capacity
+    (exclusive-prefix-sum div capacity — the q_seq_pack packing rule);
+    files at/above the threshold pass through untouched as their own
+    jobs (job_id = -fday keeps them in a disjoint deterministic
+    namespace).  Emits per-job stats: file count, rows out, and the
+    date envelope a manifest rewrite would carry.
+
+    "Files" are modeled as per-day order counts — the driver-visible
+    stand-in for parquet footer stats; the planner itself is the
+    operator under test.  Thresholds are SCALE-INVARIANT and
+    integer-exact: small iff n_rows * 5 * cnt < total * 4 (i.e.
+    n_rows < 0.8 * mean without division), capacity (2*total) div cnt
+    — all BIGINT, no float routes (Spark BIGINT `/` detours through
+    double; `div` stays integer), so the plan hash-checks cell-exact.
+
+    Scale shape: one month-keyed exchange serves BOTH windows (the
+    unordered per-month totals and the ordered prefix sum — same
+    partition key, sorts only); the pass-through branch re-reads the
+    same windowed frame (file-stats-sized, not data-sized).  At 100 TB
+    the file-stats table is the metadata layer (one row per file), so
+    the whole plan is metadata-scale."""
+    o = _t(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("long").alias("month_s"),
+        F.col("o_orderdate").cast("long").alias("fday"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    wm = W.partitionBy("month_s")
+    sized = files.withColumn("total", F.sum("n_rows").over(wm)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wm)
+    )
+    is_small = F.col("n_rows") * 5 * F.col("cnt") < F.col("total") * 4
+    wp = (
+        W.partitionBy("month_s")
+        .orderBy("fday")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    small = (
+        sized.filter(is_small)
+        .withColumn("cap", F.expr("(2 * total) div cnt"))
+        .withColumn(
+            "prev", F.coalesce(F.sum("n_rows").over(wp), F.lit(0))
+        )
+        .withColumn("job_id", F.expr("prev div cap"))
+    )
+    packed = small.groupBy("month_s", "job_id").agg(
+        F.count(F.lit(1)).alias("n_files_in"),
+        F.sum("n_rows").alias("rows_out"),
+        F.min("fday").alias("min_day"),
+        F.max("fday").alias("max_day"),
+    )
+    passthrough = sized.filter(~is_small).select(
+        "month_s",
+        (-F.col("fday")).alias("job_id"),
+        F.lit(1).cast("long").alias("n_files_in"),
+        F.col("n_rows").alias("rows_out"),
+        F.col("fday").alias("min_day"),
+        F.col("fday").alias("max_day"),
+    )
+    return packed.unionByName(passthrough)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits (operators/sampling.py)
 # ---------------------------------------------------------------------------
@@ -8016,6 +8116,7 @@ GATE_ROTATION = [
     "q_scd2_build",
     "q_dedup_incr_semantic",
     "q_graph_labelprop",
+    "q_compact_plan",
     "q_embed_ann_ivfpq",
     "q_bpe_encode",
     "q_cdc_chunks",
