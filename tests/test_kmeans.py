@@ -144,9 +144,15 @@ def test_incr_semdedup_new_judged_history_untouched(spark):
     # history ids 0..5 (vectors 0..5); history 4 and 5 are EXACT copies
     # of history 0 — settled history dups that must NOT re-emit
     hist_rows = [(i, base[i]) for i in range(4)] + [(4, base[0]), (5, base[0])]
-    # new ids: 10 = copy of history 2; 11 = fresh; 12 = copy of new 11
+    # new ids: 10 = copy of history 2; 11 = fresh; 12 = copy of new 11;
+    # 13 appears TWICE with another fresh vector — duplicate-vid
+    # ingestion must not make the twins qualify against each other
+    # (strict vid <, like the oracle), whichever sorts later
     fresh = [float(x) for x in rng.normal(size=8)]
-    new_rows = [(10, base[2]), (11, fresh), (12, fresh)]
+    fresh2 = [float(x) for x in rng.normal(size=8)]
+    new_rows = [
+        (10, base[2]), (11, fresh), (12, fresh), (13, fresh2), (13, fresh2),
+    ]
     hist = spark.createDataFrame(hist_rows, "vec_id long, embedding array<double>")
     new = spark.createDataFrame(new_rows, "vec_id long, embedding array<double>")
 
@@ -162,7 +168,8 @@ def test_incr_semdedup_new_judged_history_untouched(spark):
         r.vid: r
         for r in semdedup_incr_verdicts(a_h, a_n, tau=0.999999).collect()
     }
-    assert set(out) == {10, 12}, out  # 11 is fresh; history never emits
+    # 11 fresh, 13-twins excluded (equal vid), history never emits
+    assert set(out) == {10, 12}, out
     assert out[10].dup_of == 2
     assert out[12].dup_of == 11  # lower-id batch-mate, not itself
     assert out[10].max_sim == 1.0 and out[12].max_sim == 1.0

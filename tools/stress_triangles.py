@@ -89,6 +89,11 @@ def triangles(e0):
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 25_000
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    if k < 1 or c < 2:
+        raise SystemExit(
+            f"need n_cliques >= 1 and clique_size >= 2 (got {k}, {c}): "
+            "the closed-form check requires every vertex in a triangle"
+        )
     from transitdata_hfp_deduplicator_spark.session import get_spark
 
     spark = get_spark(

@@ -505,10 +505,12 @@ def semdedup_incr_verdicts(
             rows = new_pos[lo : lo + block]
             S = np.round(Vn[rows] @ Vn.T, 6)  # (block, |cell|)
             for r, j in enumerate(rows):
-                # candidates: all history + lower-id new (ids sorted,
-                # so "columns < j" is exactly "lower vid")
-                allowed = (~isn) | (pos < j)
-                allowed[j] = False
+                # candidates: all history + STRICTLY-lower-vid new —
+                # compare ids, not sorted positions: duplicate vids in
+                # the batch must not qualify against each other (the
+                # oracle's a.vid < b.vid), and which twin sorts later
+                # is partition-arrival-dependent
+                allowed = (~isn) | (ids < ids[j])
                 row = S[r]
                 hits = np.nonzero((row >= tau) & allowed)[0]
                 if hits.size:

@@ -4666,6 +4666,9 @@ _KMEANS_HIST_SQL = _KMEANS_TRAIN_SQL.replace(
     "AS v FROM embeddings)",
     "AS v FROM embeddings WHERE vec_id % 5 <> 0)",
 )
+# fail fast if a rewording of _KMEANS_TRAIN_SQL makes the replace
+# no-op — the oracle would silently train on the full corpus
+assert "WHERE vec_id % 5 <> 0" in _KMEANS_HIST_SQL
 
 
 @query(
@@ -4740,7 +4743,10 @@ def q_dedup_incr_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = e.filter(F.col("vec_id") % 5 != 0)
     new = e.filter(F.col("vec_id") % 5 == 0)
     assigned_h, cents = kmeans_cells(hist, k=8, iters=2)
-    assigned_n = assign_cells(new, cents)
+    # 2 consumers (verdict union + final join probe) — checkpoint so
+    # the assignment subtree executes once (assigned_h gets this free
+    # inside kmeans_cells)
+    assigned_n = assign_cells(new, cents).localCheckpoint()
     verdicts = semdedup_incr_verdicts(assigned_h, assigned_n, tau=0.40)
     return (
         assigned_n.select("vid", "cell")
