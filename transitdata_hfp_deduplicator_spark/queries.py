@@ -8142,6 +8142,14 @@ GATE_ROTATION = [
     "q_embed_quantize_int8",
     "q_dedup_incr_substring",
     "q_recursive_cte",
+    # -- oracled round-5 additions with NO driver row in any of
+    #    r01-r04 (local evidence only): must land inside the 50-entry
+    #    gate window this round --
+    "q_quality_funnel",
+    "q_dedup_substring",
+    "q_dedup_ladder",
+    "q_dedup_semantic",
+    "q_sample_stratified",
     # -- queries with no CORRECTNESS_r04 row (r3-evidenced; the ten
     #    relational basics displaced to the tail by the ten new
     #    entries above have both r3 driver rows and local re-runs) --
