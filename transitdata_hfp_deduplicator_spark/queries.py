@@ -8188,11 +8188,6 @@ GATE_ROTATION = [
     "q_embed_cosine",
     "q_embed_ann_ivf",
     # -- NEW earlier this round (no prior evidence possible) --
-    "q_dedup_substring",
-    "q_dedup_semantic",
-    "q_sample_stratified",
-    "q_quality_funnel",
-    "q_dedup_ladder",
     # -- previously-evidenced re-confirmations (displaced ten first) --
     "q_agg_approx_check",
     "q_agg_hash",
