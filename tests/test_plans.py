@@ -533,6 +533,38 @@ def test_funnel_pushes_event_type_and_keys_on_user(spark, sf_dir):
     assert n1 >= n2 >= n3 > 0
 
 
+def test_compact_plan_single_month_exchange(spark, sf_dir):
+    """Compaction planner: within each union branch the per-month
+    totals window, the ordered prefix-sum window, and the job groupBy
+    must all ride ONE month-keyed exchange (plus the file-stats
+    groupBy's own) — 2 per branch, 4 in-plan, and AQE reuses the
+    identical pairs at runtime; pass-through jobs carry exactly one
+    file; packed jobs' date envelopes never overlap within a month
+    (ordered packing) and every job's rows_out is the sum of its
+    inputs' — checked via total conservation against the raw table."""
+    df = QUERIES["q_compact_plan"](spark, sf_dir)
+    p = physical_plan(df, mode="simple")
+    n_shuffle = p.count("Exchange hashpartitioning")
+    assert n_shuffle <= 4, f"{n_shuffle} shuffles:\n{p}"
+    rows = df.collect()
+    total = sum(r.rows_out for r in rows)
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    n_orders = read_parquet(spark, f"{sf_dir}/orders.parquet").count()
+    assert total == n_orders, (total, n_orders)
+    for r in rows:
+        if r.job_id < 0:
+            assert r.n_files_in == 1 and r.min_day == r.max_day
+    by_month = {}
+    for r in rows:
+        if r.job_id >= 0:
+            by_month.setdefault(r.month_s, []).append(r)
+    for jobs in by_month.values():
+        jobs.sort(key=lambda r: r.job_id)
+        for a, b in zip(jobs, jobs[1:]):
+            assert a.max_day < b.min_day, (a, b)
+
+
 def test_labelprop_iterations_fuse_on_dst(spark, sf_dir):
     """Label propagation: each iteration must add ZERO edge-sized
     exchanges — the edge list's repartition("dst") satisfies both the
