@@ -173,3 +173,73 @@ def test_incr_semdedup_new_judged_history_untouched(spark):
     assert out[10].dup_of == 2
     assert out[12].dup_of == 11  # lower-id batch-mate, not itself
     assert out[10].max_sim == 1.0 and out[12].max_sim == 1.0
+
+
+def test_incr_semdedup_matches_bruteforce_randomized(spark):
+    """Randomized parity: 25 cells of random history/new splits with
+    planted exact and near copies, the distributed kernel vs a NumPy
+    brute force applying the same rule (candidates = all same-cell
+    history + strictly-lower-vid batch-mates; dup iff round(cos,6) >=
+    tau; dup_of = min qualifying id; max_sim = max qualifying sim)."""
+    import numpy as np
+
+    from transitdata_hfp_deduplicator_spark.operators.kmeans import (
+        semdedup_incr_verdicts,
+    )
+
+    rng = np.random.default_rng(23)
+    tau = 0.9
+    hist_rows, new_rows = [], []
+    cells = {}  # cell -> list[(vid, vec, is_new)]
+    vid = 0
+    for cell in range(25):
+        members = []
+        pool = []
+        for _ in range(rng.integers(1, 7)):
+            if pool and rng.random() < 0.4:
+                base = pool[rng.integers(0, len(pool))]
+                v = base + (
+                    rng.normal(scale=0.01, size=4) if rng.random() < 0.5
+                    else 0.0
+                )
+            else:
+                v = rng.normal(size=4)
+            pool.append(v)
+            is_new = bool(rng.random() < 0.5)
+            members.append((vid, v, is_new))
+            (new_rows if is_new else hist_rows).append(
+                (vid, [float(x) for x in v], cell)
+            )
+            vid += 1
+        cells[cell] = members
+
+    # NumPy brute force
+    expected = {}
+    for cell, members in cells.items():
+        V = np.array([m[1] for m in members], dtype=np.float64)
+        n = np.linalg.norm(V, axis=1, keepdims=True)
+        Vn = V / np.where(n == 0.0, 1.0, n)
+        S = np.round(Vn @ Vn.T, 6)
+        for j, (vj, _, newj) in enumerate(members):
+            if not newj:
+                continue
+            hits = [
+                (vi, S[j, i])
+                for i, (vi, _, newi) in enumerate(members)
+                if (not newi or vi < vj) and S[j, i] >= tau
+            ]
+            if hits:
+                expected[vj] = (
+                    min(h[0] for h in hits),
+                    max(h[1] for h in hits),
+                )
+
+    schema = "vid long, v array<double>, cell long"
+    a_h = spark.createDataFrame(hist_rows, schema)
+    a_n = spark.createDataFrame(new_rows, schema)
+    got = {
+        r.vid: (r.dup_of, r.max_sim)
+        for r in semdedup_incr_verdicts(a_h, a_n, tau=tau).collect()
+    }
+    assert got == expected
+    assert expected, "degenerate draw: no planted duplicates survived"
