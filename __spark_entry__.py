@@ -23,10 +23,12 @@ from transitdata_hfp_deduplicator_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: first-wins exact dedup of `events` at sf0.001 — the
-    reference's core semantics (Deduplicator.java:43-66) as one batch
-    DataFrame plan."""
-    return _q.QUERIES["q_dedup_exact"](spark, "/root/testdata/sf0.001")
+    """Flagship: end-to-end corpus curation at sf0.001 — quality gate →
+    exact dedup → MinHash-LSH near-dup prune → 512-token sequence
+    packing, returning the per-sequence manifest.  Composes the
+    reference's dedup core (Deduplicator.java:43-66 generalized to the
+    documents table) with the LLM-pipeline operators into one plan."""
+    return _q.QUERIES["q_corpus_curate"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -12,18 +12,33 @@ bound from Agarwal et al. 2013, "Mergeable Summaries"):
 2. The union of partition survivors is a GUARANTEED superset of every
    item with global frequency > N / (capacity+1): if an item survived
    nowhere, each partition counted it <= N_p/(capacity+1); summing
-   gives freq <= N/(capacity+1).  Hence ``capacity >= 1/phi`` makes the
-   candidate set complete for phi-heavy hitters at ANY distribution —
-   no skew assumption, no sampling error.
+   gives freq <= N/(capacity+1).  Hence ``capacity >= phi_den/phi_num``
+   makes the candidate set complete for phi-heavy hitters at ANY
+   distribution — no skew assumption, no sampling error.
 3. One exact recount of candidates only (broadcast semi-join onto the
    stream — candidates are <= n_partitions * capacity rows, a
    broadcast-small contract like clusters.py's union-find bound)
    then the exact ``freq >= phi * N`` filter.
 
-The output is therefore EXACT (same rows as a full groupBy + HAVING)
+The output is therefore EXACT — the same rows as a full
+``groupBy + HAVING cnt*phi_den >= N*phi_num`` over the non-NULL rows —
 while the full-cardinality aggregation never happens: at 100 TB with
 billions of distinct keys, phase 1 keeps ``capacity`` counters per
 partition and phase 2 aggregates only the candidate slice.
+
+NULL semantics: NULL keys are EXCLUDED from both candidacy and the
+total N (``WHERE col IS NOT NULL`` in oracle terms).  pandas
+``value_counts`` drops NaN/None and a NULL key can never match the
+semi-join, so counting NULL rows in N while excluding them from
+candidacy would silently diverge from any groupBy oracle; excluding
+them from both sides keeps the contract exact and SQL-expressible.
+
+Input-scan budget: exactly TWO full passes over ``df`` (the phase-1
+fold and the phase-3 recount) — the minimum inherent to the
+algorithm.  The phase-1 fold emits one sentinel row per partition
+carrying the partition's row total, and the tiny fold output
+(<= n_partitions * (capacity+1) rows) is persisted so the candidate
+branch and the N branch both read it without re-scanning ``df``.
 
 Reference tie-in: the reference's duplicate-ratio alert
 (Analytics.java:56-59) is a frequency monitor over a bounded key space;
@@ -34,28 +49,39 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: phase-1 output column carrying either a surviving MG counter value
+#: (candidate rows) or the partition row total (the per-partition
+#: sentinel row, marked by a NULL key — safe because NULL inputs are
+#: filtered before the fold).
+_LB = "lb"
 
 
 def mg_partition_candidates(
     df: DataFrame, col: str, capacity: int
 ) -> DataFrame:
-    """Per-partition Misra-Gries survivors ``(col, lb)``.
+    """Per-partition Misra-Gries survivors ``(col, lb)`` plus one
+    sentinel row per non-empty partition (``col`` NULL, ``lb`` = the
+    partition's total row count, NULLs excluded).
 
-    ``lb`` is the surviving counter value — a LOWER bound on the
-    partition-local count (under-counted by at most N_p/(capacity+1)).
-    At most ``capacity`` rows per partition leave the executor.
+    ``lb`` on a survivor row is the surviving counter value — a LOWER
+    bound on the partition-local count (under-counted by at most
+    N_p/(capacity+1)).  At most ``capacity + 1`` rows per partition
+    leave the executor.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
-    out_schema = f"`{col}` string, lb long"
+    out_schema = f"`{col}` string, {_LB} long"
 
     def fold(batches: Iterator) -> Iterator:
         import pandas as pd
 
         counts: dict = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for val, c in pdf[col].value_counts().items():
                 counts[val] = counts.get(val, 0) + int(c)
             if len(counts) > capacity:
@@ -65,13 +91,18 @@ def mg_partition_candidates(
                 vals = sorted(counts.values(), reverse=True)
                 d = vals[capacity]
                 counts = {k: v - d for k, v in counts.items() if v > d}
-        if counts:
+        if n_part:
             yield pd.DataFrame(
-                {col: list(counts.keys()), "lb": list(counts.values())}
+                {
+                    col: list(counts.keys()) + [None],
+                    _LB: list(counts.values()) + [n_part],
+                }
             )
 
-    return df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        fold, schema=out_schema
+    return (
+        df.select(F.col(col).cast("string").alias(col))
+        .filter(F.col(col).isNotNull())
+        .mapInPandas(fold, schema=out_schema)
     )
 
 
@@ -82,15 +113,23 @@ def heavy_hitters_exact(
     phi_den: int,
     capacity: int | None = None,
 ) -> DataFrame:
-    """Exact phi-heavy hitters (freq * phi_den >= N * phi_num) without a
-    full-cardinality aggregation.
+    """Exact phi-heavy hitters over non-NULL keys:
+    ``cnt * phi_den >= N * phi_num`` where N counts non-NULL rows.
 
     ``phi = phi_num / phi_den`` stays a rational so the final filter is
-    integer arithmetic — identical in Spark and any SQL oracle.
+    integer arithmetic — identical in Spark and any SQL oracle; the
+    comparison runs in decimal(38,0) so it cannot wrap at int64 scale
+    (ANSI-off Spark would otherwise overflow silently).
     ``capacity`` defaults to the smallest value satisfying the superset
     guarantee (ceil(phi_den/phi_num)); callers may raise it to shrink
     phase-2 candidate counts.
     """
+    if phi_num < 1:
+        raise ValueError(f"phi_num must be >= 1, got {phi_num}")
+    if phi_den < phi_num:
+        raise ValueError(
+            f"phi must be <= 1: got phi_num={phi_num} > phi_den={phi_den}"
+        )
     if capacity is None:
         capacity = -(-phi_den // phi_num)
     if capacity * phi_num < phi_den:
@@ -98,20 +137,26 @@ def heavy_hitters_exact(
             f"capacity {capacity} breaks the superset guarantee for "
             f"phi={phi_num}/{phi_den} (need >= {-(-phi_den // phi_num)})"
         )
-    cand = (
-        mg_partition_candidates(df, col, capacity)
-        .select(col)
-        .distinct()
+    # Tiny fold output (<= n_partitions * (capacity+1) rows): persist so
+    # the candidate branch and the N branch share ONE scan of df.
+    fold_out = mg_partition_candidates(df, col, capacity).persist()
+    cand = fold_out.filter(F.col(col).isNotNull()).select(col).distinct()
+    n = fold_out.filter(F.col(col).isNull()).agg(
+        F.coalesce(F.sum(_LB), F.lit(0)).alias("n_total")
     )
-    n = df.agg(F.count(F.lit(1)).alias("n_total"))
     exact = (
         df.select(F.col(col).cast("string").alias(col))
+        .filter(F.col(col).isNotNull())
         .join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    big = "decimal(38,0)"
     return (
         exact.crossJoin(F.broadcast(n))
-        .filter(F.col("cnt") * phi_den >= F.col("n_total") * phi_num)
+        .filter(
+            F.col("cnt").cast(big) * F.lit(phi_den).cast(big)
+            >= F.col("n_total").cast(big) * F.lit(phi_num).cast(big)
+        )
         .select(col, "cnt")
     )

@@ -8094,6 +8094,179 @@ def q_dedup_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_corpus_curate",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, lower(trim(text)) AS t,
+               len(string_split(lower(trim(text)), ' ')) AS n_tok,
+               length(text) AS n_ch,
+               length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha
+        FROM documents
+    ),
+    qual AS (
+        SELECT doc_id, lang, t, n_tok FROM base
+        WHERE n_tok >= 30
+          AND round(CAST(n_alpha AS DOUBLE) / nullif(n_ch, 0), 6) >= 0.82
+    ),
+    ex AS (
+        SELECT doc_id, lang, t, n_tok FROM (
+            SELECT *, min(doc_id) OVER (PARTITION BY md5(t)) AS f FROM qual
+        ) WHERE doc_id = f
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                              for i in range(1, len(tokens) - 1)]) AS shingles
+        FROM (SELECT doc_id, string_split(t, ' ') AS tokens FROM ex)
+        WHERE len(tokens) >= 3
+    ),
+    mh AS MATERIALIZED (
+        SELECT doc_id, shingles,
+               [list_min(list_transform(shingles,
+                    s -> (('0x' || substr(md5(s), 1, 15))::BIGINT
+                          + k * (('0x' || substr(md5(s), 17, 15))::BIGINT
+                                 % 288230376151711744))
+                         & 576460752303423487))
+                for k in range(0, 16)] AS sig
+        FROM sh
+    ),
+    ids AS (
+        SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[9] = b.sig[9] AND a.sig[10] = b.sig[10] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[11] = b.sig[11] AND a.sig[12] = b.sig[12] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[13] = b.sig[13] AND a.sig[14] = b.sig[14] AND a.doc_id < b.doc_id
+            UNION
+            SELECT a.doc_id AS i, b.doc_id AS j FROM mh a JOIN mh b ON a.sig[15] = b.sig[15] AND a.sig[16] = b.sig[16] AND a.doc_id < b.doc_id
+    ),
+    nearj AS (
+        SELECT DISTINCT ids.j AS doc_id
+        FROM ids JOIN mh a ON ids.i = a.doc_id JOIN mh b ON ids.j = b.doc_id
+        WHERE round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+                    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.5
+    ),
+    surv AS (
+        SELECT e.doc_id, e.lang, e.n_tok
+        FROM ex e LEFT JOIN nearj n USING (doc_id)
+        WHERE n.doc_id IS NULL
+    ),
+    pref AS (
+        SELECT lang, doc_id, n_tok,
+               coalesce(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        FROM surv
+    )
+    SELECT lang, CAST(floor(prior / 512.0) AS BIGINT) AS seq_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM pref GROUP BY lang, seq_id
+    """,
+)
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the LLM-training-data pipeline as
+    ONE composed plan: quality gate (funnel stage 2: min-length +
+    alpha-ratio) → exact dedup (normalized-md5 keep-min-id) →
+    near-dup MinHash-LSH prune (the ladder's rung 2, run on the
+    survivors) → sequence packing (512-token budget per language) →
+    per-sequence manifest (lang, seq_id, n_docs, n_tokens).  This is
+    the second flagship: ``entry()`` runs it at sf0.001 so the driver
+    smoke check exercises the curation story end to end.
+
+    Scale shape: each stage is a verified linear plan — one scan for
+    the quality flags, digest-keyed shuffle for exact dedup, banded
+    LSH (never all-pairs) for near-dup, one per-language window for
+    packing; stages pipeline without any driver round-trip."""
+    from transitdata_hfp_deduplicator_spark.operators.similarity import (
+        minhash_lsh_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.lower(F.trim(F.col("text")))
+    n_tok = F.size(F.split(t, " "))
+    alpha = F.round(
+        F.length(F.regexp_replace("text", r"[^A-Za-zÀ-ÿ]", ""))
+        / F.nullif(F.length("text"), F.lit(0)),
+        6,
+    )
+    qual = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        t.alias("t"),
+        n_tok.cast("long").alias("n_tok"),
+    ).filter((F.col("n_tok") >= 30) & (alpha >= 0.82))
+    first = qual.groupBy(F.md5(F.col("t").cast("binary")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    ex = qual.join(first.select("doc_id"), "doc_id", "left_semi")
+    near_j = (
+        minhash_lsh_pairs(
+            ex.select("doc_id", "text"),
+            "doc_id",
+            "text",
+            shingle_n=3,
+            num_hashes=16,
+            bands=8,
+            threshold=0.5,
+            hash_family="md5",
+        )
+        .select(F.col("j").alias("doc_id"))
+        .distinct()
+    )
+    surv = ex.join(near_j, "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_tok"
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    packed = surv.select(
+        "lang",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 512.0)
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH nn AS (SELECT CAST(user_id AS VARCHAR) AS user_id FROM events
+                WHERE user_id IS NOT NULL),
+         c AS (SELECT user_id, count(*) AS cnt FROM nn GROUP BY user_id),
+         n AS (SELECT count(*) AS n_total FROM nn)
+    SELECT user_id, cnt FROM c, n WHERE cnt * 150 >= n_total * 1
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi=1/150 heavy hitters over events.user_id via
+    Misra-Gries candidates + exact recount — the unbounded-key-space
+    analog of the reference's duplicate-ratio frequency monitor
+    (Analytics.java:56-59).  The MG phase is result-invisible (same
+    rows as groupBy + HAVING, pinned by the oracle); its job is to
+    keep the full-cardinality aggregation from ever existing at
+    100 TB."""
+    from transitdata_hfp_deduplicator_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, "user_id", phi_num=1, phi_den=150)
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
