@@ -1,0 +1,134 @@
+"""Streaming Space-Saving heavy hitters: overestimate invariant,
+superset guarantee under forced eviction, snapshot semantics, and
+batch-vs-stream candidate/recount parity with the MG batch operator.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from transitdata_hfp_deduplicator_spark.streaming import (
+    ephemeral_dir,
+    parquet_stream,
+    run_to_memory,
+    scoped_shuffle_partitions,
+)
+from transitdata_hfp_deduplicator_spark.streaming.heavyhitters_stream import (
+    final_snapshots,
+    space_saving_stream,
+)
+
+
+def _replay(spark, rows, capacity, n_buckets=4, files=3):
+    """Write rows as `files` parquet files and replay one file per
+    micro-batch so state genuinely carries across batches."""
+    d = ephemeral_dir("sshh_")
+    per = -(-len(rows) // files)
+    for i in range(files):
+        chunk = rows[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(
+            [(v,) for v in chunk], "k string"
+        ).coalesce(1).write.parquet(os.path.join(d, f"f{i}"))
+    stream = parquet_stream(spark, d + "/*", max_files_per_trigger=1)
+    snaps = space_saving_stream(stream, "k", capacity, n_buckets=n_buckets)
+    with scoped_shuffle_partitions(spark, n_buckets):
+        return run_to_memory(snaps, output_mode="append")
+
+
+def test_no_eviction_is_exact(spark):
+    rows = ["a"] * 30 + ["b"] * 20 + ["c"] * 10
+    out = final_snapshots(_replay(spark, rows, capacity=16)).collect()
+    got = {r["key"]: (r["est"], r["err"]) for r in out}
+    assert got == {"a": (30, 0), "b": (20, 0), "c": (10, 0)}
+    # bucket row totals add up to the stream
+    assert sum({r["bucket"]: r["n_seen"] for r in out}.values()) == len(rows)
+
+
+def test_eviction_overestimate_invariant_and_superset(spark):
+    # 2 heavy keys + 300 singletons through capacity-4 buckets: eviction
+    # churns constantly, heavies must survive with true <= est <= true+err
+    rows = (["hot1"] * 120 + ["hot2"] * 90 + [f"t{i}" for i in range(300)]) * 1
+    true = Counter(rows)
+    out = final_snapshots(
+        _replay(spark, rows, capacity=4, n_buckets=2)
+    ).collect()
+    got = {r["key"]: (r["est"], r["err"]) for r in out}
+    for k in ("hot1", "hot2"):
+        assert k in got, f"heavy key {k} evicted"
+        est, err = got[k]
+        assert true[k] <= est <= true[k] + err
+    # summary stays capacity-bounded
+    per_bucket = Counter(r["bucket"] for r in out)
+    assert all(c <= 4 for c in per_bucket.values())
+    # every tracked key obeys the invariant (est never undercounts)
+    for k, (est, err) in got.items():
+        assert est >= true[k]
+        assert est - err <= true[k]
+
+
+def test_nulls_dropped(spark):
+    rows = ["a"] * 10 + [None] * 25
+    out = final_snapshots(_replay(spark, rows, capacity=8)).collect()
+    assert {r["key"] for r in out} == {"a"}
+    assert sum({r["bucket"]: r["n_seen"] for r in out}.values()) == 10
+
+
+def test_snapshots_grow_monotonically(spark):
+    rows = ["a"] * 60
+    out = _replay(spark, rows, capacity=4, n_buckets=1, files=3)
+    ests = [
+        r["est"]
+        for r in out.filter(F.col("key") == "a")
+        .orderBy("n_seen")
+        .collect()
+    ]
+    assert len(ests) >= 2  # one snapshot per micro-batch that saw rows
+    assert ests == sorted(ests) and ests[-1] == 60
+
+
+def test_capacity_validation(spark):
+    df = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="capacity"):
+        space_saving_stream(df, "k", 0)
+
+
+def test_stream_candidates_match_batch_heavy_hitters(spark):
+    """End-to-end parity: stream candidates + exact recount == the batch
+    MG operator's output == plain groupBy+HAVING, at phi where eviction
+    is active (capacity just above 1/phi)."""
+    from transitdata_hfp_deduplicator_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    rows = ["x"] * 200 + ["y"] * 80 + [f"n{i}" for i in range(400)]
+    phi_num, phi_den = 1, 10  # threshold 68: x and y pass
+    out = final_snapshots(
+        _replay(spark, rows, capacity=phi_den + 1, n_buckets=2)
+    )
+    cand = out.select(F.col("key")).distinct()
+    df = spark.createDataFrame([(v,) for v in rows], "k string")
+    n = len(rows)
+    stream_hh = {
+        (r["k"], r["cnt"])
+        for r in df.join(
+            F.broadcast(cand.withColumnRenamed("key", "k")), "k", "left_semi"
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * phi_den >= n * phi_num)
+        .collect()
+    }
+    batch_hh = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters_exact(df, "k", phi_num, phi_den).collect()
+    }
+    truth = {
+        (k, c) for k, c in Counter(rows).items() if c * phi_den >= n * phi_num
+    }
+    assert stream_hh == batch_hh == truth == {("x", 200), ("y", 80)}
