@@ -307,6 +307,25 @@ COMMENTARY = {
         "collect; multiplicity is one digest-keyed window.  Three "
         "linear exchanges, nothing quadratic."
     ),
+    "q_heavy_hitters": (
+        "Exact phi-heavy hitters without a full-cardinality aggregation: "
+        "the Misra-Gries fold is ONE mapInPandas pass whose tiny output "
+        "(<= partitions x (capacity+1) rows, carrying per-partition row "
+        "totals as sentinel rows) is cached and feeds BOTH broadcast "
+        "branches — candidates and N — so the input is scanned exactly "
+        "twice (fold + recount).  The only keyed exchange aggregates the "
+        "candidate slice; at 100 TB with billions of distinct keys the "
+        "groupBy state is capacity-bounded, never cardinality-bounded."
+    ),
+    "q_corpus_curate": (
+        "The end-to-end curation flagship: quality flags are pure "
+        "columns over one documents scan; exact dedup is a digest-keyed "
+        "groupBy + broadcast-right semi-join; near-dup is the verified "
+        "banded-LSH subplan (equi-join on band buckets, never "
+        "all-pairs); packing is one per-language window.  Each stage's "
+        "exchanges are those of its verified standalone query — "
+        "composition adds zero new shuffle classes."
+    ),
 }
 
 
