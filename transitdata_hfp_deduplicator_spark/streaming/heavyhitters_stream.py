@@ -1,39 +1,45 @@
-"""Streaming heavy hitters: bucket-sharded Space-Saving summaries.
+"""Streaming heavy hitters: bucket-sharded frequent-items summaries.
 
 The batch operator (operators/heavyhitters.py) finds exact phi-heavy
 hitters with Misra-Gries candidates + one recount.  A streaming ingest
 needs the same candidate set ONLINE — top frequent keys maintained as
-rows arrive, without ever holding the full key cardinality.  This is
-Space-Saving (Metwally, Agrawal & El Abbadi 2005, "Efficient
-computation of frequent and top-k elements in data streams") as a
-Spark stateful operator, built the way the other custom state ops here
-are built:
+rows arrive, without ever holding the full key cardinality.  This
+operator maintains the same weighted Misra-Gries summary as the batch
+fold, reported in Space-Saving (est, err) form — the two summaries are
+isomorphic (Agarwal et al. 2013, "Mergeable Summaries" §3: an MG
+counter c(x) with cumulative decrement total D gives the SS-style
+bounds ``true <= c(x) + D <= true + D``) — built the way the other
+custom state ops here are built:
 
 * **State is sharded by key-hash bucket** (the stateful.py:83-99
   argument: applyInPandasWithState pays a Python round trip per state
   group per batch, so the group key is a hash bucket, not the raw
-  key).  Each bucket owns an independent Space-Saving summary of
-  ``capacity`` counters over ITS shard of the key space.  Because a
-  key lives in exactly one bucket, the per-bucket guarantee lifts to
-  the global one: a key with global freq >= phi*N has in-bucket freq
-  >= phi*N >= phi*N_b, and Space-Saving tracks every key with
-  in-bucket freq > N_b/capacity — so ``capacity > 1/phi`` per bucket
-  makes the union of bucket summaries a guaranteed candidate superset,
-  the same bound as the batch MG fold.
-* **Weighted bulk updates.**  Rows fold through value_counts per
-  pandas chunk; a tracked key adds its batch weight, an untracked key
-  either occupies a free counter or evicts the minimum counter m and
-  enters with (est = m + w, err = m) — the textbook overestimate
-  invariant ``true <= est <= true + err`` holds per bucket.
+  key).  Each bucket owns an independent summary of ``capacity``
+  counters plus its decrement total D over ITS shard of the key space.
+  Because a key lives in exactly one bucket, the per-bucket guarantee
+  lifts to the global one: a key with global freq >= phi*N has
+  in-bucket freq >= phi*N >= phi*N_b, and MG keeps every key with
+  in-bucket freq > N_b/(capacity+1) — so ``capacity >= 1/phi`` per
+  bucket makes the union of bucket summaries a guaranteed candidate
+  superset, the same bound as the batch fold.
+* **Bulk updates, never per-key scans.**  Rows fold through
+  value_counts per pandas chunk, then ONE weighted MG decrement
+  (subtract the (capacity+1)-th largest counter from all, drop
+  non-positive) — O((distinct_chunk + capacity) log) per chunk.  A
+  sequential Space-Saving loop pays an O(capacity) min-scan per
+  UNTRACKED key, which measured 0.02M rows/s against this
+  formulation's multi-M rows/s on a singleton-flood stream
+  (tools/stress_heavyhitters_stream.py).
 * **Snapshots, not deltas.**  Every micro-batch each updated bucket
-  emits its full summary tagged with ``n_seen`` (rows folded into the
-  bucket so far).  The LAST snapshot per bucket — selectable as
-  ``n_seen == max(n_seen) over bucket`` — is the summary at stream
-  end; intermediate snapshots are the live monitoring feed (the
-  reference's Analytics window report, Analytics.java:39-59, with an
-  unbounded key space).
+  emits its full summary — ``est = counter + D`` (overestimate),
+  ``err = D`` (its maximum overestimation) — tagged with ``n_seen``
+  (rows folded into the bucket so far).  The LAST snapshot per bucket,
+  selectable as ``n_seen == max(n_seen) over bucket``, is the summary
+  at stream end; intermediate snapshots are the live monitoring feed
+  (the reference's Analytics window report, Analytics.java:39-59, with
+  an unbounded key space).
 
-The summary is approximate by design (est overestimates by <= err);
+The summary is approximate by design (``true <= est <= true + err``);
 for EXACT phi-heavy hitters, recount the candidate union against the
 corpus exactly like the batch operator's phase 2 — queries.
 q_heavy_hitters_stream does precisely that, which makes the streaming
@@ -57,7 +63,8 @@ def space_saving_stream(
     capacity: int,
     n_buckets: int = 8,
 ) -> DataFrame:
-    """Maintain per-bucket Space-Saving summaries over a stream.
+    """Maintain per-bucket frequent-items summaries over a stream
+    (weighted Misra-Gries state, Space-Saving-style (est, err) output).
 
     Output rows: ``(bucket, key, est, err, n_seen)`` — one snapshot of
     the whole bucket per micro-batch in which the bucket saw rows.
@@ -76,7 +83,7 @@ def space_saving_stream(
     out_schema = "bucket long, key string, est long, err long, n_seen long"
     # pickled dict per bucket (the stateful.py binary-state argument:
     # one C-path pickle per bucket beats per-entry Arrow map codecs)
-    state_schema = "summary binary, n long"
+    state_schema = "counts binary, d long, n long"
 
     def fn(
         bucket: tuple,
@@ -86,42 +93,41 @@ def space_saving_stream(
         import pickle
 
         if state.exists:
-            sb, n_seen = state.get
-            summary: dict = pickle.loads(bytes(sb)) if sb else {}
+            cb, dec, n_seen = state.get
+            counts: dict = pickle.loads(bytes(cb)) if cb else {}
         else:
-            summary, n_seen = {}, 0
+            counts, dec, n_seen = {}, 0, 0
         touched = False
         for pdf in pdfs:
             if not len(pdf):
                 continue
             touched = True
             n_seen += len(pdf)
-            for val, w in pdf["key"].value_counts().items():
-                w = int(w)
-                if val in summary:
-                    est, err = summary[val]
-                    summary[val] = (est + w, err)
-                elif len(summary) < capacity:
-                    summary[val] = (w, 0)
-                else:
-                    # evict the minimum counter; enter with its value
-                    # as the error floor (ties broken by key for
-                    # replay determinism)
-                    mkey = min(summary, key=lambda k: (summary[k][0], k))
-                    m = summary[mkey][0]
-                    del summary[mkey]
-                    summary[val] = (m + w, m)
+            for val, c in pdf["key"].value_counts().items():
+                counts[val] = counts.get(val, 0) + int(c)
+            if len(counts) > capacity:
+                # the batch fold's weighted MG decrement
+                # (operators/heavyhitters.py): one O(n log n) pass per
+                # chunk, never per key
+                vals = sorted(counts.values(), reverse=True)
+                d = vals[capacity]
+                dec += d
+                counts = {k: v - d for k, v in counts.items() if v > d}
         state.update(
-            (pickle.dumps(summary, protocol=pickle.HIGHEST_PROTOCOL), n_seen)
+            (
+                pickle.dumps(counts, protocol=pickle.HIGHEST_PROTOCOL),
+                dec,
+                n_seen,
+            )
         )
-        if touched and summary:
-            keys = list(summary.keys())
+        if touched and counts:
+            keys = list(counts.keys())
             yield pd.DataFrame(
                 {
                     "bucket": int(bucket[0]),
                     "key": keys,
-                    "est": [summary[k][0] for k in keys],
-                    "err": [summary[k][1] for k in keys],
+                    "est": [counts[k] + dec for k in keys],
+                    "err": dec,
                     "n_seen": n_seen,
                 }
             )
