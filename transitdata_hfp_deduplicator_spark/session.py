@@ -59,15 +59,17 @@ def get_spark(
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
-        # A long session compiles THOUSANDS of generated classes (85
+        # A long session compiles THOUSANDS of generated classes (132
         # registered queries × whole-stage codegen + 16-column hash
         # projections); the JVM's default 240 MB code cache fills, the
         # JIT stops compiling, and codegen-heavy plans (minhash md5
-        # family) degrade 2-10x run-to-run.  512 MB keeps hot methods
-        # compiled for the whole bench/gate sweep.
+        # family) degrade 2-10x run-to-run.  512 MB sufficed at 85
+        # queries; at 132 the tail queries (q_graph_triangles at slot
+        # 130) measured 2.7x their early-slot time — 1 GiB keeps hot
+        # methods compiled for the whole bench/gate sweep.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=1g",
         )
         # Long-lived session hygiene: with a large heap, driver GC may
         # not run for the whole session, so the ContextCleaner never
