@@ -8268,6 +8268,52 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ngram_heavy",
+    oracle="""
+    WITH tok AS (
+        SELECT string_split(lower(trim(text)), ' ') AS t FROM documents
+    ),
+    big AS (
+        SELECT unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS bg
+        FROM tok WHERE len(t) >= 2
+    ),
+    c AS (SELECT bg, count(*) AS cnt FROM big GROUP BY bg),
+    n AS (SELECT count(*) AS n_total FROM big)
+    SELECT bg, cnt FROM c, n WHERE cnt * 800 >= n_total * 1
+    """,
+)
+def q_ngram_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """phi-frequent PHRASE mining (phi=1/800 over corpus bigrams) via
+    the Misra-Gries heavy-hitter operator — the textbook unbounded-key
+    use: n-gram vocabulary grows with corpus size (billions of distinct
+    bigrams at 100 TB), so the full-cardinality groupBy this query's
+    oracle runs is exactly what the MG fold avoids; state is capacity
+    counters per partition regardless of vocabulary.  Feeds collocation
+    /boilerplate detection (the q_token_colloc family) at corpus
+    scale."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TXT.tokenize(F.col("text"))
+    # raw bigrams WITH multiplicity (TXT.shingles dedups per doc — the
+    # LSH contract; frequency mining must count every occurrence)
+    n_bg = F.size(toks) - 1
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n_bg),
+            F.slice(toks, F.lit(2), n_bg),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bigrams = d.select(F.explode(bg).alias("bg"))
+    return heavy_hitters_exact(bigrams, "bg", phi_num=1, phi_den=800)
+
+
+@query(
     "q_heavy_hitters_stream",
     oracle="""
     WITH nn AS (SELECT CAST(user_id AS VARCHAR) AS user_id FROM events
@@ -8346,6 +8392,7 @@ GATE_ROTATION = [
     "q_corpus_curate",
     "q_heavy_hitters",
     "q_heavy_hitters_stream",
+    "q_ngram_heavy",
     "q_late_data",
     "q_agg_approx",
     "q_dedup_lru",
