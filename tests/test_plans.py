@@ -606,3 +606,29 @@ def test_scd2_build_single_user_exchange(spark, sf_dir):
         froms = sorted(r.valid_from_s for r in vs)
         tos = sorted(r.valid_to_s for r in vs if r.valid_to_s is not None)
         assert tos == froms[1:]
+
+
+def test_corpus_curate_composes_without_new_shuffle_classes(spark, sf_dir):
+    """The curation flagship: no cartesian anywhere; exact-dedup's
+    candidate sets and near-dup verification ride the banded-LSH
+    equi-joins of the standalone rungs; aggregates partial-aggregate
+    map-side; only documents columns actually used are read."""
+    df = QUERIES["q_corpus_curate"](spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_partial_aggregation(df)
+    cols = read_schema_columns(df)
+    assert cols <= {"doc_id", "lang", "text"}, f"reads extra columns: {cols}"
+
+
+def test_ngram_heavy_no_full_vocabulary_exchange(spark, sf_dir):
+    """Frequent-phrase mining: the only groupBy over bigram rows runs
+    AFTER the broadcast candidate semi-join (capacity-bounded), so no
+    exchange ever carries full-vocabulary grain; candidates and the
+    1-row total both broadcast; the corpus scan reads text only."""
+    df = QUERIES["q_ngram_heavy"](spark, sf_dir)
+    p = physical_plan(df)
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastExchange") >= 2
+    assert_no_cartesian(df)
+    cols = read_schema_columns(df)
+    assert cols <= {"text"}, f"reads extra columns: {cols}"
