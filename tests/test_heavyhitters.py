@@ -156,3 +156,55 @@ def test_plan_no_full_cardinality_agg_and_broadcasts(spark):
     assert plan.count("BroadcastExchange") >= 2  # candidates + n_total
     # both small branches read the cached fold output
     assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+
+
+def test_weighted_matches_weighted_oracle(spark):
+    """Weighted heavy hitters == groupBy(sum(w)) + HAVING; a key with
+    few rows but huge mass must pass, a many-row light key must not."""
+    rows = [("whale", 1000)] * 3 + [("ant", 1)] * 300 + [
+        (f"t{i}", 2) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "k string, w long").repartition(4)
+    total = sum(w for _, w in rows)
+    out = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters_exact(
+            df, "k", 1, 2, weight_col="w"
+        ).collect()
+    }
+    from collections import Counter
+
+    mass = Counter()
+    for k, w in rows:
+        mass[k] += w
+    expect = {(k, m) for k, m in mass.items() if m * 2 >= total}
+    assert out == expect
+    assert ("whale", 3000) in out and not any(k == "ant" for k, _ in out)
+
+
+def test_weighted_null_weight_rows_excluded(spark):
+    rows = [("a", 10), ("a", None), ("b", 5), (None, 7)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    out = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters_exact(
+            df, "k", 1, 2, weight_col="w"
+        ).collect()
+    }
+    # totals exclude NULL key AND NULL weight: N = 15, threshold 7.5
+    assert out == {("a", 10)}
+
+
+def test_weighted_candidates_superset_cross_partition(spark):
+    # heavy mass split across every partition, flooded by unit noise
+    rows = [("hot", 40)] * 16 + [(f"n{i}", 1) for i in range(600)]
+    df = spark.createDataFrame(rows, "k string, w long").repartition(8)
+    total = 16 * 40 + 600
+    out = {
+        (r["k"], r["cnt"])
+        for r in heavy_hitters_exact(
+            df, "k", 1, 3, weight_col="w", capacity=8
+        ).collect()
+    }
+    assert out == {("hot", 640)}
+    assert 640 * 3 >= total

@@ -57,17 +57,40 @@ from pyspark.sql import functions as F
 #: sentinel row, marked by a NULL key — safe because NULL inputs are
 #: filtered before the fold).
 _LB = "lb"
+#: internal alias for the optional weight column inside the fold
+_W = "__w"
+
+
+def _keyed(df: DataFrame, col: str, weight_col: str | None) -> DataFrame:
+    """(key[, weight]) projection with the documented NULL exclusion."""
+    out = df.select(
+        F.col(col).cast("string").alias(col),
+        *(
+            [F.col(weight_col).cast("long").alias(_W)]
+            if weight_col is not None
+            else []
+        ),
+    ).filter(F.col(col).isNotNull())
+    if weight_col is not None:
+        out = out.filter(F.col(_W).isNotNull())
+    return out
 
 
 def mg_partition_candidates(
-    df: DataFrame, col: str, capacity: int
+    df: DataFrame, col: str, capacity: int, weight_col: str | None = None
 ) -> DataFrame:
     """Per-partition Misra-Gries survivors ``(col, lb)`` plus one
     sentinel row per non-empty partition (``col`` NULL, ``lb`` = the
-    partition's total row count, NULLs excluded).
+    partition's total mass, NULLs excluded).
+
+    With ``weight_col`` the summary tracks WEIGHTED mass (e.g. bytes
+    per tenant) instead of row counts — the MG decrement is already
+    weighted, so every bound below holds verbatim with N = total
+    weight.  Weights must be non-negative integers; rows with NULL key
+    OR NULL weight are excluded from both candidacy and the totals.
 
     ``lb`` on a survivor row is the surviving counter value — a LOWER
-    bound on the partition-local count (under-counted by at most
+    bound on the partition-local mass (under-counted by at most
     N_p/(capacity+1)).  At most ``capacity + 1`` rows per partition
     leave the executor.
     """
@@ -81,8 +104,14 @@ def mg_partition_candidates(
         counts: dict = {}
         n_part = 0
         for pdf in batches:
-            n_part += len(pdf)
-            for val, c in pdf[col].value_counts().items():
+            if weight_col is None:
+                grouped = pdf[col].value_counts().items()
+                n_part += len(pdf)
+            else:
+                w = pdf.groupby(col, sort=False)[_W].sum()
+                grouped = w.items()
+                n_part += int(pdf[_W].sum())
+            for val, c in grouped:
                 counts[val] = counts.get(val, 0) + int(c)
             if len(counts) > capacity:
                 # weighted MG decrement: subtract the (capacity+1)-th
@@ -100,8 +129,7 @@ def mg_partition_candidates(
             )
 
     return (
-        df.select(F.col(col).cast("string").alias(col))
-        .filter(F.col(col).isNotNull())
+        _keyed(df, col, weight_col)
         .mapInPandas(fold, schema=out_schema)
     )
 
@@ -112,9 +140,14 @@ def heavy_hitters_exact(
     phi_num: int,
     phi_den: int,
     capacity: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact phi-heavy hitters over non-NULL keys:
-    ``cnt * phi_den >= N * phi_num`` where N counts non-NULL rows.
+    ``cnt * phi_den >= N * phi_num`` where N counts non-NULL rows —
+    or, with ``weight_col``, phi-heavy MASS: ``cnt`` becomes the key's
+    exact weight sum and N the total weight (bytes per tenant, tokens
+    per source — the weighted-frequent-items problem; same MG bounds,
+    weights in place of unit counts).
 
     ``phi = phi_num / phi_den`` stays a rational so the final filter is
     integer arithmetic — identical in Spark and any SQL oracle; the
@@ -139,17 +172,19 @@ def heavy_hitters_exact(
         )
     # Tiny fold output (<= n_partitions * (capacity+1) rows): persist so
     # the candidate branch and the N branch share ONE scan of df.
-    fold_out = mg_partition_candidates(df, col, capacity).persist()
+    fold_out = mg_partition_candidates(df, col, capacity, weight_col).persist()
     cand = fold_out.filter(F.col(col).isNotNull()).select(col).distinct()
     n = fold_out.filter(F.col(col).isNull()).agg(
         F.coalesce(F.sum(_LB), F.lit(0)).alias("n_total")
     )
+    mass = (
+        F.count(F.lit(1)) if weight_col is None else F.sum(_W)
+    ).alias("cnt")
     exact = (
-        df.select(F.col(col).cast("string").alias(col))
-        .filter(F.col(col).isNotNull())
+        _keyed(df, col, weight_col)
         .join(F.broadcast(cand), col, "left_semi")
         .groupBy(col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(mass)
     )
     big = "decimal(38,0)"
     return (

@@ -8268,6 +8268,38 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_heavy_hitters_weighted",
+    oracle="""
+    WITH nn AS (SELECT CAST(user_id AS VARCHAR) AS user_id,
+                       length(props) AS w
+                FROM events
+                WHERE user_id IS NOT NULL AND props IS NOT NULL),
+         c AS (SELECT user_id, CAST(sum(w) AS BIGINT) AS cnt
+               FROM nn GROUP BY user_id),
+         n AS (SELECT CAST(sum(w) AS BIGINT) AS n_total FROM nn)
+    SELECT user_id, cnt FROM c, n WHERE cnt * 140 >= n_total * 1
+    """,
+)
+def q_heavy_hitters_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED phi-heavy hitters: tenants owning >= 1/140 of the total
+    payload BYTES (length(props) as the mass), not of the row count —
+    the storage/billing-shaped frequent-items question ("which keys own
+    the bytes") that row-counting cannot answer when payload sizes
+    skew.  Same MG machinery with weights in place of unit counts; same
+    two-scan budget; exact via the candidate recount."""
+    from transitdata_hfp_deduplicator_spark.operators.heavyhitters import (
+        heavy_hitters_exact,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.length("props").alias("w")
+    )
+    return heavy_hitters_exact(
+        ev, "user_id", phi_num=1, phi_den=140, weight_col="w"
+    )
+
+
+@query(
     "q_ngram_heavy",
     oracle="""
     WITH tok AS (
@@ -8393,6 +8425,7 @@ GATE_ROTATION = [
     "q_heavy_hitters",
     "q_heavy_hitters_stream",
     "q_ngram_heavy",
+    "q_heavy_hitters_weighted",
     "q_late_data",
     "q_agg_approx",
     "q_dedup_lru",
