@@ -184,11 +184,19 @@ def test_incremental_dedup_broadcast_free_anti_join(spark, sf_dir):
     assert_partial_aggregation(df)
 
 
-def test_seq_pack_single_window_exchange(spark, sf_dir):
-    """One hash exchange on lang, one window sort — no global sort."""
+def test_seq_pack_sharded_prefix_sum(spark, sf_dir):
+    """The ROW-LEVEL running sum must partition by (lang, shard) —
+    never by lang alone, which would funnel each language's entire
+    corpus through one task's sort at lake scale.  The only lang-alone
+    window allowed is pass 1's offset window over the tiny
+    langs×shards aggregate."""
+    import re as _re
+
     df = QUERIES["q_seq_pack"](spark, sf_dir)
     plan = physical_plan(df)
-    assert "hashpartitioning(lang" in plan
+    assert _re.search(r"hashpartitioning\(lang#\d+, _shard", plan), (
+        "row-level window lost its shard key"
+    )
     assert "rangepartitioning" not in plan.lower(), "global sort crept in"
 
 
@@ -613,11 +621,19 @@ def test_corpus_curate_composes_without_new_shuffle_classes(spark, sf_dir):
     candidate sets and near-dup verification ride the banded-LSH
     equi-joins of the standalone rungs; aggregates partial-aggregate
     map-side; only documents columns actually used are read."""
+    import re as _re
+
     df = QUERIES["q_corpus_curate"](spark, sf_dir)
     assert_no_cartesian(df)
     assert_partial_aggregation(df)
     cols = read_schema_columns(df)
     assert cols <= {"doc_id", "lang", "text"}, f"reads extra columns: {cols}"
+    # the packing prefix sum must be the sharded two-pass form — the
+    # flagship carries zero single-task funnels (VERDICT r7 #3)
+    plan = physical_plan(df)
+    assert _re.search(r"hashpartitioning\(lang#\d+, _shard", plan), (
+        "packing window lost its shard key"
+    )
 
 
 def test_ngram_heavy_no_full_vocabulary_exchange(spark, sf_dir):

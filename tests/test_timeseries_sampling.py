@@ -180,3 +180,58 @@ def test_systematic_pps_partition_invariant(spark):
     a = {(r.doc_id, r.n_picks) for r in systematic_pps_sample(df1, "doc_id", "w", k=40).collect()}
     b = {(r.doc_id, r.n_picks) for r in systematic_pps_sample(df2, "doc_id", "w", k=40).collect()}
     assert a == b and sum(n for _, n in a) == 40
+
+
+def test_sharded_prefix_sum_matches_single_window(spark):
+    """The range-sharded two-pass exclusive prefix sum must equal the
+    naive single-task window within every group, for any shard count
+    (shard boundaries never change the sum), sparse ids included."""
+    from pyspark.sql.window import Window as W
+
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        sharded_prefix_sum,
+    )
+
+    rows = [
+        (i * 7 + (i % 3), f"g{i % 4}", (i * 31) % 50)  # sparse, non-dense ids
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, grp string, w bigint").repartition(9)
+    naive = df.withColumn(
+        "prior",
+        F.coalesce(
+            F.sum("w").over(
+                W.partitionBy("grp").orderBy("id").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    want = {(r.grp, r.id): r.prior for r in naive.collect()}
+    for shards in (1, 5, 32):
+        got = {
+            (r.grp, r.id): r.prior
+            for r in sharded_prefix_sum(
+                df, "id", "w", part_cols=("grp",), shards=shards
+            ).collect()
+        }
+        assert got == want, f"shards={shards}"
+
+
+def test_sharded_prefix_sum_superset_max_df(spark):
+    """max(id) from a SUPERSET source (the cheap raw scan) only moves
+    shard boundaries — the sums are unchanged."""
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        sharded_prefix_sum,
+    )
+
+    full = spark.createDataFrame(
+        [(i, 1) for i in range(1000)], "id bigint, w bigint"
+    )
+    sub = full.filter(F.col("id") < 100)
+    got = {
+        r.id: r.prior
+        for r in sharded_prefix_sum(sub, "id", "w", max_df=full).collect()
+    }
+    assert got == {i: i for i in range(100)}

@@ -116,6 +116,79 @@ def stratified_quota_sample(
     )
 
 
+def sharded_prefix_sum(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    part_cols: Sequence[str] = (),
+    shards: int = 32,
+    out_col: str = "prior",
+    max_df: DataFrame | None = None,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``weight_col`` in ``id_col`` order
+    within each ``part_cols`` group — the range-sharded TWO-PASS form,
+    never a single-task window over a whole group.
+
+    A plain ``Window.partitionBy(part).orderBy(id)`` running sum
+    funnels each group's entire row set through ONE task's sort — at
+    100 TB with ~10 languages that is ~10 tasks holding terabytes.
+    Here rows bucket into ``shards`` id ranges (the bucket function is
+    monotone in id, so within-group order is preserved across shard
+    boundaries); pass 1 aggregates one partial sum per (group, shard)
+    and turns it into exclusive running offsets over a tiny
+    groups×shards table; pass 2 cumsums WITHIN each (group, shard) in
+    parallel and adds the offset.  Identical values to the single-task
+    window, linear shuffle at any group size.
+
+    ``max_df``: optional cheap superset to derive max(id) from (e.g.
+    the raw scan) when ``df`` is the tail of an expensive plan — using
+    a superset max only changes shard boundaries, never the sum.
+    Appends ``out_col`` (bigint) to ``df``'s columns.
+    """
+    from pyspark.sql.window import Window as W
+
+    src = df if max_df is None else max_df
+    stats = src.select(F.max(F.col(id_col)).alias("_mx"))
+    parts = list(part_cols)
+    d = df.crossJoin(F.broadcast(stats)).withColumn(
+        "_shard",
+        (F.col(id_col) * shards / (F.col("_mx") + 1)).cast("bigint"),
+    )
+    # pass 1: per-(group, shard) totals -> exclusive running offsets
+    # (tiny table: |groups| * shards rows; the offset window partitions
+    # by group, so even this small sort parallelizes across groups)
+    sh = (
+        d.groupBy(*parts, "_shard")
+        .agg(F.sum(F.col(weight_col).cast("bigint")).alias("_sw"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_sw").over(
+                    W.partitionBy(*parts)
+                    .orderBy("_shard")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(*parts, "_shard", "_off")
+    )
+    # pass 2: within-(group, shard) exclusive cumsums, all in parallel
+    out = d.join(F.broadcast(sh), [*parts, "_shard"]).withColumn(
+        out_col,
+        F.col("_off")
+        + F.coalesce(
+            F.sum(F.col(weight_col).cast("bigint")).over(
+                W.partitionBy(*parts, "_shard")
+                .orderBy(id_col)
+                .rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return out.drop("_mx", "_shard", "_off")
+
+
 def systematic_pps_sample(
     df: DataFrame,
     id_col: str,

@@ -2595,7 +2595,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
         SELECT doc_id, lang,
-               len(string_split(lower(trim(text)), ' ')) AS n_tok
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok
         FROM documents
     ), pref AS (
         SELECT doc_id, lang, n_tok,
@@ -2615,26 +2615,30 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences — each doc's sequence id is its exclusive prefix token
     count divided by the budget (512 here).
 
-    Scale shape: ONE analytic window per language partition (running
-    sum over a partitioned sort) — no driver state, no iteration; at
-    lake scale the partition key would be (lang, shard) to bound the
-    sort, exactly how the deterministic-shuffle query below shards."""
-    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    Scale shape: the per-language running sum is the range-sharded
+    TWO-PASS prefix sum (operators/sampling.py::sharded_prefix_sum) —
+    NOT a single ``Window.partitionBy(lang)`` sort, which would funnel
+    each language's entire corpus through one task at lake scale.
+    Token counting normalizes whitespace runs first (both engines
+    split the normalized text on single spaces), so the count is
+    whitespace-robust, not corpus-dependent."""
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        sharded_prefix_sum,
+    )
 
     d = _t(spark, sf_dir, "documents")
+    tnorm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     tok = d.select(
-        "doc_id", "lang", TXT.token_count(F.col("text")).cast("long").alias("n_tok")
+        "doc_id",
+        "lang",
+        F.size(F.split(tnorm, " ")).cast("long").alias("n_tok"),
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    return tok.select(
+    pre = sharded_prefix_sum(tok, "doc_id", "n_tok", part_cols=("lang",))
+    return pre.select(
         "lang",
         "doc_id",
         "n_tok",
-        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 512.0)
-        .cast("long")
-        .alias("seq_id"),
+        F.floor(F.col("prior") / 512.0).cast("long").alias("seq_id"),
     )
 
 
@@ -8098,8 +8102,9 @@ def q_dedup_lru(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_corpus_curate",
     oracle="""
     WITH base AS (
-        SELECT doc_id, lang, lower(trim(text)) AS t,
-               len(string_split(lower(trim(text)), ' ')) AS n_tok,
+        SELECT doc_id, lang,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t,
+               len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS n_tok,
                length(text) AS n_ch,
                length(regexp_replace(text, '[^A-Za-zÀ-ÿ]', '', 'g')) AS n_alpha
         FROM documents
@@ -8183,14 +8188,23 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each stage is a verified linear plan — one scan for
     the quality flags, digest-keyed shuffle for exact dedup, banded
-    LSH (never all-pairs) for near-dup, one per-language window for
-    packing; stages pipeline without any driver round-trip."""
+    LSH (never all-pairs) for near-dup, and the packing prefix sum is
+    the range-sharded TWO-PASS form (sampling.py::sharded_prefix_sum)
+    so no single task ever holds a language's full corpus; the shard
+    boundary max(doc_id) comes from the cheap raw scan, not from
+    re-running the curation tail.  The ``t`` projection normalizes
+    whitespace runs BEFORE tokenizing (both engines then split on
+    single spaces), so the dedup keys and shingles are identical on
+    any text, not just on the single-spaced test corpus."""
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        sharded_prefix_sum,
+    )
     from transitdata_hfp_deduplicator_spark.operators.similarity import (
         minhash_lsh_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    t = F.lower(F.trim(F.col("text")))
+    t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     n_tok = F.size(F.split(t, " "))
     alpha = F.round(
         F.length(F.regexp_replace("text", r"[^A-Za-zÀ-ÿ]", ""))
@@ -8200,7 +8214,6 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual = d.select(
         "doc_id",
         "lang",
-        "text",
         t.alias("t"),
         n_tok.cast("long").alias("n_tok"),
     ).filter((F.col("n_tok") >= 30) & (alpha >= 0.82))
@@ -8210,7 +8223,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = qual.join(first.select("doc_id"), "doc_id", "left_semi")
     near_j = (
         minhash_lsh_pairs(
-            ex.select("doc_id", "text"),
+            ex.select("doc_id", F.col("t").alias("text")),
             "doc_id",
             "text",
             shingle_n=3,
@@ -8225,15 +8238,17 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = ex.join(near_j, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_tok"
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, -1
+    pre = sharded_prefix_sum(
+        surv,
+        "doc_id",
+        "n_tok",
+        part_cols=("lang",),
+        max_df=_t(spark, sf_dir, "documents").select("doc_id"),
     )
-    packed = surv.select(
+    packed = pre.select(
         "lang",
         "n_tok",
-        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 512.0)
-        .cast("long")
-        .alias("seq_id"),
+        F.floor(F.col("prior") / 512.0).cast("long").alias("seq_id"),
     )
     return packed.groupBy("lang", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
