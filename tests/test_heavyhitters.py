@@ -208,3 +208,37 @@ def test_weighted_candidates_superset_cross_partition(spark):
     }
     assert out == {("hot", 640)}
     assert 640 * 3 >= total
+
+
+def test_weighted_zero_total_mass_empty(spark):
+    """N = 0 contract: all-zero weights -> EMPTY (documented as the one
+    divergence from a naive HAVING oracle, which returns every key
+    since 0 >= 0 — an output unbounded in key cardinality that no
+    capacity-bounded summary can produce)."""
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0), ("a", 0)], "k string, w long"
+    ).repartition(3)
+    out = heavy_hitters_exact(df, "k", 1, 10, weight_col="w")
+    assert out.collect() == []
+
+
+def test_fold_cache_tracked_and_released(spark):
+    """Each call releases the previous call's persisted fold output
+    (bounding live caches at one) and release_fold_caches() frees the
+    last — the long-session hygiene contract."""
+    from transitdata_hfp_deduplicator_spark.operators import heavyhitters as hh
+
+    hh.release_fold_caches()
+    df = _df(spark, ["a"] * 20 + ["b"] * 3, 2)
+    heavy_hitters_exact(df, "k", 1, 4).collect()
+    assert len(hh._FOLD_CACHES) == 1
+    first = hh._FOLD_CACHES[0]
+    assert first.storageLevel.useMemory
+    # a DIFFERENT input, so the second fold's plan cannot alias the
+    # first in the cache-manager's plan-equality lookup
+    df2 = _df(spark, ["x"] * 9 + ["y"] * 2, 3)
+    heavy_hitters_exact(df2, "k", 1, 4).collect()
+    assert len(hh._FOLD_CACHES) == 1
+    assert not first.storageLevel.useMemory, "previous cache not released"
+    hh.release_fold_caches()
+    assert not hh._FOLD_CACHES

@@ -132,3 +132,37 @@ def test_stream_candidates_match_batch_heavy_hitters(spark):
         (k, c) for k, c in Counter(rows).items() if c * phi_den >= n * phi_num
     }
     assert stream_hh == batch_hh == truth == {("x", 200), ("y", 80)}
+
+
+def test_intermediate_snapshots_live_feed_invariants(spark):
+    """The live monitoring feed (the reference's Analytics window
+    report, Analytics.java:39-59, over an unbounded key space): every
+    INTERMEDIATE snapshot — not just the final one — must be a valid
+    summary of the stream so far.  Per bucket, in n_seen order:
+    n_seen strictly increases, err (the decrement total) never
+    decreases, each key's est never decreases across the snapshots
+    that track it, no snapshot tracks more than ``capacity`` keys, and
+    every snapshot obeys est <= n_seen and est - err <= n_seen
+    (a summary can never claim more mass than the rows it folded)."""
+    rows = ["hot"] * 90 + [f"s{i}" for i in range(120)] + ["hot2"] * 40
+    out = _replay(spark, rows, capacity=4, n_buckets=1, files=4).collect()
+    snaps = {}
+    for r in out:
+        snaps.setdefault(r["n_seen"], {})[r["key"]] = (r["est"], r["err"])
+    n_seens = sorted(snaps)
+    assert len(n_seens) >= 3, "expected one snapshot per non-empty batch"
+    assert n_seens[-1] == len(rows)
+    prev_err = 0
+    prev_est: dict = {}
+    for n in n_seens:
+        snap = snaps[n]
+        assert len(snap) <= 4, "summary exceeded capacity"
+        errs = {e for _, e in snap.values()}
+        assert len(errs) == 1, "err is the bucket's D — same on every row"
+        err = errs.pop()
+        assert err >= prev_err, "decrement total must be monotone"
+        prev_err = err
+        for k, (est, _) in snap.items():
+            assert est <= n, f"{k}: est {est} exceeds rows seen {n}"
+            assert est >= prev_est.get(k, 0), f"{k}: est decreased"
+        prev_est.update({k: e for k, (e, _) in snap.items()})

@@ -60,6 +60,26 @@ _LB = "lb"
 #: internal alias for the optional weight column inside the fold
 _W = "__w"
 
+#: fold outputs persisted by heavy_hitters_exact, tracked so long
+#: sessions can release them: each new call releases the previous
+#: call's cache (the two-scan budget only needs the cache alive while
+#: ITS query runs; queries in this repo build-then-execute
+#: sequentially, and an early unpersist is never wrong — Spark just
+#: recomputes), and release_fold_caches() frees the last one.
+_FOLD_CACHES: list[DataFrame] = []
+
+
+def release_fold_caches() -> None:
+    """Unpersist every fold output still tracked (session hygiene —
+    the same long-session concern session.py documents for the
+    ContextCleaner).  Safe at any time: an unpersisted fold recomputes
+    on next use, it never changes results."""
+    while _FOLD_CACHES:
+        try:
+            _FOLD_CACHES.pop().unpersist()
+        except Exception:  # noqa: BLE001 - session may already be gone
+            pass
+
 
 def _keyed(df: DataFrame, col: str, weight_col: str | None) -> DataFrame:
     """(key[, weight]) projection with the documented NULL exclusion."""
@@ -156,6 +176,15 @@ def heavy_hitters_exact(
     ``capacity`` defaults to the smallest value satisfying the superset
     guarantee (ceil(phi_den/phi_num)); callers may raise it to shrink
     phase-2 candidate counts.
+
+    N = 0 contract (weighted only): when every row's weight is 0 the
+    total mass is zero and this returns EMPTY, whereas a naive
+    ``HAVING cnt*phi_den >= N*phi_num`` oracle returns EVERY distinct
+    key (0 >= 0).  "Every key is phi-heavy of nothing" is degenerate —
+    its output is unbounded in the key cardinality, which no
+    capacity-bounded summary can produce — so exactness is guaranteed
+    for N >= 1 and the zero-mass case is pinned to empty
+    (tests/test_heavyhitters.py::test_weighted_zero_total_mass_empty).
     """
     if phi_num < 1:
         raise ValueError(f"phi_num must be >= 1, got {phi_num}")
@@ -172,7 +201,12 @@ def heavy_hitters_exact(
         )
     # Tiny fold output (<= n_partitions * (capacity+1) rows): persist so
     # the candidate branch and the N branch share ONE scan of df.
+    # Tracked in _FOLD_CACHES: releasing the PREVIOUS call's cache here
+    # bounds live fold caches at one per session however many queries a
+    # sweep runs; release_fold_caches() frees the last.
+    release_fold_caches()
     fold_out = mg_partition_candidates(df, col, capacity, weight_col).persist()
+    _FOLD_CACHES.append(fold_out)
     cand = fold_out.filter(F.col(col).isNotNull()).select(col).distinct()
     n = fold_out.filter(F.col(col).isNull()).agg(
         F.coalesce(F.sum(_LB), F.lit(0)).alias("n_total")
