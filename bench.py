@@ -123,6 +123,32 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warm-up must never fail the bench
                 pass
 
+    # Second warm-up tier for the graph family at sf0.01: janino
+    # compilation (above) is plan-keyed, but the JVM's C2 JIT compiles
+    # the generated classes only after enough INVOCATIONS — sf0.001
+    # gives the iterative graph kernels (triangles' adjacency
+    # intersect, pagerank/labelprop hot loops) too few rows to cross
+    # the compile threshold, so the timed sf0.1 pass was absorbing C2
+    # compilation (driver r7 measured q_graph_triangles at 10.0s vs a
+    # 4.4-5.4s warm spread — min-of-4 couldn't shed it because every
+    # timed run stayed cold).  One untimed sf0.01 pass gives C2 the
+    # volume it needs; ~8s buys triangles back into its warm band.
+    warm2_sf = "/root/testdata/sf0.01"
+    if os.path.isdir(warm2_sf) and os.path.realpath(
+        warm2_sf
+    ) != os.path.realpath(sf_dir):
+        for name in (
+            "q_graph_triangles",
+            "q_graph_pagerank",
+            "q_graph_labelprop",
+            "q_dedup_clusters",
+        ):
+            if name in qs:
+                try:
+                    materialize(qs[name](spark, warm2_sf))
+                except Exception:  # noqa: BLE001 - warm-up must never fail the bench
+                    pass
+
     # Fixed calibration workload: a 20M-row hash aggregate whose plan
     # never changes across rounds.  Its time is a pure machine-speed
     # probe — dividing two rounds' `calib` values separates "the engine

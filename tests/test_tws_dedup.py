@@ -1,7 +1,7 @@
 """transformWithState dedup tagger (streaming/tws_dedup.py).
 
 The execution path needs ``google.protobuf`` (the TWS state protocol;
-absent in this sandbox — re-probed round 7, still absent — see the
+absent in this sandbox — re-probed rounds 7 and 8, still absent — see the
 module docstring), so the semantic parity test gates on it.  Plan construction is checked unconditionally:
 the operator must analyze into a TransformWithState node without
 touching the state runtime.

@@ -8427,16 +8427,64 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's CORRECTNESS file records exactly 50 entries per round
 # (count-based cap), so cheap-first ordering alone can never evidence
-# the tail.  Rotate instead — round 7 window: the 6 queries with no
-# driver row in ANY round first (3 new this round + the rows-only
-# trio, which at least get their weaker rows-only row on the ledger),
-# then the 29 queries whose latest driver-green row is r3 (VERDICT r6
-# "what's wrong" #2 — three rounds of churn between their evidence and
-# HEAD), then 15 r4-stale fills.  Union of r4+r6+r7 evidence covers
-# the whole registry; the 32 remaining r4-stale entries lead the r8
-# window.
+# the tail.  Rotate instead — round 8 window: the flagship
+# q_corpus_curate first (its packing stage and tokenizer changed this
+# round, so its r7 row is stale evidence), then the 34 queries whose
+# latest driver-green row is r4 (VERDICT r7 "what's wrong" #2 — the
+# last evidence-staleness debt; includes q_seq_pack, also changed this
+# round), then 15 r6-evidenced fills.  After this window every query's
+# latest evidence is r6 or newer.
 GATE_ROTATION = [
     "q_corpus_curate",
+    "q_canonical_dedup",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_incr_neardup",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_stream",
+    "q_dedup_stream_neardup",
+    "q_dup_anomaly",
+    "q_dup_stats_stream",
+    "q_embed_ann_ivf_trained",
+    "q_embed_kmeans",
+    "q_embed_neardup",
+    "q_embed_neardup_rplsh",
+    "q_hfp_domain",
+    "q_hfp_golden",
+    "q_join_skew_salted",
+    "q_merge_upsert",
+    "q_minhash_simdup",
+    "q_multimodal_bytes",
+    "q_rollup_cascade",
+    "q_scan_project",
+    "q_seq_pack",
+    "q_session_window_stream",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_text_editdist",
+    "q_text_winnow",
+    "q_ts_correlate",
+    "q_window_sliding",
+    "q_window_tumbling_stream",
+    "q_winnow_pairs",
+    "q_zorder_layout",
+    "q_dedup_exact",
+    "q_dup_stats",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_semi_anti",
+    "q_join_outer",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_analytic",
+    "q_window_distribution",
+    "q_topk_per_group",
+    "q_grouping_sets",
+    "q_session_window",
+    "q_dedup_norm",
     "q_heavy_hitters",
     "q_heavy_hitters_stream",
     "q_ngram_heavy",
@@ -8486,80 +8534,31 @@ GATE_ROTATION = [
     "q_split_hash",
     "q_top_supplier",
     "q_promo_share",
-    "q_rollup_cascade",
-    "q_window_sliding",
-    "q_dedup_exact",
-    "q_dup_stats",
-    "q_dup_anomaly",
-    "q_scan_project",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_semi_anti",
-    "q_join_outer",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_window_rank",
-    "q_window_analytic",
-    "q_window_distribution",
-    "q_topk_per_group",
-    "q_grouping_sets",
     "q_token_colloc",
     "q_corpus_drift",
     "q_quality_funnel",
-    "q_text_winnow",
-    "q_winnow_pairs",
     "q_dedup_substring",
     "q_dedup_ladder",
     "q_bpe_merges",
     "q_bpe_encode",
     "q_tfidf_pairs",
-    "q_seq_pack",
-    "q_corpus_mix",
-    "q_decontaminate",
     "q_decontaminate_bloom",
     "q_decontaminate_stream",
     "q_dedup_url",
     "q_dedup_fuzzy",
-    "q_dedup_norm",
-    "q_minhash_simdup",
-    "q_dedup_incr_neardup",
     "q_dedup_incr_substring",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
     "q_embed_ann_pq",
     "q_embed_ann_ivfpq",
     "q_embed_quantize_int8",
-    "q_embed_kmeans",
-    "q_embed_ann_ivf_trained",
     "q_dedup_semantic",
     "q_dedup_incr_semantic",
-    "q_dedup_stream",
-    "q_dedup_stream_neardup",
-    "q_window_tumbling_stream",
-    "q_session_window",
-    "q_session_window_stream",
     "q_cdc_chunks",
-    "q_multimodal_bytes",
     "q_multimodal_decode",
     "q_multimodal_resize",
     "q_dq_audit",
-    "q_dup_stats_stream",
-    "q_canonical_dedup",
-    "q_hfp_golden",
     "q_window_range",
-    "q_dedup_clusters",
-    "q_embed_neardup",
-    "q_embed_neardup_rplsh",
-    "q_stream_stream_join",
-    "q_stream_static_join",
-    "q_hfp_domain",
-    "q_text_editdist",
     "q_scd2_build",
-    "q_merge_upsert",
     "q_cdc_latest_stream",
-    "q_ts_correlate",
-    "q_join_skew_salted",
-    "q_zorder_layout",
     "q_compact_plan",
     "q_sample_stratified",
     "q_sample_weighted",
