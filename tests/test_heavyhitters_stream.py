@@ -166,3 +166,66 @@ def test_intermediate_snapshots_live_feed_invariants(spark):
             assert est <= n, f"{k}: est {est} exceeds rows seen {n}"
             assert est >= prev_est.get(k, 0), f"{k}: est decreased"
         prev_est.update({k: e for k, (e, _) in snap.items()})
+
+
+def test_guaranteed_top_k_no_eviction_all_guaranteed(spark):
+    """capacity large enough that err stays 0: the top-k report is the
+    exact truth and every row is guaranteed."""
+    from transitdata_hfp_deduplicator_spark.streaming.heavyhitters_stream import (
+        guaranteed_top_k,
+    )
+
+    rows = ["a"] * 30 + ["b"] * 20 + ["c"] * 10 + ["d"] * 5
+    out = guaranteed_top_k(
+        _replay(spark, rows, capacity=16), k=2
+    ).collect()
+    assert [(r["key"], r["est"], r["guaranteed"]) for r in out] == [
+        ("a", 30, True),
+        ("b", 20, True),
+    ]
+
+
+def test_guaranteed_top_k_under_churn_sound(spark):
+    """With eviction churn the guarantee must stay SOUND: every row
+    flagged guaranteed really is in the true top-k (never the reverse
+    claim — unflagged rows may or may not be)."""
+    from collections import Counter
+
+    from transitdata_hfp_deduplicator_spark.streaming.heavyhitters_stream import (
+        guaranteed_top_k,
+    )
+
+    rows = ["hot1"] * 200 + ["hot2"] * 150 + [f"t{i}" for i in range(300)]
+    true = Counter(rows)
+    k = 3
+    true_topk = {kk for kk, _ in true.most_common(k)}
+    out = guaranteed_top_k(
+        _replay(spark, rows, capacity=6, n_buckets=2), k=k
+    ).collect()
+    # the report can hold FEWER than k rows: the singleton flood's final
+    # decrement legitimately wipes every tail key from the summary
+    assert 1 <= len(out) <= k
+    ests = [r["est"] for r in out]
+    assert ests == sorted(ests, reverse=True)
+    for r in out:
+        assert true[r["key"]] <= r["est"] <= true[r["key"]] + r["err"]
+        if r["guaranteed"]:
+            assert r["key"] in true_topk, f"unsound guarantee on {r['key']}"
+    # the clear heavies dominate every possible unreported count, so
+    # their flags must come back True (the guarantee is not vacuous)
+    flagged = {r["key"] for r in out if r["guaranteed"]}
+    assert {"hot1", "hot2"} <= flagged
+
+
+def test_guaranteed_top_k_validation(spark):
+    import pytest as _pytest
+
+    from transitdata_hfp_deduplicator_spark.streaming.heavyhitters_stream import (
+        guaranteed_top_k,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a", 1, 0, 1)], "bucket long, key string, est long, err long, n_seen long"
+    )
+    with _pytest.raises(ValueError, match="k must be"):
+        guaranteed_top_k(df, 0)

@@ -152,3 +152,55 @@ def final_snapshots(snapshots: DataFrame) -> DataFrame:
         .filter(F.col("n_seen") == F.col("mx"))
         .drop("mx")
     )
+
+
+def guaranteed_top_k(snapshots: DataFrame, k: int) -> DataFrame:
+    """Top-k keys by estimated count, each tagged with whether its
+    TRUE-top-k membership is guaranteed (Metwally et al. 2005 §4's
+    top-k report, lifted to the bucket-sharded summary).
+
+    A key outside the reported set has true count at most
+    ``max(est_(k+1), max_b D_b)``: a TRACKED key's true count is
+    bounded by its est (<= the (k+1)-th largest), and an UNTRACKED
+    key's by its bucket's decrement total D (it was absorbed entirely
+    by decrements), hence by the max D over buckets.  A reported key
+    whose lower bound ``est - err`` clears that ceiling is therefore
+    in the true top-k under ANY data consistent with the summary.
+
+    Output: ``(key, est, err, guaranteed)``, highest est first.  The
+    single-partition rank window is over the summary only —
+    <= n_buckets * capacity rows by construction, the same
+    bounded-small contract as the batch operator's candidate set.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window as W
+
+    fin = final_snapshots(snapshots).select("key", "est", "err")
+    ranked = fin.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.col("est").desc(), F.col("key")))
+    )
+    # ceiling on any unreported key's true count: the (k+1)-th est if a
+    # tracked key remains (0 when the summary holds <= k keys), or the
+    # worst bucket's decrement total for keys the summary dropped
+    ceil_ = ranked.agg(
+        F.greatest(
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == k + 1, F.col("est"))), F.lit(0)
+            ),
+            F.coalesce(F.max("err"), F.lit(0)),
+        ).alias("ceil")
+    )
+    return (
+        ranked.filter(F.col("rnk") <= k)
+        .crossJoin(F.broadcast(ceil_))
+        .select(
+            "key",
+            "est",
+            "err",
+            ((F.col("est") - F.col("err")) >= F.col("ceil")).alias(
+                "guaranteed"
+            ),
+        )
+        .orderBy(F.col("est").desc(), F.col("key"))
+    )
