@@ -322,9 +322,23 @@ COMMENTARY = {
         "columns over one documents scan; exact dedup is a digest-keyed "
         "groupBy + broadcast-right semi-join; near-dup is the verified "
         "banded-LSH subplan (equi-join on band buckets, never "
-        "all-pairs); packing is one per-language window.  Each stage's "
-        "exchanges are those of its verified standalone query — "
-        "composition adds zero new shuffle classes."
+        "all-pairs); packing is the range-sharded two-pass prefix sum — "
+        "the row-level window keys on (lang, _shard), the lang-only "
+        "window runs over the tiny langs x shards offsets aggregate, "
+        "and the shard-boundary max(doc_id) broadcasts from the cheap "
+        "raw scan, so no single task ever holds a language's corpus.  "
+        "Each stage's exchanges are those of its verified standalone "
+        "query — composition adds zero new shuffle classes."
+    ),
+    "q_seq_pack": (
+        "Sequence packing standalone: the per-language running token "
+        "sum is the sharded two-pass form — pass 1's HashAggregate "
+        "reduces each (lang, shard) to one partial row, the exclusive "
+        "offset window sorts only that langs x shards table, and pass "
+        "2's window partitions by (lang, _shard) so the big sort "
+        "parallelizes across shards.  A partitionBy(lang) window here "
+        "would funnel each language's full corpus through one task at "
+        "lake scale (VERDICT r7 #3, retired)."
     ),
 }
 
