@@ -118,3 +118,54 @@ def test_gapfill_grid_is_dense(spark, sf_dir):
         ts = sorted(r.hour_ms for r in rs)
         assert ts == list(range(ts[0], ts[-1] + hour, hour)), f"holes in {g}"
         assert all(r.n_events >= 0 for r in rs)
+
+
+def test_curate_and_seqpack_engine_parity_on_whitespace_runs(spark, tmp_path):
+    """ADVICE r7: the curate oracle split on a literal space while the
+    Spark path split on \\s+ — hash-exactness held only because the
+    test corpus has no whitespace runs.  Both sides now normalize runs
+    first; this pins the parity on a corpus the driver's data never
+    exercises (double spaces, tabs, newlines, a dup pair identical up
+    to whitespace, leading/trailing whitespace)."""
+    import duckdb
+
+    word = "abcdefghij"  # 10 letters keeps alpha-ratio >= 0.82 at 40 tokens
+    base = " ".join(f"{word}{i % 7}" for i in range(40))
+    rows = [
+        (0, "en", base),
+        (1, "en", base.replace(" ", "  ", 5)),          # ws-run dup of 0
+        (2, "en", "\t" + base.replace(" ", " \n", 3) + "  "),  # tabs+newlines dup
+        (3, "fi", base + " extraword" * 3),              # near-dup of 0
+        (4, "fi", " ".join(f"{word}x{i}" for i in range(45))),  # unique
+        (5, "sv", "short doc"),                          # fails the gate
+    ]
+    src = str(tmp_path / "ws")
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).coalesce(1).write.parquet(src + "/documents.parquet")
+
+    from transitdata_hfp_deduplicator_spark.queries import ORACLES
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{src}/documents.parquet/*.parquet')"
+    )
+    for name in ("q_corpus_curate", "q_seq_pack"):
+        sdf = QUERIES[name](spark, src)
+        cols = sorted(sdf.columns)
+        got = sorted(
+            tuple(r[c] for c in cols) for r in sdf.collect()
+        )
+        odf = con.sql(ORACLES[name]).df()
+        want = sorted(
+            tuple(r[c] for c in cols) for _, r in odf.iterrows()
+        )
+        assert got == want, f"{name}: {got} != {want}"
+    # the normalization must actually bite: docs 0/1/2 are exact dups
+    # after it, so the curate manifest packs en from ONE survivor
+    curate = {
+        (r.lang, r.seq_id): r.n_docs
+        for r in QUERIES["q_corpus_curate"](spark, src).collect()
+    }
+    assert sum(n for (lg, _), n in curate.items() if lg == "en") == 1
