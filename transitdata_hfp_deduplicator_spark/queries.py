@@ -1094,9 +1094,15 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE scan — both snapshots' counts come from the same
     token-keyed partial-agg exchange via conditional aggregates
-    (count FILTER), never a self-join of two scans; totals are a 1-row
-    aggregate crossJoined back.  The exchange carries |vocab| rows per
-    task; the corpus is never shuffled."""
+    (count FILTER), never a self-join of two scans; corpus totals ride
+    an empty-partition window over the |vocab|-row counts table (the
+    inline comment below) because a totals AGGREGATE branch would plan
+    a second corpus scan — verified: Spark does not ReuseExchange
+    across the two branches, and the scan==1 pin in test_plans would
+    fail.  The window moves |vocab| numeric rows through one task —
+    the deliberate trade (bounded vocab transfer vs re-reading the
+    corpus); at lake scale where even that bites, persist the counts
+    table and take the 1-row aggregate off the cache."""
     from transitdata_hfp_deduplicator_spark.functions import text as TXT
 
     d = _t(spark, sf_dir, "documents")
