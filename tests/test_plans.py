@@ -634,6 +634,9 @@ def test_corpus_curate_composes_without_new_shuffle_classes(spark, sf_dir):
     assert _re.search(r"hashpartitioning\(lang#\d+, _shard", plan), (
         "packing window lost its shard key"
     )
+    # the exact-dedup survivors are a persisted stage boundary: its 4
+    # consumers must read the cache, not re-run scan+filter+md5 shuffle
+    assert "InMemoryTableScan" in plan, "stage cache dropped"
 
 
 def test_ngram_heavy_no_full_vocabulary_exchange(spark, sf_dir):

@@ -327,6 +327,11 @@ COMMENTARY = {
         "window runs over the tiny langs x shards offsets aggregate, "
         "and the shard-boundary max(doc_id) broadcasts from the cheap "
         "raw scan, so no single task ever holds a language's corpus.  "
+        "The exact-dedup survivors persist as a stage boundary "
+        "(InMemoryTableScan below): the LSH signatures, both "
+        "exact-Jaccard verification sides, and the packing input read "
+        "the cache instead of re-running scan+filter+md5 shuffle each "
+        "(was 14 static corpus scans; 1.35x end-to-end locally).  "
         "Each stage's exchanges are those of its verified standalone "
         "query — composition adds zero new shuffle classes."
     ),
