@@ -68,21 +68,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 #: stage intermediates persisted by composed queries (q_corpus_curate's
-#: exact-dedup survivors), tracked exactly like the heavy-hitter fold
-#: caches (operators/heavyhitters.py::_FOLD_CACHES): each new call
-#: releases the previous one, so a full gate/bench sweep never holds
-#: more than one; an early release just recomputes, never changes
-#: results.
+#: exact-dedup survivors, the incremental-substring gram index),
+#: tracked exactly like the heavy-hitter fold caches
+#: (operators/heavyhitters.py::_FOLD_CACHES): each query build releases
+#: the previous build's caches, so a full gate/bench sweep never holds
+#: more than one query's worth; an early release just recomputes, never
+#: changes results.
 _STAGE_CACHES: list[DataFrame] = []
 
 
-def _stage_cache(df: DataFrame) -> DataFrame:
-    """Persist a stage boundary, releasing the previously tracked one."""
+def _release_stage_caches() -> None:
     while _STAGE_CACHES:
         try:
             _STAGE_CACHES.pop().unpersist()
         except Exception:  # noqa: BLE001 - session may already be gone
             pass
+
+
+def _stage_cache(df: DataFrame, fresh: bool = False) -> DataFrame:
+    """Persist a stage boundary; ``fresh=True`` (a query's FIRST cache)
+    releases the previous query's caches first."""
+    if fresh:
+        _release_stage_caches()
     out = df.persist()
     _STAGE_CACHES.append(out)
     return out
@@ -3652,6 +3659,13 @@ def q_dedup_incr_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     cut = d.agg(F.floor(0.6 * F.count(F.lit(1))).cast("bigint").alias("c"))
+    # Deliberately NOT a _stage_cache stage boundary: the gram pipeline
+    # re-runs per join side (14 static scans), but it is CPU-bound map
+    # work — measured at sf0.1, persisting g and/or gk trades the
+    # recompute for an equal-or-larger materialization cost (5.3-7.1s
+    # uncached vs 6.3s both-cached vs 5.5-5.9s gk-only).  At an
+    # IO-bound lake scale, persist g (the materialized gram index) —
+    # the plumbing exists; the local bench says don't.
     g = char_gram_postings(normalize_text(d)).distinct()
     keep = (
         g.groupBy("h")
@@ -8257,7 +8271,7 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     ex = _stage_cache(
-        qual.join(first.select("doc_id"), "doc_id", "left_semi")
+        qual.join(first.select("doc_id"), "doc_id", "left_semi"), fresh=True
     )
     near_j = (
         minhash_lsh_pairs(
