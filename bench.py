@@ -123,26 +123,45 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warm-up must never fail the bench
                 pass
 
-    # Second warm-up tier for the graph family at sf0.01: janino
+    # Second warm-up tier at sf0.01 for every HEAVY query: janino
     # compilation (above) is plan-keyed, but the JVM's C2 JIT compiles
     # the generated classes only after enough INVOCATIONS — sf0.001
-    # gives the iterative graph kernels (triangles' adjacency
-    # intersect, pagerank/labelprop hot loops) too few rows to cross
-    # the compile threshold, so the timed sf0.1 pass was absorbing C2
-    # compilation (driver r7 measured q_graph_triangles at 10.0s vs a
-    # 4.4-5.4s warm spread — min-of-4 couldn't shed it because every
-    # timed run stayed cold).  One untimed sf0.01 pass gives C2 the
-    # volume it needs; ~8s buys triangles back into its warm band.
+    # gives heavy kernels (triangles' adjacency intersect, BPE's pair
+    # explode/agg loop, ...) too few rows to cross the compile
+    # threshold, so the timed sf0.1 pass absorbed C2 compilation
+    # (driver r7: q_graph_triangles 10.0s vs a 4.4-5.4s warm band;
+    # driver r8, after a graph-only warm tier: q_bpe_merges 13.2s vs
+    # 3.7-5.8s — fixing instances grows the next one).  Fix the CLASS:
+    # any query whose measured warm median (BENCH_spread.json, written
+    # by tools/bench_spread.py) exceeds 3s gets the sf0.01 pass — those
+    # are exactly the queries long enough for a cold first timed run to
+    # survive min-of-N.  Falls back to the known-heavy list when the
+    # spread file is absent.
     warm2_sf = "/root/testdata/sf0.01"
+    heavy = [
+        "q_graph_triangles",
+        "q_graph_pagerank",
+        "q_graph_labelprop",
+        "q_dedup_clusters",
+        "q_bpe_merges",
+        "q_bpe_encode",
+    ]
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_spread.json")
+        ) as fh:
+            spread = json.load(fh)["queries"]
+        heavy = sorted(
+            set(heavy)
+            | {n for n, s in spread.items() if s.get("median", 0) > 3.0}
+        )
+    except Exception:  # noqa: BLE001 - spread file is advisory
+        pass
     if os.path.isdir(warm2_sf) and os.path.realpath(
         warm2_sf
     ) != os.path.realpath(sf_dir):
-        for name in (
-            "q_graph_triangles",
-            "q_graph_pagerank",
-            "q_graph_labelprop",
-            "q_dedup_clusters",
-        ):
+        for name in heavy:
             if name in qs:
                 try:
                     materialize(qs[name](spark, warm2_sf))
@@ -187,6 +206,7 @@ def main() -> None:
         best = None
         try:
             runs = 0
+            prev = None
             while True:
                 # GC BETWEEN queries, outside the timed region: the
                 # ContextCleaner only releases finished queries' shuffle
@@ -203,11 +223,20 @@ def main() -> None:
                 best = dt if best is None else min(best, dt)
                 runs += 1
                 spark.catalog.clearCache()
-                if runs >= 2 and (best < 4.0 or runs >= 4):
-                    # a slow best after 2 runs is usually a JIT/GC event
-                    # hitting BOTH runs (measured: identical plan 2s and
-                    # 13s across bench invocations) — buy up to 2 extra
-                    # runs of insurance for heavy outliers only
+                # Convergence stop, not a fixed run count: a heavy query
+                # still absorbing C2 JIT shows MONOTONICALLY FALLING
+                # timings (measured on q_bpe_merges: 11.1 -> 6.6 -> 4.7s
+                # on the identical plan), which a fixed min-of-N samples
+                # mid-descent.  Keep re-running until two CONSECUTIVE
+                # timings agree within 15% (steady state reached), then
+                # report the min.  Cheap queries (<4s best) exit at 2
+                # runs as before; the cap bounds pathological churn.
+                agreed = (
+                    prev is not None
+                    and abs(dt - prev) <= 0.15 * max(dt, prev)
+                )
+                prev = dt
+                if runs >= 2 and (best < 4.0 or agreed or runs >= 6):
                     break
             timings[name] = round(best, 4)
         except Exception as e:  # noqa: BLE001

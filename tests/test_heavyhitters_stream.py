@@ -217,6 +217,91 @@ def test_guaranteed_top_k_under_churn_sound(spark):
     assert {"hot1", "hot2"} <= flagged
 
 
+def test_empty_summary_batch_emits_sentinel_with_final_d(spark):
+    """A batch whose all-ties decrement EMPTIES the summary must still
+    surface the bucket's final decrement total: batch 1 tracks a:5,
+    batch 2 floods b/c/d x6 so the pivot (6) wipes every counter.
+    Without the sentinel, final_snapshots would return batch 1's stale
+    (err=0) snapshot and guaranteed_top_k would flag 'a' as a
+    guaranteed top-1 even though b's true count (6) beats it."""
+    from transitdata_hfp_deduplicator_spark.streaming.heavyhitters_stream import (
+        guaranteed_top_k,
+    )
+
+    rows = ["a"] * 5 + (["b"] * 6 + ["c"] * 6 + ["d"] * 6)
+    # files=2 splits exactly at index 12: file0 = a*5 + b*6 + c*1 ...
+    # that's the wrong split; force the batches explicitly instead
+    d = ephemeral_dir("sshh_sent_")
+    spark.createDataFrame([(v,) for v in ["a"] * 5], "k string").coalesce(
+        1
+    ).write.parquet(os.path.join(d, "f0"))
+    spark.createDataFrame(
+        [(v,) for v in ["b"] * 6 + ["c"] * 6 + ["d"] * 6], "k string"
+    ).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    stream = parquet_stream(spark, d + "/*", max_files_per_trigger=1)
+    snaps = space_saving_stream(stream, "k", capacity=2, n_buckets=1)
+    with scoped_shuffle_partitions(spark, 1):
+        out = run_to_memory(snaps, output_mode="append")
+    fin = final_snapshots(out).collect()
+    # the final snapshot IS the sentinel: n_seen covers the whole
+    # stream and err carries the wipe-out decrement (6), not batch 1's 0
+    assert len(fin) == 1
+    assert fin[0]["key"] is None
+    assert fin[0]["n_seen"] == len(rows)
+    assert fin[0]["err"] >= 6
+    # and the top-k report is EMPTY (sound): no stale 'a' guarantee
+    assert guaranteed_top_k(out, k=1).collect() == []
+
+
+def test_guaranteed_top_k_ceiling_covers_wiped_sibling_bucket(spark):
+    """Two buckets: one keeps a genuinely heavy key, the other ends on
+    an empty-summary sentinel with a large D.  The surviving key's
+    guarantee must be judged against the SIBLING bucket's final D — a
+    key whose lower bound clears it stays guaranteed; one that doesn't
+    must not be."""
+    from transitdata_hfp_deduplicator_spark.streaming.heavyhitters_stream import (
+        guaranteed_top_k,
+        space_saving_stream as _sss,
+    )
+
+    # route keys to known buckets by probing the same hash Spark uses
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "k string"
+    ).withColumn("b", F.pmod(F.xxhash64("k"), F.lit(2)))
+    by_bucket = {0: [], 1: []}
+    for r in probe.collect():
+        by_bucket[r["b"]].append(r["k"])
+    heavy = by_bucket[0][0]
+    fillers = by_bucket[1][:3]
+    assert len(fillers) == 3
+    d = ephemeral_dir("sshh_sib_")
+    # batch 1: the heavy key (bucket 0) + a seed in bucket 1
+    spark.createDataFrame(
+        [(heavy,)] * 50 + [(fillers[0],)], "k string"
+    ).coalesce(1).write.parquet(os.path.join(d, "f0"))
+    # batch 2: tops every filler up to exactly 10 (the seeded one gets
+    # 9 more) -> a three-way tie at the pivot wipes bucket 1's
+    # capacity-2 summary entirely, D = 10
+    spark.createDataFrame(
+        [(v,) for v in [fillers[0]] * 9 + [fillers[1]] * 10 + [fillers[2]] * 10],
+        "k string",
+    ).coalesce(1).write.parquet(os.path.join(d, "f1"))
+    stream = parquet_stream(spark, d + "/*", max_files_per_trigger=1)
+    snaps = _sss(stream, "k", capacity=2, n_buckets=2)
+    with scoped_shuffle_partitions(spark, 2):
+        out = run_to_memory(snaps, output_mode="append")
+    rep = {r["key"]: r for r in guaranteed_top_k(out, k=2).collect()}
+    # bucket 1's final snapshot is the sentinel: its stale batch-1 seed
+    # (est 1) must NOT resurface in the report — pre-fix it would, and
+    # would even come back flagged guaranteed against a D=0 ceiling
+    # despite the fillers' true counts of 10-11
+    assert set(rep) == {heavy}
+    r = rep[heavy]
+    # ceiling = sibling bucket's final D (>= 10); heavy's lower bound is
+    # 50 - err, comfortably above it -> guaranteed stays True
+    assert r["est"] >= 50 and r["guaranteed"] is True
+
+
 def test_guaranteed_top_k_validation(spark):
     import pytest as _pytest
 

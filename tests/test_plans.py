@@ -7,6 +7,8 @@ pin the plan, not just the answer (SURVEY.md §4).
 
 from __future__ import annotations
 
+import pytest
+
 from transitdata_hfp_deduplicator_spark.plans import (
     assert_broadcast_join,
     assert_no_broadcast_join,
@@ -651,3 +653,28 @@ def test_ngram_heavy_no_full_vocabulary_exchange(spark, sf_dir):
     assert_no_cartesian(df)
     cols = read_schema_columns(df)
     assert cols <= {"text"}, f"reads extra columns: {cols}"
+
+
+@pytest.mark.slow
+def test_registry_unpartitioned_windows_sit_above_aggregates(spark, sf_dir):
+    """Registry-wide scale audit (VERDICT r8 "what's wrong" #3): Spark
+    warns on EVERY unpartitioned window ("No Partition Defined ...
+    single partition"), but the ones this engine plans are bounded-
+    small by construction — pass-1 offset windows over groups x shards
+    / buckets x capacity AGGREGATES, never over raw rows.  Pin that
+    invariant for every query so a future unbounded single-task funnel
+    cannot creep in silently behind the familiar warning."""
+    from transitdata_hfp_deduplicator_spark.plans.inspect import (
+        unpartitioned_window_violations,
+    )
+
+    bad: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception:  # noqa: BLE001 - env-gated queries skip
+            continue
+        v = unpartitioned_window_violations(df)
+        if v:
+            bad[name] = v
+    assert not bad, f"unbounded single-task windows: {bad}"

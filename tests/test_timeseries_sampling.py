@@ -219,6 +219,82 @@ def test_sharded_prefix_sum_matches_single_window(spark):
         assert got == want, f"shards={shards}"
 
 
+def test_sharded_prefix_sum_null_keys_match_window(spark):
+    """NULL group keys and NULL ids must flow through like the naive
+    window treats them (NULL group = its own partition, NULL ids first
+    in order) — not get silently dropped by an inner equi-join."""
+    from pyspark.sql.window import Window as W
+
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        sharded_prefix_sum,
+    )
+
+    rows = (
+        [(i, "g0", 2) for i in range(40)]
+        + [(i, None, 3) for i in range(25)]  # NULL group
+        + [(None, "g0", 5)] * 1  # NULL id (one per group: tie order
+        + [(None, None, 7)] * 1  # among NULL ids is arbitrary in BOTH
+    )  # forms, so keep them unique)
+    df = spark.createDataFrame(rows, "id bigint, grp string, w bigint")
+    naive = df.withColumn(
+        "prior",
+        F.coalesce(
+            F.sum("w").over(
+                W.partitionBy("grp").orderBy("id").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    want = {(r.grp, r.id): r.prior for r in naive.collect()}
+    got = {
+        (r.grp, r.id): r.prior
+        for r in sharded_prefix_sum(
+            df, "id", "w", part_cols=("grp",), shards=7
+        ).collect()
+    }
+    assert got == want
+    # the NULL id really did land first: its prior is 0 in each group
+    assert got[("g0", None)] == 0 and got[(None, None)] == 0
+
+
+def test_sharded_prefix_sum_extreme_hash_ids(spark):
+    """Hash-derived ids spanning the full int64 range: the shard
+    bucketing must stay monotone (no silent int64 wrap in id*shards),
+    so the two-pass sum still equals the naive window."""
+    from pyspark.sql.window import Window as W
+
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        sharded_prefix_sum,
+    )
+
+    lo, hi = -(2**63), 2**63 - 1
+    ids = sorted(
+        {lo, lo + 1, -5, 0, 3, hi - 7, hi - 1, hi}
+        | {((i * 0x9E3779B97F4A7C15) % 2**64) - 2**63 for i in range(200)}
+    )
+    df = spark.createDataFrame(
+        [(i, (abs(i) % 97) + 1) for i in ids], "id bigint, w bigint"
+    ).repartition(5)
+    naive = df.withColumn(
+        "prior",
+        F.coalesce(
+            F.sum("w").over(
+                W.orderBy("id").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    want = {r.id: r.prior for r in naive.collect()}
+    for shards in (3, 32):
+        got = {
+            r.id: r.prior
+            for r in sharded_prefix_sum(df, "id", "w", shards=shards).collect()
+        }
+        assert got == want, f"shards={shards}"
+
+
 def test_sharded_prefix_sum_superset_max_df(spark):
     """max(id) from a SUPERSET source (the cheap raw scan) only moves
     shard boundaries — the sums are unchanged."""

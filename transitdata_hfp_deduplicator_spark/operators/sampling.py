@@ -140,19 +140,46 @@ def sharded_prefix_sum(
     parallel and adds the offset.  Identical values to the single-task
     window, linear shuffle at any group size.
 
-    ``max_df``: optional cheap superset to derive max(id) from (e.g.
-    the raw scan) when ``df`` is the tail of an expensive plan — using
-    a superset max only changes shard boundaries, never the sum.
-    Appends ``out_col`` (bigint) to ``df``'s columns.
+    ``max_df``: optional cheap superset to derive min/max(id) from
+    (e.g. the raw scan) when ``df`` is the tail of an expensive plan —
+    using a superset's bounds only changes shard boundaries, never the
+    sum.  Appends ``out_col`` (bigint) to ``df``'s columns.
+
+    NULL handling matches the single-task window: NULL ids get a
+    dedicated shard that sorts before every real one (Spark windows
+    order NULLs first ascending; their mutual tie order is arbitrary in
+    both forms), and NULLs in ``part_cols`` are a group of their own
+    (the internal joins are null-safe).
     """
+    from functools import reduce as _reduce
+
     from pyspark.sql.window import Window as W
 
     src = df if max_df is None else max_df
-    stats = src.select(F.max(F.col(id_col)).alias("_mx"))
+    stats = src.select(
+        F.min(F.col(id_col)).alias("_mn"), F.max(F.col(id_col)).alias("_mx")
+    )
     parts = list(part_cols)
+    # Shard index: monotone in id — rescale by min so the numerator is
+    # never negative for any id sign, and compute in DOUBLE so
+    # hash-derived ids near ±2^63 can't silently wrap an int64 multiply
+    # (x·c with c>0, and truncation, are both order-preserving in IEEE
+    # double, so non-strict monotonicity — all the bucketing needs —
+    # survives the precision loss above 2^53).
+    mn = F.col("_mn").cast("double")
+    span = F.col("_mx").cast("double") - mn + F.lit(1.0)
+    bucket = F.least(
+        F.greatest(
+            ((F.col(id_col).cast("double") - mn) * shards / span).cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+        F.lit(shards - 1),
+    )
     d = df.crossJoin(F.broadcast(stats)).withColumn(
         "_shard",
-        (F.col(id_col) * shards / (F.col("_mx") + 1)).cast("bigint"),
+        F.when(F.col(id_col).isNull(), F.lit(-1)).otherwise(bucket),
     )
     # pass 1: per-(group, shard) totals -> exclusive running offsets
     # (tiny table: |groups| * shards rows; the offset window partitions
@@ -173,8 +200,19 @@ def sharded_prefix_sum(
         )
         .select(*parts, "_shard", "_off")
     )
-    # pass 2: within-(group, shard) exclusive cumsums, all in parallel
-    out = d.join(F.broadcast(sh), [*parts, "_shard"]).withColumn(
+    # pass 2: within-(group, shard) exclusive cumsums, all in parallel.
+    # The offset join is NULL-SAFE so NULL group keys / the NULL-id
+    # shard still find their offset row (a plain equi-join would
+    # silently drop them — diverging from the window semantics).
+    join_keys = [*parts, "_shard"]
+    sh_r = sh.select(
+        *[F.col(c).alias(f"_r_{c}") for c in join_keys], F.col("_off")
+    )
+    cond = _reduce(
+        lambda a, b: a & b,
+        [F.col(c).eqNullSafe(F.col(f"_r_{c}")) for c in join_keys],
+    )
+    out = d.join(F.broadcast(sh_r), cond).withColumn(
         out_col,
         F.col("_off")
         + F.coalesce(
@@ -186,7 +224,9 @@ def sharded_prefix_sum(
             F.lit(0),
         ),
     )
-    return out.drop("_mx", "_shard", "_off")
+    return out.drop(
+        "_mn", "_mx", "_shard", "_off", *[f"_r_{c}" for c in join_keys]
+    )
 
 
 def systematic_pps_sample(

@@ -67,6 +67,46 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, "plan contains a cartesian product"
 
 
+def unpartitioned_window_violations(df: DataFrame) -> list[str]:
+    """Unpartitioned logical Window nodes with NO Aggregate beneath
+    them — i.e. single-task sorts over potentially UNBOUNDED input.
+
+    An unpartitioned window funnels its whole input through one task;
+    that is only acceptable when the input is already an aggregate
+    (bounded by groups x shards / buckets x capacity rows by
+    construction — the sharded-prefix-sum pass-1 offset shape).  Spark
+    itself flags every unpartitioned window with the WindowExec "No
+    Partition Defined" WARNING regardless of input size (see README);
+    this check separates the benign bounded ones from a real scale
+    bug creeping in.  Returns the offending nodes' simpleStrings
+    (empty list = plan is clean).
+    """
+    plan = df._jdf.queryExecution().optimizedPlan()
+    violations: list[str] = []
+
+    def subtree_has_aggregate(node) -> bool:
+        if node.getClass().getSimpleName() == "Aggregate":
+            return True
+        ch = node.children()
+        return any(
+            subtree_has_aggregate(ch.apply(i)) for i in range(ch.length())
+        )
+
+    def walk(node) -> None:
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not subtree_has_aggregate(node)
+        ):
+            violations.append(node.simpleString(120))
+        ch = node.children()
+        for i in range(ch.length()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    return violations
+
+
 def assert_partial_aggregation(df: DataFrame) -> None:
     """Aggregation has a map-side partial pass (partial before final) —
     the thing that keeps a 2x-duplicated 100 TB stream from shuffling

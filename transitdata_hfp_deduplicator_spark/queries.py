@@ -8454,7 +8454,12 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps = space_saving_stream(stream, "user_id", capacity=160, n_buckets=8)
     with scoped_shuffle_partitions(spark, replay_shuffle_partitions(src)):
         out = run_to_memory(snaps, output_mode="append")
-    cand = final_snapshots(out).select(F.col("key").alias("user_id")).distinct()
+    cand = (
+        final_snapshots(out)
+        .filter(F.col("key").isNotNull())  # drop empty-summary sentinels
+        .select(F.col("key").alias("user_id"))
+        .distinct()
+    )
     ev = _t(spark, sf_dir, "events").select(
         F.col("user_id").cast("string").alias("user_id")
     ).filter(F.col("user_id").isNotNull())
@@ -8479,91 +8484,86 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's CORRECTNESS file records exactly 50 entries per round
 # (count-based cap), so cheap-first ordering alone can never evidence
-# the tail.  Rotate instead — round 8 window: the flagship
-# q_corpus_curate first (its packing stage and tokenizer changed this
-# round, so its r7 row is stale evidence), then the 34 queries whose
-# latest driver-green row is r4 (VERDICT r7 "what's wrong" #2 — the
-# last evidence-staleness debt; includes q_seq_pack, also changed this
-# round), then 15 r6-evidenced fills.  After this window every query's
-# latest evidence is r6 or newer.
+# the tail.  Rotate instead — round 9 window: the 35 queries whose
+# latest driver-green row is r6 (the oldest evidence tier after r8
+# retired the r4 debt; VERDICT r8 "next round" #2), then 15 r7-tier
+# fills.  The rest of the registry follows oldest-tier-first so any
+# driver that reads past 50 keeps improving recency.  After this
+# window every query's latest evidence is r7 or newer.
 GATE_ROTATION = [
-    "q_corpus_curate",
-    "q_canonical_dedup",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_incr_neardup",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
-    "q_dedup_stream",
-    "q_dedup_stream_neardup",
-    "q_dup_anomaly",
-    "q_dup_stats_stream",
-    "q_embed_ann_ivf_trained",
-    "q_embed_kmeans",
-    "q_embed_neardup",
-    "q_embed_neardup_rplsh",
-    "q_hfp_domain",
-    "q_hfp_golden",
-    "q_join_skew_salted",
-    "q_merge_upsert",
-    "q_minhash_simdup",
-    "q_multimodal_bytes",
-    "q_rollup_cascade",
-    "q_scan_project",
-    "q_seq_pack",
-    "q_session_window_stream",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_text_editdist",
-    "q_text_winnow",
-    "q_ts_correlate",
-    "q_window_sliding",
-    "q_window_tumbling_stream",
-    "q_winnow_pairs",
-    "q_zorder_layout",
-    "q_dedup_exact",
-    "q_dup_stats",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_semi_anti",
-    "q_join_outer",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_window_rank",
-    "q_window_analytic",
-    "q_window_distribution",
-    "q_topk_per_group",
-    "q_grouping_sets",
-    "q_session_window",
-    "q_dedup_norm",
-    "q_heavy_hitters",
-    "q_heavy_hitters_stream",
-    "q_ngram_heavy",
-    "q_heavy_hitters_weighted",
-    "q_late_data",
+    "q_anomaly_mad",
+    "q_bpe_encode",
+    "q_bpe_merges",
+    "q_cdc_chunks",
+    "q_cdc_latest_stream",
+    "q_compact_plan",
+    "q_corpus_drift",
+    "q_decontaminate_bloom",
+    "q_decontaminate_stream",
+    "q_dedup_fuzzy",
+    "q_dedup_incr_semantic",
+    "q_dedup_incr_substring",
+    "q_dedup_ladder",
+    "q_dedup_semantic",
+    "q_dedup_substring",
+    "q_dedup_url",
+    "q_dq_audit",
+    "q_embed_ann_ivfpq",
+    "q_embed_ann_pq",
+    "q_embed_quantize_int8",
+    "q_funnel",
+    "q_graph_labelprop",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_multimodal_decode",
+    "q_multimodal_resize",
+    "q_quality_funnel",
+    "q_recursive_cte",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scd2_build",
+    "q_skyline",
+    "q_tfidf_pairs",
+    "q_token_colloc",
+    "q_window_range",
     "q_agg_approx",
-    "q_dedup_lru",
     "q_agg_approx_check",
     "q_agg_distinct",
     "q_agg_hash",
+    "q_array_ops",
     "q_bm25",
     "q_containment",
     "q_corpus_prep",
     "q_corpus_shuffle",
     "q_dedup_incremental",
+    "q_dedup_lru",
     "q_doc_chunks",
     "q_embed_ann_ivf",
     "q_embed_cosine",
     "q_filter_pred",
+    "q_gapfill",
+    "q_heavy_hitters",
+    "q_heavy_hitters_stream",
+    "q_heavy_hitters_weighted",
+    "q_histogram",
     "q_json_extract",
+    "q_late_data",
     "q_map_ops",
     "q_minhash_signature",
+    "q_ngram_heavy",
     "q_ngram_lm",
+    "q_percentile",
     "q_pivot",
+    "q_promo_share",
     "q_scalar_datetime",
     "q_scalar_math",
+    "q_scalar_string",
+    "q_sessionize",
     "q_set_ops",
+    "q_sort_limit",
+    "q_split_hash",
+    "q_string_agg",
+    "q_subquery_scalar",
     "q_text_fingerprint",
     "q_text_lang_id",
     "q_text_quality",
@@ -8571,56 +8571,60 @@ GATE_ROTATION = [
     "q_text_scrub",
     "q_text_stats",
     "q_text_tokens",
+    "q_top_supplier",
     "q_udf_surface",
     "q_udtf",
-    "q_array_ops",
-    "q_scalar_string",
-    "q_sort_limit",
-    "q_string_agg",
-    "q_subquery_scalar",
     "q_unpivot",
-    "q_histogram",
-    "q_percentile",
-    "q_gapfill",
-    "q_sessionize",
-    "q_split_hash",
-    "q_top_supplier",
-    "q_promo_share",
-    "q_token_colloc",
-    "q_corpus_drift",
-    "q_quality_funnel",
-    "q_dedup_substring",
-    "q_dedup_ladder",
-    "q_bpe_merges",
-    "q_bpe_encode",
-    "q_tfidf_pairs",
-    "q_decontaminate_bloom",
-    "q_decontaminate_stream",
-    "q_dedup_url",
-    "q_dedup_fuzzy",
-    "q_dedup_incr_substring",
-    "q_embed_ann_pq",
-    "q_embed_ann_ivfpq",
-    "q_embed_quantize_int8",
-    "q_dedup_semantic",
-    "q_dedup_incr_semantic",
-    "q_cdc_chunks",
-    "q_multimodal_decode",
-    "q_multimodal_resize",
-    "q_dq_audit",
-    "q_window_range",
-    "q_scd2_build",
-    "q_cdc_latest_stream",
-    "q_compact_plan",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_funnel",
-    "q_anomaly_mad",
-    "q_recursive_cte",
-    "q_graph_pagerank",
-    "q_skyline",
-    "q_graph_triangles",
-    "q_graph_labelprop",
+    "q_canonical_dedup",
+    "q_corpus_curate",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_incr_neardup",
+    "q_dedup_minhash_lsh",
+    "q_dedup_norm",
+    "q_dedup_simhash",
+    "q_dedup_stream",
+    "q_dedup_stream_neardup",
+    "q_dup_anomaly",
+    "q_dup_stats",
+    "q_dup_stats_stream",
+    "q_embed_ann_ivf_trained",
+    "q_embed_kmeans",
+    "q_embed_neardup",
+    "q_embed_neardup_rplsh",
+    "q_grouping_sets",
+    "q_hfp_domain",
+    "q_hfp_golden",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_outer",
+    "q_join_semi_anti",
+    "q_join_skew_salted",
+    "q_join_theta_range",
+    "q_merge_upsert",
+    "q_minhash_simdup",
+    "q_multimodal_bytes",
+    "q_rollup_cascade",
+    "q_scan_project",
+    "q_seq_pack",
+    "q_session_window",
+    "q_session_window_stream",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_text_editdist",
+    "q_text_winnow",
+    "q_topk_per_group",
+    "q_ts_correlate",
+    "q_window_analytic",
+    "q_window_distribution",
+    "q_window_rank",
+    "q_window_sliding",
+    "q_window_tumbling_stream",
+    "q_winnow_pairs",
+    "q_zorder_layout",
 ]
 
 

@@ -71,7 +71,13 @@ def space_saving_stream(
     ``est`` is an overestimate of the key's in-bucket count, ``err``
     its maximum overestimation, ``n_seen`` the bucket's total row
     count at snapshot time (NULL keys are dropped before bucketing,
-    matching the batch operator's documented NULL exclusion).
+    matching the batch operator's documented NULL exclusion).  A batch
+    whose decrement empties the whole summary (every counter tied at
+    the pivot) emits one NULL-key sentinel row ``(bucket, NULL, 0, D,
+    n_seen)`` so the bucket's final decrement total stays visible to
+    ``final_snapshots`` — tracked keys never have a NULL key, so
+    consumers that only want real candidates filter ``key IS NOT
+    NULL``.
     """
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
@@ -131,6 +137,22 @@ def space_saving_stream(
                     "n_seen": n_seen,
                 }
             )
+        elif touched:
+            # An all-ties decrement emptied the summary.  Still emit the
+            # bucket's state as a NULL-key sentinel carrying the FINAL
+            # decrement total D: without it the last visible snapshot
+            # would be an older one with a smaller D, and any consumer
+            # bounding unreported keys by max(err) (guaranteed_top_k)
+            # would under-estimate the ceiling — an unsound guarantee.
+            yield pd.DataFrame(
+                {
+                    "bucket": [int(bucket[0])],
+                    "key": [None],
+                    "est": [0],
+                    "err": [dec],
+                    "n_seen": [n_seen],
+                }
+            )
 
     return keyed.groupBy("bucket").applyInPandasWithState(
         fn,
@@ -177,19 +199,28 @@ def guaranteed_top_k(snapshots: DataFrame, k: int) -> DataFrame:
     from pyspark.sql import Window as W
 
     fin = final_snapshots(snapshots).select("key", "est", "err")
-    ranked = fin.withColumn(
+    # rank only real tracked keys; NULL-key sentinel rows (emitted when
+    # a decrement empties a bucket's summary) carry no candidate but DO
+    # carry that bucket's final D, so they participate in the ceiling
+    ranked = fin.filter(F.col("key").isNotNull()).withColumn(
         "rnk", F.row_number().over(W.orderBy(F.col("est").desc(), F.col("key")))
     )
     # ceiling on any unreported key's true count: the (k+1)-th est if a
     # tracked key remains (0 when the summary holds <= k keys), or the
-    # worst bucket's decrement total for keys the summary dropped
-    ceil_ = ranked.agg(
-        F.greatest(
+    # worst bucket's decrement total for keys the summary dropped —
+    # max(err) taken over ALL final rows including sentinels, so a
+    # bucket whose last batch wiped its summary still contributes its
+    # full D
+    ceil_ = (
+        ranked.agg(
             F.coalesce(
                 F.max(F.when(F.col("rnk") == k + 1, F.col("est"))), F.lit(0)
-            ),
-            F.coalesce(F.max("err"), F.lit(0)),
-        ).alias("ceil")
+            ).alias("c_tracked")
+        )
+        .crossJoin(
+            fin.agg(F.coalesce(F.max("err"), F.lit(0)).alias("c_dropped"))
+        )
+        .select(F.greatest("c_tracked", "c_dropped").alias("ceil"))
     )
     return (
         ranked.filter(F.col("rnk") <= k)
