@@ -20,8 +20,9 @@ The trade is a per-operation Python<->JVM round trip (a proto message
 over the local state socket) versus the bulk pickle: at replay scale
 the bulk rewrite wins, at index >> batch the per-key store must win.
 
-SANDBOX LIMITATION: the TWS state protocol needs ``google.protobuf``
-at runtime (PySpark imports it lazily in the TWS runner), which this
+SANDBOX LIMITATION (re-probed round 9, still absent): the TWS state
+protocol needs ``google.protobuf`` at runtime (PySpark imports it
+lazily in the TWS runner), which this
 build environment does not ship and cannot install — execution here
 fails at runner init with ``ImportError: cannot import name
 'descriptor'``.  The operator is therefore exercised by
