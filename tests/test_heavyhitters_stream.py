@@ -302,6 +302,55 @@ def test_guaranteed_top_k_ceiling_covers_wiped_sibling_bucket(spark):
     assert r["est"] >= 50 and r["guaranteed"] is True
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [11, 23, 47, 83])
+def test_guaranteed_top_k_randomized_soundness(spark, seed):
+    """Randomized soundness sweep: arbitrary skewed streams through
+    small-capacity buckets (constant eviction churn, occasional
+    empty-summary wipes) — every key flagged guaranteed must truly be
+    in the top-k, and every reported est must obey
+    true <= est <= true + err.  Fixed seeds keep it deterministic."""
+    import random
+
+    from transitdata_hfp_deduplicator_spark.streaming.heavyhitters_stream import (
+        guaranteed_top_k,
+    )
+
+    rng = random.Random(seed)
+    # a few heavies + a zipf-ish mid tier + singleton flood
+    rows = []
+    for i in range(rng.randint(2, 4)):
+        rows += [f"hot{i}"] * rng.randint(80, 200)
+    for i in range(rng.randint(5, 15)):
+        rows += [f"mid{i}"] * rng.randint(5, 25)
+    rows += [f"s{i}" for i in range(rng.randint(100, 400))]
+    rng.shuffle(rows)
+    true = Counter(rows)
+    k = rng.randint(2, 5)
+    top_counts = sorted(true.values(), reverse=True)
+    kth = top_counts[k - 1] if len(top_counts) >= k else 0
+    out = guaranteed_top_k(
+        _replay(
+            spark,
+            rows,
+            capacity=rng.randint(3, 8),
+            n_buckets=rng.choice([1, 2, 4]),
+            files=rng.randint(2, 5),
+        ),
+        k=k,
+    ).collect()
+    assert len(out) <= k
+    for r in out:
+        assert r["key"] is not None
+        assert true[r["key"]] <= r["est"] <= true[r["key"]] + r["err"]
+        if r["guaranteed"]:
+            # sound: its true count ties-or-beats the k-th largest
+            assert true[r["key"]] >= kth, (
+                f"seed={seed}: unsound guarantee on {r['key']} "
+                f"(true {true[r['key']]} < kth {kth})"
+            )
+
+
 def test_guaranteed_top_k_validation(spark):
     import pytest as _pytest
 
