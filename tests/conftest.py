@@ -43,6 +43,7 @@ SLOW_TESTS = {
     "test_properties.py::test_minhash_family_matches_pure_python",
     "test_properties.py::test_asof_join_matches_pure_python",
     "test_properties.py::test_containment_matches_reference",
+    "test_properties.py::test_sharded_prefix_sum_matches_window_property",
     "test_similarity.py::test_simhash_pigeonhole_full_recall",
     "test_similarity.py::test_incremental_lsh_max_bucket_caps_both_sides",
     "test_similarity.py::test_skew_caps_identity_and_bite",

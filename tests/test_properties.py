@@ -314,3 +314,51 @@ def test_minhash_family_matches_pure_python(spark, texts):
     }
     for i, t in enumerate(texts):
         assert got[i] == _py_minhash_md5(t), (i, t)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),  # id
+            st.sampled_from(["a", "b", "c", None]),  # group (incl NULL)
+            st.integers(min_value=0, max_value=10_000),  # weight
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda r: r[0],  # unique ids: ties have no defined order
+    ),
+    shards=st.integers(min_value=1, max_value=40),
+)
+def test_sharded_prefix_sum_matches_window_property(spark, rows, shards):
+    """Property: the range-sharded two-pass exclusive prefix sum equals
+    the naive single-task window for ANY ids (full int64 range), any
+    groups (NULL included), any weights, any shard count — the
+    decomposition is invisible (pytest -m slow tier)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        sharded_prefix_sum,
+    )
+
+    df = spark.createDataFrame(rows, "id bigint, grp string, w bigint")
+    naive = df.withColumn(
+        "prior",
+        F.coalesce(
+            F.sum("w").over(
+                W.partitionBy("grp").orderBy("id").rowsBetween(
+                    W.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    want = {(r.grp, r.id): r.prior for r in naive.collect()}
+    got = {
+        (r.grp, r.id): r.prior
+        for r in sharded_prefix_sum(
+            df, "id", "w", part_cols=("grp",), shards=shards
+        ).collect()
+    }
+    assert got == want
