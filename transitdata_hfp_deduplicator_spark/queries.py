@@ -8484,13 +8484,19 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's CORRECTNESS file records exactly 50 entries per round
 # (count-based cap), so cheap-first ordering alone can never evidence
-# the tail.  Rotate instead — round 9 window: the 35 queries whose
-# latest driver-green row is r6 (the oldest evidence tier after r8
-# retired the r4 debt; VERDICT r8 "next round" #2), then 15 r7-tier
-# fills.  The rest of the registry follows oldest-tier-first so any
-# driver that reads past 50 keeps improving recency.  After this
-# window every query's latest evidence is r7 or newer.
+# the tail.  Rotate instead — round 9 window: first the 3 queries whose
+# BEHAVIOR changed this round (q_corpus_curate + q_seq_pack ride the
+# rewritten sharded_prefix_sum; q_heavy_hitters_stream gained the
+# empty-summary sentinel), whose r8 rows are therefore stale evidence;
+# then the 35 queries whose latest driver-green row is r6 (the oldest
+# tier after r8 retired the r4 debt; VERDICT r8 "next round" #2); then
+# 12 r7-tier fills.  The rest of the registry follows oldest-tier-first
+# so any driver that reads past 50 keeps improving recency.  After this
+# window every query's evidence is r7+ and every changed query is r9.
 GATE_ROTATION = [
+    "q_corpus_curate",
+    "q_seq_pack",
+    "q_heavy_hitters_stream",
     "q_anomaly_mad",
     "q_bpe_encode",
     "q_bpe_merges",
@@ -8543,7 +8549,6 @@ GATE_ROTATION = [
     "q_filter_pred",
     "q_gapfill",
     "q_heavy_hitters",
-    "q_heavy_hitters_stream",
     "q_heavy_hitters_weighted",
     "q_histogram",
     "q_json_extract",
@@ -8576,7 +8581,6 @@ GATE_ROTATION = [
     "q_udtf",
     "q_unpivot",
     "q_canonical_dedup",
-    "q_corpus_curate",
     "q_corpus_mix",
     "q_decontaminate",
     "q_dedup_clusters",
@@ -8609,7 +8613,6 @@ GATE_ROTATION = [
     "q_multimodal_bytes",
     "q_rollup_cascade",
     "q_scan_project",
-    "q_seq_pack",
     "q_session_window",
     "q_session_window_stream",
     "q_stream_static_join",
