@@ -154,7 +154,15 @@ def main() -> None:
             spread = json.load(fh)["queries"]
         heavy = sorted(
             set(heavy)
-            | {n for n, s in spread.items() if s.get("median", 0) > 3.0}
+            | {
+                n
+                for n, s in spread.items()
+                # per-entry guard: a null/absent median (an errored run
+                # in a future regeneration) must not throw and silently
+                # discard the whole derived tier
+                if isinstance(s.get("median"), (int, float))
+                and s["median"] > 3.0
+            }
         )
     except Exception:  # noqa: BLE001 - spread file is advisory
         pass
@@ -230,13 +238,20 @@ def main() -> None:
                 # mid-descent.  Keep re-running until two CONSECUTIVE
                 # timings agree within 15% (steady state reached), then
                 # report the min.  Cheap queries (<4s best) exit at 2
-                # runs as before; the cap bounds pathological churn.
+                # runs as before; heavy queries need at least 3 runs
+                # even when the first two agree — a GC pause or load
+                # spike spanning runs 1-2 produces an agreeing-but-
+                # inflated PAIR (measured: identical plan 2s and 13s
+                # across invocations), and the third run breaks the tie
+                # either way; the cap bounds pathological churn.
                 agreed = (
                     prev is not None
                     and abs(dt - prev) <= 0.15 * max(dt, prev)
                 )
                 prev = dt
-                if runs >= 2 and (best < 4.0 or agreed or runs >= 6):
+                if runs >= 2 and (
+                    best < 4.0 or (agreed and runs >= 3) or runs >= 6
+                ):
                     break
             timings[name] = round(best, 4)
         except Exception as e:  # noqa: BLE001

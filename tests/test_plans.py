@@ -669,12 +669,62 @@ def test_registry_unpartitioned_windows_sit_above_aggregates(spark, sf_dir):
     )
 
     bad: dict[str, list[str]] = {}
+    errs: dict[str, str] = {}
     for name, fn in QUERIES.items():
         try:
             df = fn(spark, sf_dir)
-        except Exception:  # noqa: BLE001 - env-gated queries skip
+        except Exception as e:  # noqa: BLE001
+            errs[name] = str(e).splitlines()[0][:120]
             continue
         v = unpartitioned_window_violations(df)
         if v:
             bad[name] = v
     assert not bad, f"unbounded single-task windows: {bad}"
+    # a query that fails to BUILD evades the audit — that must be loud,
+    # not a silent skip (only the documented protobuf gate may pass)
+    unexpected = {
+        n: e for n, e in errs.items() if "protobuf" not in e.lower()
+    }
+    assert not unexpected, f"queries escaped the window audit: {unexpected}"
+
+
+def test_unpartitioned_window_boundedness_rule(spark, sf_dir):
+    """The audit's bounded-input rule itself: a window over a pure
+    aggregate is clean; a window over join(1-row broadcast aggregate,
+    raw scan) — the stats-onto-corpus shape that merely CONTAINS an
+    aggregate — is flagged; partitioned windows are never flagged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from transitdata_hfp_deduplicator_spark.plans.inspect import (
+        unpartitioned_window_violations,
+    )
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    raw = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    w_all = W.orderBy("k")
+    agg = raw.groupBy(F.col("lang").alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # window over aggregate: bounded, clean
+    assert unpartitioned_window_violations(
+        agg.withColumn("r", F.sum("n").over(w_all))
+    ) == []
+    # window over raw x broadcast(1-row agg): contains an Aggregate but
+    # is corpus-sized -> must be flagged
+    stats = raw.agg(F.max("doc_id").alias("mx"))
+    joined = raw.crossJoin(F.broadcast(stats))
+    v = unpartitioned_window_violations(
+        joined.withColumn(
+            "r", F.row_number().over(W.orderBy("doc_id"))
+        )
+    )
+    assert len(v) == 1, f"stats-join shape not flagged: {v}"
+    # same shape but PARTITIONED: out of scope, clean
+    assert unpartitioned_window_violations(
+        joined.withColumn(
+            "r", F.row_number().over(W.partitionBy("lang").orderBy("doc_id"))
+        )
+    ) == []

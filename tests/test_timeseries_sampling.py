@@ -182,6 +182,51 @@ def test_systematic_pps_partition_invariant(spark):
     assert a == b and sum(n for _, n in a) == 40
 
 
+def test_systematic_pps_extreme_hash_ids_and_null_ids(spark):
+    """Same bucketing hardening as sharded_prefix_sum: full-int64-range
+    ids must not wrap the shard multiply (a non-monotone shard function
+    silently corrupts every cumulative sum), and NULL ids join the
+    layout in the first-ordered shard instead of vanishing while their
+    weights still shift every pointer — sum(n_picks) == k regardless."""
+    from transitdata_hfp_deduplicator_spark.operators.sampling import (
+        systematic_pps_sample,
+    )
+
+    lo, hi = -(2**63), 2**63 - 1
+    ids = sorted(
+        {lo, lo + 3, -7, 0, 11, hi - 5, hi}
+        | {((i * 0x9E3779B97F4A7C15) % 2**64) - 2**63 for i in range(150)}
+    )
+    rows = [(i, (abs(i) % 90) + 1) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    k = 25
+    got = {
+        r.doc_id: r.n_picks
+        for r in systematic_pps_sample(df, "doc_id", "w", k=k).collect()
+    }
+    assert sum(got.values()) == k
+    # cross-check against a driver-side reference layout in id order
+    W = sum(w for _, w in rows)
+    cum, want = 0, {}
+    ptrs = [(2 * j + 1) * W for j in range(k)]  # scaled by 2k: test below
+    for i, w in rows:
+        lo_c, cum = cum, cum + w
+        n = sum(1 for t in ptrs if 2 * k * lo_c <= t < 2 * k * cum)
+        if n:
+            want[i] = n
+    assert got == want
+    # NULL id: participates (first in order), total picks still k
+    rows_n = [(None, 40)] + [(i, 10) for i in range(30)]
+    dfn = spark.createDataFrame(rows_n, "doc_id bigint, w bigint")
+    got_n = {
+        r.doc_id: r.n_picks
+        for r in systematic_pps_sample(dfn, "doc_id", "w", k=17).collect()
+    }
+    assert sum(got_n.values()) == 17
+    # the heavy NULL row (40/340 of the mass) is hit ~2 times
+    assert got_n.get(None, 0) >= 2
+
+
 def test_sharded_prefix_sum_matches_single_window(spark):
     """The range-sharded two-pass exclusive prefix sum must equal the
     naive single-task window within every group, for any shard count

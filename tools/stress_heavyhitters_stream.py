@@ -100,10 +100,15 @@ def main() -> None:
         rows = final.collect()
         dt = time.time() - t0
 
-        got = {r["key"]: (r["est"], r["err"]) for r in rows}
+        # key=None rows are empty-summary SENTINELS (a wiped bucket's
+        # final decrement total) — not candidates; count them separately
+        got = {
+            r["key"]: (r["est"], r["err"]) for r in rows if r["key"] is not None
+        }
         per_bucket: dict = {}
         for r in rows:
-            per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + 1
+            if r["key"] is not None:
+                per_bucket[r["bucket"]] = per_bucket.get(r["bucket"], 0) + 1
         missing = [f"hot{k}" for k in range(N_HEAVY) if f"hot{k}" not in got]
         bad_inv = [
             k
@@ -119,7 +124,12 @@ def main() -> None:
         n_seen_total = sum({r["bucket"]: r["n_seen"] for r in rows}.values())
 
         # exact recount of the streamed candidates vs the closed-form set
-        cand = final.select("key").distinct().withColumnRenamed("key", "k")
+        cand = (
+            final.filter(F.col("key").isNotNull())
+            .select("key")
+            .distinct()
+            .withColumnRenamed("key", "k")
+        )
         hh = {
             (r["k"], r["cnt"])
             for r in heavy.unionAll(tail)

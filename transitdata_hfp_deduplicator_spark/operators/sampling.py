@@ -254,10 +254,16 @@ def systematic_pps_sample(
     range-sharded form, not a single-partition global window — rows
     bucket into ``shards`` id ranges, pass 1 aggregates one partial sum
     per shard (broadcast back as running offsets, shards² tiny rows),
-    pass 2 cumsums WITHIN each shard in parallel.  Returns
-    (id, weight, n_picks) for rows with n_picks >= 1.
+    pass 2 cumsums WITHIN each shard in parallel.  The bucketing is the
+    same min/max-rescaled DOUBLE form as ``sharded_prefix_sum`` (no
+    int64 wrap for hash-derived ids near ±2^63; NULL ids get the
+    first-ordered shard, matching window nulls-first order, instead of
+    being silently dropped while their weights still shifted every
+    pointer).  Returns (id, weight, n_picks) for rows with
+    n_picks >= 1.
     """
     stats = df.select(
+        F.min(F.col(id_col)).alias("mn"),
         F.max(F.col(id_col)).alias("mx"),
         F.sum(F.col(weight_col)).cast("bigint").alias("tw"),
     )
@@ -265,9 +271,20 @@ def systematic_pps_sample(
         F.col(id_col).alias("id"),
         F.col(weight_col).cast("bigint").alias("w"),
     ).crossJoin(F.broadcast(stats))
+    _mn = F.col("mn").cast("double")
+    _span = F.col("mx").cast("double") - _mn + F.lit(1.0)
+    _bucket = F.least(
+        F.greatest(
+            ((F.col("id").cast("double") - _mn) * shards / _span).cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+        F.lit(shards - 1),
+    )
     d = d.withColumn(
         "shard",
-        (F.col("id") * shards / (F.col("mx") + 1)).cast("bigint"),
+        F.when(F.col("id").isNull(), F.lit(-1)).otherwise(_bucket),
     )
     # pass 1: per-shard totals -> exclusive running offsets (tiny table)
     from pyspark.sql.window import Window as W

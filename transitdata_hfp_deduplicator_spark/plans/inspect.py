@@ -68,8 +68,9 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def unpartitioned_window_violations(df: DataFrame) -> list[str]:
-    """Unpartitioned logical Window nodes with NO Aggregate beneath
-    them — i.e. single-task sorts over potentially UNBOUNDED input.
+    """Unpartitioned logical Window nodes whose input is not
+    structurally BOUNDED — i.e. single-task sorts over potentially
+    corpus-sized input.
 
     An unpartitioned window funnels its whole input through one task;
     that is only acceptable when the input is already an aggregate
@@ -80,25 +81,37 @@ def unpartitioned_window_violations(df: DataFrame) -> list[str]:
     this check separates the benign bounded ones from a real scale
     bug creeping in.  Returns the offending nodes' simpleStrings
     (empty list = plan is clean).
+
+    "Bounded" is judged on the window's INPUT path, not by the mere
+    presence of an Aggregate anywhere beneath it (a join of a broadcast
+    1-row stats aggregate onto the raw corpus — the sharded-prefix-sum
+    min/max pattern — CONTAINS an Aggregate yet is as unbounded as the
+    corpus): Aggregate / Limit / literal relations are bounded; a
+    Join or Union is bounded only if EVERY branch is; pass-through
+    unary nodes inherit their child; a leaf scan is unbounded.
     """
     plan = df._jdf.queryExecution().optimizedPlan()
     violations: list[str] = []
 
-    def subtree_has_aggregate(node) -> bool:
-        if node.getClass().getSimpleName() == "Aggregate":
+    def is_bounded(node) -> bool:
+        name = node.getClass().getSimpleName()
+        if name == "Aggregate" or "Limit" in name:
+            return True
+        if name in ("LocalRelation", "OneRowRelation"):
             return True
         ch = node.children()
-        return any(
-            subtree_has_aggregate(ch.apply(i)) for i in range(ch.length())
-        )
+        if ch.length() == 0:
+            return False  # leaf scan / relation: corpus-sized
+        # Join/Union bounded iff ALL branches bounded; unary
+        # pass-throughs (Project/Filter/Sort/Window/...) inherit the
+        # child — the same all() expresses both
+        return all(is_bounded(ch.apply(i)) for i in range(ch.length()))
 
     def walk(node) -> None:
-        if (
-            node.getClass().getSimpleName() == "Window"
-            and node.partitionSpec().isEmpty()
-            and not subtree_has_aggregate(node)
-        ):
-            violations.append(node.simpleString(120))
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            ch = node.children()
+            if not all(is_bounded(ch.apply(i)) for i in range(ch.length())):
+                violations.append(node.simpleString(120))
         ch = node.children()
         for i in range(ch.length()):
             walk(ch.apply(i))
