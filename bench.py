@@ -7,7 +7,9 @@ JSON lines: first the per-query detail ``{"detail": "per_query_sec",
 ``{"metric": ..., "value": total_sec, "unit": "sec", "sf": ...,
 "calib_sec": ..., "n_queries": ...}`` — split so a tail-capture of
 stdout's last ~2000 chars always contains the parseable summary (the
-90+-entry queries dict alone is ~2.4 kB).
+90+-entry queries dict alone is ~2.4 kB).  The detail line is ALSO
+written to ``BENCH_detail.json`` next to this file, so all 134
+per-query timings survive the driver's tail capture.
 
 Each query is forced through the noop sink — full plan execution,
 nothing collected to the driver (collect would measure Arrow transfer,
@@ -34,7 +36,10 @@ def format_output(timings: dict, sf, calib) -> tuple[str, str]:
     full queries dict rides the detail line (tests/test_bench_contract
     pins this)."""
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    detail = json.dumps({"detail": "per_query_sec", "queries": timings})
+    detail = json.dumps(
+        {"detail": "per_query_sec", "sf": sf, "calib_sec": calib,
+         "queries": timings}
+    )
     final = json.dumps(
         {
             "metric": "total_query_runtime",
@@ -46,6 +51,51 @@ def format_output(timings: dict, sf, calib) -> tuple[str, str]:
         }
     )
     return detail, final
+
+
+# Calibration workload: a fixed 4B-row hash aggregate whose plan never
+# changes across rounds.  Sized to ~2-4s on this class of box: the r9
+# verdict showed the previous min-of-2 of a ~0.3s 20M-row job measured
+# turbo/JIT luck as much as host speed (driver calib 0.2561 vs 0.33-0.45
+# across four same-day idle-local runs — a 1.7x spread that made
+# calib-normalized totals contradict the per-query band evidence).  A
+# multi-second job amortizes scheduler jitter and a median-of-5 sheds
+# both the cold first run and any single GC-pause outlier.
+# Sized empirically: range+groupBy is codegen-fast (200M rows -> only
+# ~0.45s, barely above the old probe), so the multi-second target
+# needs 4B rows (~3.4s measured, 3 repeats within 5%).
+CALIB_ROWS = 4_000_000_000
+CALIB_RUNS = 5
+
+
+def _calib_once(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, CALIB_ROWS, 1, 32)
+        .groupBy((F.col("id") % 1000).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    return time.perf_counter() - t0
+
+
+def calibrate(spark, runs: int = CALIB_RUNS, probe=_calib_once):
+    """Median-of-``runs`` machine-speed probe.  The median (not min) is
+    the estimator: min rewards a single lucky turbo window, mean is
+    dragged by the cold first run — median is stable under both
+    (tests/test_bench_contract pins the estimator on synthetic
+    samples)."""
+    samples = sorted(probe(spark) for _ in range(runs))
+    mid = len(samples) // 2
+    if len(samples) % 2:
+        med = samples[mid]
+    else:
+        med = (samples[mid - 1] + samples[mid]) / 2.0
+    return round(med, 4)
 
 
 def main() -> None:
@@ -176,29 +226,11 @@ def main() -> None:
                 except Exception:  # noqa: BLE001 - warm-up must never fail the bench
                     pass
 
-    # Fixed calibration workload: a 20M-row hash aggregate whose plan
-    # never changes across rounds.  Its time is a pure machine-speed
-    # probe — dividing two rounds' `calib` values separates "the engine
-    # regressed" from "the box is busier today" when comparing BENCH
-    # files (measured 1.3x drift between driver runs on this host).
-    calib = None
+    # Machine-speed calibration (see calibrate()): dividing two rounds'
+    # `calib` values separates "the engine regressed" from "the box is
+    # busier today" when comparing BENCH files.
     try:
-        from pyspark.sql import functions as F
-
-        best_c = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            (
-                spark.range(0, 20_000_000, 1, 32)
-                .groupBy((F.col("id") % 1000).alias("k"))
-                .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-            dt = time.perf_counter() - t0
-            best_c = dt if best_c is None else min(best_c, dt)
-        calib = round(best_c, 4)
+        calib = calibrate(spark)
     except Exception:  # noqa: BLE001 - calibration must never fail the bench
         calib = None
 
@@ -263,6 +295,18 @@ def main() -> None:
             # session don't accumulate memory pressure on each other
             spark.catalog.clearCache()
     detail, final = format_output(timings, sf, calib)
+    # Persist the full per-query detail next to the repo: the driver's
+    # ~2000-char stdout tail capture preserves only ~69/134 per-query
+    # numbers, so without this artifact half the registry can't be
+    # band-checked from BENCH_r{N}.json alone (VERDICT r9 #3).
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+        )
+        with open(detail_path, "w") as fh:
+            fh.write(detail + "\n")
+    except OSError as e:  # noqa: BLE001 - artifact write must never fail the bench
+        print(f"bench: could not write BENCH_detail.json: {e}", file=sys.stderr)
     print(detail, flush=True)
     print(final, flush=True)
 

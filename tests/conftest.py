@@ -88,10 +88,24 @@ SLOW_TESTS = {
 
 
 def pytest_collection_modifyitems(config, items):
+    # Match on originalname (the bare function name), not item.name:
+    # a later-parametrized test's ids become name[param] and would
+    # silently drop out of the slow tier into the fast pre-commit run
+    # (ADVICE r9).  Every SLOW_TESTS entry must match at least one
+    # collected item so a renamed/deleted test can't leave a stale row.
+    matched: set[str] = set()
     for item in items:
         fname = os.path.basename(str(item.fspath))
-        if fname in SLOW_FILES or f"{fname}::{item.name}" in SLOW_TESTS:
+        base = getattr(item, "originalname", None) or item.name.split("[", 1)[0]
+        key = f"{fname}::{base}"
+        if fname in SLOW_FILES or key in SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
+            matched.add(key)
+    # only enforce on full-suite collections: a single-file/-k run
+    # legitimately collects a subset of the table
+    if len(items) > 200:
+        stale = SLOW_TESTS - matched
+        assert not stale, f"SLOW_TESTS entries matched no collected test: {stale}"
 
 
 @pytest.fixture(scope="session")

@@ -185,6 +185,29 @@ def test_guaranteed_top_k_no_eviction_all_guaranteed(spark):
     ]
 
 
+def test_guaranteed_top_k_exact_tie_boundary(spark):
+    """Pin the documented tie contract (docstring: 'Tie boundary'):
+    with a:5 b:5 and k=1 (no eviction, err=0), the ceiling equals the
+    reported key's lower bound exactly (5 >= 5), so ``>=`` flags 'a'
+    guaranteed — membership in SOME valid top-1 (the tie with 'b' is
+    resolvable in its favor), NOT in every top-1.  A strict ``>``
+    would return False here; if the comparison ever changes, this
+    test localizes the semantic shift."""
+    from transitdata_hfp_deduplicator_spark.streaming.heavyhitters_stream import (
+        guaranteed_top_k,
+    )
+
+    rows = ["a"] * 5 + ["b"] * 5
+    out = guaranteed_top_k(
+        _replay(spark, rows, capacity=16, n_buckets=1), k=1
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # row_number tiebreak is (est desc, key asc): 'a' is reported
+    assert (r["key"], r["est"], r["err"]) == ("a", 5, 0)
+    assert r["guaranteed"] is True
+
+
 def test_guaranteed_top_k_under_churn_sound(spark):
     """With eviction churn the guarantee must stay SOUND: every row
     flagged guaranteed really is in the true top-k (never the reverse

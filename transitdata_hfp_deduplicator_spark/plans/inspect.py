@@ -67,6 +67,128 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert "CartesianProduct" not in plan, "plan contains a cartesian product"
 
 
+# Time-extraction / time-bucketing expressions: their value domain
+# scales with the data's TIME SPAN (minutes in a day, weeks in a crawl
+# history), not with corpus row count — the distinction the audit
+# cares about at 100 TB.  Tumbling-window buckets compile to
+# PreciseTimestampConversion arithmetic; truncations/extractions are
+# the named classes.
+_TIME_BUCKET_EXPRS = frozenset(
+    {
+        "UnixTimestamp",
+        "ToUnixTimestamp",
+        "PreciseTimestampConversion",
+        "DateTrunc",
+        "TruncDate",
+        "TruncTimestamp",
+        "ToDate",
+        "Year",
+        "Quarter",
+        "Month",
+        "WeekOfYear",
+        "DayOfMonth",
+        "DayOfWeek",
+        "DayOfYear",
+        "Hour",
+        "Minute",
+    }
+)
+
+
+def _collect_alias_defs(node, defs: dict) -> None:
+    """Alias name#id -> defining expression, over a plan subtree (the
+    grouping expressions of an optimized Aggregate are usually bare
+    AttributeReferences whose definition lives in a child Project)."""
+    try:
+        exprs = node.expressions()
+        for i in range(exprs.length()):
+            e = exprs.apply(i)
+            if e.getClass().getSimpleName() == "Alias":
+                defs[str(e.toAttribute().toString())] = e.child()
+    except Exception:  # noqa: BLE001 - nodes without expressions()
+        pass
+    ch = node.children()
+    for i in range(ch.length()):
+        _collect_alias_defs(ch.apply(i), defs)
+
+
+def _bounded_grouping_expr(expr, defs: dict, depth: int = 0) -> bool:
+    """Structurally bounded value domain for a grouping expression:
+
+    - literals;
+    - modulo by a bounded divisor (pmod / %): domain <= divisor;
+    - least/greatest with a bounded operand: a literal clamp (the
+      shard-bucket idiom least(greatest(x, 0), N-1));
+    - CASE WHEN: every branch VALUE bounded (conditions irrelevant);
+    - time buckets/extractions (_TIME_BUCKET_EXPRS): span-bounded;
+    - any other expression: bounded iff ALL children are (arithmetic
+      over finite domains stays finite); a non-literal LEAF — i.e. an
+      AttributeReference that does not resolve to a bounded alias
+      definition — is UNBOUNDED (this is what rejects groupBy(doc_id)).
+    """
+    if depth > 40:
+        return False
+    name = expr.getClass().getSimpleName()
+    if name == "Literal":
+        return True
+    if name in _TIME_BUCKET_EXPRS:
+        return True
+    if name == "AttributeReference":
+        d = defs.get(str(expr.toString()))
+        return d is not None and _bounded_grouping_expr(d, defs, depth + 1)
+    if name == "Alias":
+        return _bounded_grouping_expr(expr.child(), defs, depth + 1)
+    if name == "CaseWhen":
+        try:
+            vals = []
+            br = expr.branches()
+            for i in range(br.length()):
+                vals.append(br.apply(i)._2())
+            ev = expr.elseValue()
+            if ev.isDefined():
+                vals.append(ev.get())
+            return all(
+                _bounded_grouping_expr(v, defs, depth + 1) for v in vals
+            )
+        except Exception:  # noqa: BLE001 - fall through to children rule
+            pass
+    if name in ("Least", "Greatest"):
+        ch = expr.children()
+        return any(
+            _bounded_grouping_expr(ch.apply(i), defs, depth + 1)
+            for i in range(ch.length())
+        )
+    if name in ("Pmod", "Remainder"):
+        ch = expr.children()
+        return ch.length() == 2 and _bounded_grouping_expr(
+            ch.apply(1), defs, depth + 1
+        )
+    ch = expr.children()
+    if ch.length() == 0:
+        return False
+    return all(
+        _bounded_grouping_expr(ch.apply(i), defs, depth + 1)
+        for i in range(ch.length())
+    )
+
+
+def _aggregate_bounded(node, is_bounded) -> bool:
+    """Aggregate output cardinality structurally bounded: empty grouping
+    (1 row), all grouping expressions bounded, or input already bounded
+    (groupBy over a Limit cannot exceed the limit)."""
+    ge = node.groupingExpressions()
+    if ge.isEmpty():
+        return True
+    defs: dict = {}
+    _collect_alias_defs(node, defs)
+    if all(
+        _bounded_grouping_expr(ge.apply(i), defs) for i in range(ge.length())
+    ):
+        return True
+    ch = node.children()
+    return all(is_bounded(ch.apply(i)) for i in range(ch.length()))
+
+
 def unpartitioned_window_violations(df: DataFrame) -> list[str]:
     """Unpartitioned logical Window nodes whose input is not
     structurally BOUNDED — i.e. single-task sorts over potentially
@@ -86,16 +208,31 @@ def unpartitioned_window_violations(df: DataFrame) -> list[str]:
     presence of an Aggregate anywhere beneath it (a join of a broadcast
     1-row stats aggregate onto the raw corpus — the sharded-prefix-sum
     min/max pattern — CONTAINS an Aggregate yet is as unbounded as the
-    corpus): Aggregate / Limit / literal relations are bounded; a
-    Join or Union is bounded only if EVERY branch is; pass-through
-    unary nodes inherit their child; a leaf scan is unbounded.
+    corpus): Limit / literal relations are bounded; a Join or Union is
+    bounded only if EVERY branch is; pass-through unary nodes inherit
+    their child; a leaf scan is unbounded.
+
+    An Aggregate is bounded only when its OUTPUT cardinality is
+    structurally bounded (ADVICE r9: "any Aggregate is bounded" let a
+    groupBy(doc_id) identity grouping — corpus-sized — pass): grouping
+    empty (1 row), every grouping expression bounded per
+    ``_bounded_grouping_expr`` (literal-clamped bucket / modulo-by-
+    literal / time-bucket shapes), or the aggregate's own input already
+    bounded.  Residual limitation (documented, not closed): the
+    classifier is structural, so a genuinely low-cardinality RAW column
+    (groupBy(lang)) is indistinguishable from groupBy(doc_id) and is
+    flagged — a deliberate single-task trade over such a grouping gets
+    an explicit waiver at the call site (tests/test_plans.py WAIVED),
+    never a silent pass.
     """
     plan = df._jdf.queryExecution().optimizedPlan()
     violations: list[str] = []
 
     def is_bounded(node) -> bool:
         name = node.getClass().getSimpleName()
-        if name == "Aggregate" or "Limit" in name:
+        if name == "Aggregate":
+            return _aggregate_bounded(node, is_bounded)
+        if "Limit" in name:
             return True
         if name in ("LocalRelation", "OneRowRelation"):
             return True

@@ -8482,68 +8482,17 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 
-# The driver's CORRECTNESS file records exactly 50 entries per round
-# (count-based cap), so cheap-first ordering alone can never evidence
-# the tail.  Rotate instead — round 9 window: first the 3 queries whose
-# BEHAVIOR changed this round (q_corpus_curate + q_seq_pack ride the
-# rewritten sharded_prefix_sum; q_heavy_hitters_stream gained the
-# empty-summary sentinel), whose r8 rows are therefore stale evidence;
-# then the 35 queries whose latest driver-green row is r6 (the oldest
-# tier after r8 retired the r4 debt; VERDICT r8 "next round" #2); then
-# 12 r7-tier fills.  The rest of the registry follows oldest-tier-first
-# so any driver that reads past 50 keeps improving recency.  After this
-# window every query's evidence is r7+ and every changed query is r9.
+# Round-10 gate order (VERDICT r9 "next round" #1 — rotation hygiene):
+# the driver's 50-entry correctness window leads with the 36 queries
+# whose latest driver-green evidence is r7 (now the oldest tier; the
+# r9 verdict spot-ran 12 of them 12/12, so this is recency hygiene,
+# not risk), then fills the remaining 14 slots from the r8 tier.  The
+# rest of the registry follows oldest-tier-first (r8 then r9) so any
+# driver that reads past 50 keeps improving recency.  After this
+# window no query's evidence is older than r8.  Tier membership is
+# derived mechanically from the CORRECTNESS_r*.json last-pass rounds.
 GATE_ROTATION = [
-    "q_corpus_curate",
-    "q_seq_pack",
-    "q_heavy_hitters_stream",
-    "q_anomaly_mad",
-    "q_bpe_encode",
-    "q_bpe_merges",
-    "q_cdc_chunks",
-    "q_cdc_latest_stream",
-    "q_compact_plan",
-    "q_corpus_drift",
-    "q_decontaminate_bloom",
-    "q_decontaminate_stream",
-    "q_dedup_fuzzy",
-    "q_dedup_incr_semantic",
-    "q_dedup_incr_substring",
-    "q_dedup_ladder",
-    "q_dedup_semantic",
-    "q_dedup_substring",
-    "q_dedup_url",
-    "q_dq_audit",
-    "q_embed_ann_ivfpq",
-    "q_embed_ann_pq",
-    "q_embed_quantize_int8",
-    "q_funnel",
-    "q_graph_labelprop",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_multimodal_decode",
-    "q_multimodal_resize",
-    "q_quality_funnel",
-    "q_recursive_cte",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_scd2_build",
-    "q_skyline",
-    "q_tfidf_pairs",
-    "q_token_colloc",
-    "q_window_range",
-    "q_agg_approx",
-    "q_agg_approx_check",
-    "q_agg_distinct",
-    "q_agg_hash",
-    "q_array_ops",
-    "q_bm25",
-    "q_containment",
-    "q_corpus_prep",
-    "q_corpus_shuffle",
-    "q_dedup_incremental",
-    "q_dedup_lru",
-    "q_doc_chunks",
+    # tier r7 (36 queries — oldest evidence first)
     "q_embed_ann_ivf",
     "q_embed_cosine",
     "q_filter_pred",
@@ -8580,6 +8529,7 @@ GATE_ROTATION = [
     "q_udf_surface",
     "q_udtf",
     "q_unpivot",
+    # tier r8 (48 queries — oldest evidence first)
     "q_canonical_dedup",
     "q_corpus_mix",
     "q_decontaminate",
@@ -8628,6 +8578,57 @@ GATE_ROTATION = [
     "q_window_tumbling_stream",
     "q_winnow_pairs",
     "q_zorder_layout",
+    # tier r9 (50 queries — oldest evidence first)
+    "q_agg_approx",
+    "q_agg_approx_check",
+    "q_agg_distinct",
+    "q_agg_hash",
+    "q_anomaly_mad",
+    "q_array_ops",
+    "q_bm25",
+    "q_bpe_encode",
+    "q_bpe_merges",
+    "q_cdc_chunks",
+    "q_cdc_latest_stream",
+    "q_compact_plan",
+    "q_containment",
+    "q_corpus_curate",
+    "q_corpus_drift",
+    "q_corpus_prep",
+    "q_corpus_shuffle",
+    "q_decontaminate_bloom",
+    "q_decontaminate_stream",
+    "q_dedup_fuzzy",
+    "q_dedup_incr_semantic",
+    "q_dedup_incr_substring",
+    "q_dedup_incremental",
+    "q_dedup_ladder",
+    "q_dedup_lru",
+    "q_dedup_semantic",
+    "q_dedup_substring",
+    "q_dedup_url",
+    "q_doc_chunks",
+    "q_dq_audit",
+    "q_embed_ann_ivfpq",
+    "q_embed_ann_pq",
+    "q_embed_quantize_int8",
+    "q_funnel",
+    "q_graph_labelprop",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_heavy_hitters_stream",
+    "q_multimodal_decode",
+    "q_multimodal_resize",
+    "q_quality_funnel",
+    "q_recursive_cte",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scd2_build",
+    "q_seq_pack",
+    "q_skyline",
+    "q_tfidf_pairs",
+    "q_token_colloc",
+    "q_window_range",
 ]
 
 

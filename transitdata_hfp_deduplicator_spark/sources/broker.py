@@ -9,7 +9,7 @@ column algebra and fully unit-tested against batch frames of the same
 shape (tests/test_sources.py).  Everything downstream (canonicalize →
 dedup → analytics → sink) is source-agnostic.
 
-CLOSED (probed rounds 5, 7, 8 and 9, unchanged): no ``spark-sql-kafka`` /
+CLOSED (probed rounds 5, 7, 8, 9 and 10, unchanged): no ``spark-sql-kafka`` /
 ``pulsar-spark-connector`` jar under pyspark's ``jars/``, no ivy
 cache, no network to fetch one — a live-broker integration run is
 impossible in this sandbox, permanently.  The executable analogs

@@ -189,6 +189,16 @@ def guaranteed_top_k(snapshots: DataFrame, k: int) -> DataFrame:
     whose lower bound ``est - err`` clears that ceiling is therefore
     in the true top-k under ANY data consistent with the summary.
 
+    Tie boundary (explicit contract): the test is ``est - err >=
+    ceil``, so when an unreported key can TIE the ceiling exactly
+    (true count == ceil == est - err), ``guaranteed=True`` asserts
+    membership in SOME valid top-k — the reported key is never
+    strictly below rank k, and the tie is resolvable in its favor.
+    The strict variant ``est - err > ceil`` would assert membership
+    in EVERY top-k.  ``>=`` matches the published Space-Saving
+    report semantics and the batch twin; pinned by
+    tests/test_heavyhitters_stream.py's exact-tie case.
+
     Output: ``(key, est, err, guaranteed)``, highest est first.  The
     single-partition rank window is over the summary only —
     <= n_buckets * capacity rows by construction, the same

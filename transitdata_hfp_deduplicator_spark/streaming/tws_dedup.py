@@ -20,7 +20,7 @@ The trade is a per-operation Python<->JVM round trip (a proto message
 over the local state socket) versus the bulk pickle: at replay scale
 the bulk rewrite wins, at index >> batch the per-key store must win.
 
-SANDBOX LIMITATION (re-probed round 9, still absent): the TWS state
+SANDBOX LIMITATION (re-probed round 10, still absent): the TWS state
 protocol needs ``google.protobuf`` at runtime (PySpark imports it
 lazily in the TWS runner), which this
 build environment does not ship and cannot install — execution here
