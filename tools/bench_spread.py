@@ -10,6 +10,9 @@ Outputs (repo root):
   other work regularly lands on a still-settling machine (measured
   157.6/162.6/137.9s totals with calib 0.490/0.405/0.398 in one
   invocation — run 1 was the OUTLIER).
+- BENCH_detail.json — rewritten from the same median run (bench.py
+  leaves the LAST subprocess's detail otherwise), so the committed
+  detail artifact always agrees with BENCH_local.json.
 - BENCH_spread.json — per-run timings for every query plus
   max/min spread stats (raw and calib-normalized); the LSH-family
   stability gate (q_minhash_signature, q_minhash_simdup,
@@ -77,6 +80,21 @@ def main() -> None:
     ref = sorted(runs, key=lambda r: r["value"])[len(runs) // 2]
     with open(os.path.join(ROOT, "BENCH_local.json"), "w") as f:
         json.dump(ref, f, indent=1, sort_keys=True)
+    # bench.py leaves BENCH_detail.json from whichever subprocess ran
+    # LAST; rewrite it from the median run so the committed detail
+    # artifact always agrees with BENCH_local.json
+    with open(os.path.join(ROOT, "BENCH_detail.json"), "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "detail": "per_query_sec",
+                    "sf": ref["sf"],
+                    "calib_sec": ref["calib_sec"],
+                    "queries": ref["queries"],
+                }
+            )
+            + "\n"
+        )
     names = sorted(runs[0]["queries"])
     per_q = {
         q: [r["queries"].get(q, -1.0) for r in runs] for q in names

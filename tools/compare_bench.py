@@ -4,9 +4,17 @@ Usage: python tools/compare_bench.py OLD.json NEW.json [--threshold 1.25]
 
 Accepts either a raw bench line ({"metric": ..., "queries": ...}) or a
 driver BENCH_r{N}.json wrapper (whose "tail" holds the line or whose
-"parsed" holds it).  If both files carry `calib_sec` (the fixed
-20M-row probe bench.py emits), per-query ratios are divided by the
-calib ratio so host-speed drift doesn't read as regression.
+"parsed" holds it).  If both files carry `calib_sec` (the fixed probe
+bench.py emits), per-query ratios are divided by the calib ratio so
+host-speed drift doesn't read as regression.
+
+Probe generations: the calib workload changed in round 10 (min-of-2 of
+a ~0.3s 20M-row job -> median-of-5 of a ~3.4s 4B-row job), so calib
+values from the two generations differ ~8.5x by construction, not by
+host speed.  When the two files' calib ratio falls outside plausible
+same-probe host drift ([0.4, 2.5]), normalization is DISABLED with a
+loud warning and raw ratios are reported — silently dividing by 8.5x
+would mask any real regression.
 """
 
 from __future__ import annotations
@@ -50,16 +58,37 @@ def load(path: str) -> dict:
     raise SystemExit(f"no bench data found in {path}")
 
 
+def effective_speed(co, cn) -> tuple[float, str]:
+    """Host-speed ratio to normalize by, or 1.0 with a reason when
+    normalization would be meaningless: calib missing on either side,
+    or the ratio outside plausible same-probe host drift [0.4, 2.5]
+    (the probe-generation boundary — tests/test_bench_contract pins
+    both edges)."""
+    if not (co and cn):
+        return 1.0, " — no calib, raw"
+    speed = cn / co
+    if not (0.4 <= speed <= 2.5):
+        return 1.0, " — cross-generation calib, raw"
+    return speed, " — normalized"
+
+
 def main() -> None:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thresh = 1.25
     if "--threshold" in sys.argv:
         thresh = float(sys.argv[sys.argv.index("--threshold") + 1])
     co, cn = old.get("calib_sec"), new.get("calib_sec")
-    speed = (cn / co) if (co and cn) else 1.0
+    speed, note = effective_speed(co, cn)
+    if co and cn and note.endswith("raw"):
+        print(
+            f"WARNING: calib ratio {cn / co:.2f}x is outside plausible "
+            f"same-probe host drift [0.4, 2.5] — the files were made by "
+            f"different calib-probe generations (probe changed in round "
+            f"10). Normalization disabled; ratios below are RAW."
+        )
     print(
         f"total: {old.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s"
-        f"  (host speed ratio {speed:.2f}x{' — normalized' if co and cn else ' — no calib, raw'})"
+        f"  (host speed ratio {speed:.2f}x{note})"
     )
     qo, qn = old["queries"], new["queries"]
     rows = []
