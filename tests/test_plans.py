@@ -757,6 +757,19 @@ def test_unpartitioned_window_boundedness_rule(spark, sf_dir):
         .withColumn("r", F.sum("n").over(w_all))
     )
     assert len(v_id) == 1, f"identity grouping not flagged: {v_id}"
+    # ONE-SIDED clamps are not bounded: least(x, 10) caps the domain
+    # above but leaves it corpus-sized below (and greatest mirrors it)
+    # — the clamp idiom must close both ends to pass
+    for one_sided in (
+        F.least(F.col("doc_id"), F.lit(10)),
+        F.greatest(F.col("doc_id"), F.lit(0)),
+    ):
+        v_os = unpartitioned_window_violations(
+            raw.groupBy(one_sided.alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("r", F.sum("n").over(w_all))
+        )
+        assert len(v_os) == 1, f"one-sided clamp not flagged: {v_os}"
     # window over raw x broadcast(1-row agg): contains an Aggregate but
     # is corpus-sized -> must be flagged
     stats = raw.agg(F.max("doc_id").alias("mx"))

@@ -113,31 +113,50 @@ def _collect_alias_defs(node, defs: dict) -> None:
 
 
 def _bounded_grouping_expr(expr, defs: dict, depth: int = 0) -> bool:
-    """Structurally bounded value domain for a grouping expression:
+    """Structurally bounded value domain for a grouping expression —
+    bounded BOTH below and above (``_expr_interval``).  One-sided
+    clamps are not enough: ``least(doc_id, 10)`` caps the domain above
+    but leaves it corpus-sized below, so the clamp idiom must close
+    both ends (``least(greatest(x, 0), N-1)``)."""
+    below, above = _expr_interval(expr, defs, depth)
+    return below and above
 
-    - literals;
-    - modulo by a bounded divisor (pmod / %): domain <= divisor;
-    - least/greatest with a bounded operand: a literal clamp (the
-      shard-bucket idiom least(greatest(x, 0), N-1));
-    - CASE WHEN: every branch VALUE bounded (conditions irrelevant);
-    - time buckets/extractions (_TIME_BUCKET_EXPRS): span-bounded;
-    - any other expression: bounded iff ALL children are (arithmetic
-      over finite domains stays finite); a non-literal LEAF — i.e. an
-      AttributeReference that does not resolve to a bounded alias
-      definition — is UNBOUNDED (this is what rejects groupBy(doc_id)).
+
+def _expr_interval(expr, defs: dict, depth: int = 0) -> tuple[bool, bool]:
+    """(bounded_below, bounded_above) for an expression's value domain:
+
+    - literals / time buckets (_TIME_BUCKET_EXPRS, span- not
+      corpus-scaled): (True, True);
+    - modulo by a both-ends-bounded divisor (pmod / %): result
+      magnitude < |divisor| -> (True, True);
+    - least: min of the operands — bounded ABOVE if ANY operand is,
+      bounded BELOW only if ALL are; greatest mirrors it (this is what
+      rejects the one-sided least(doc_id, 10) while accepting the
+      two-sided least(greatest(x, 0), N-1) shard-clamp idiom);
+    - CASE WHEN: componentwise AND over branch VALUES (conditions
+      irrelevant);
+    - any other expression: (True, True) iff ALL children are
+      (arithmetic over finite domains stays finite; partial
+      one-sidedness is NOT propagated through unknown ops — a
+      sign-flipping multiply turns a lower bound into an upper one);
+      a non-literal LEAF — an AttributeReference that does not resolve
+      to a bounded alias definition — is (False, False) (this is what
+      rejects groupBy(doc_id)).
     """
     if depth > 40:
-        return False
+        return (False, False)
     name = expr.getClass().getSimpleName()
     if name == "Literal":
-        return True
+        return (True, True)
     if name in _TIME_BUCKET_EXPRS:
-        return True
+        return (True, True)
     if name == "AttributeReference":
         d = defs.get(str(expr.toString()))
-        return d is not None and _bounded_grouping_expr(d, defs, depth + 1)
+        if d is None:
+            return (False, False)
+        return _expr_interval(d, defs, depth + 1)
     if name == "Alias":
-        return _bounded_grouping_expr(expr.child(), defs, depth + 1)
+        return _expr_interval(expr.child(), defs, depth + 1)
     if name == "CaseWhen":
         try:
             vals = []
@@ -147,29 +166,35 @@ def _bounded_grouping_expr(expr, defs: dict, depth: int = 0) -> bool:
             ev = expr.elseValue()
             if ev.isDefined():
                 vals.append(ev.get())
-            return all(
-                _bounded_grouping_expr(v, defs, depth + 1) for v in vals
-            )
+            ivs = [_expr_interval(v, defs, depth + 1) for v in vals]
+            return (all(b for b, _ in ivs), all(a for _, a in ivs))
         except Exception:  # noqa: BLE001 - fall through to children rule
             pass
     if name in ("Least", "Greatest"):
         ch = expr.children()
-        return any(
-            _bounded_grouping_expr(ch.apply(i), defs, depth + 1)
+        ivs = [
+            _expr_interval(ch.apply(i), defs, depth + 1)
             for i in range(ch.length())
-        )
+        ]
+        if name == "Least":
+            return (all(b for b, _ in ivs), any(a for _, a in ivs))
+        return (any(b for b, _ in ivs), all(a for _, a in ivs))
     if name in ("Pmod", "Remainder"):
         ch = expr.children()
-        return ch.length() == 2 and _bounded_grouping_expr(
-            ch.apply(1), defs, depth + 1
-        )
+        if ch.length() == 2:
+            db, da = _expr_interval(ch.apply(1), defs, depth + 1)
+            if db and da:
+                return (True, True)
+        return (False, False)
     ch = expr.children()
     if ch.length() == 0:
-        return False
-    return all(
+        return (False, False)
+    if all(
         _bounded_grouping_expr(ch.apply(i), defs, depth + 1)
         for i in range(ch.length())
-    )
+    ):
+        return (True, True)
+    return (False, False)
 
 
 def _aggregate_bounded(node, is_bounded) -> bool:

@@ -7762,12 +7762,19 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard",
         F.when(F.col("hi") == F.col("lo"), F.lit(0))  # degenerate span
         .otherwise(
+            # two-sided clamp: floor(...) >= 0 already holds (price <=
+            # hi by construction), but the greatest(0, ...) makes the
+            # bounded domain STRUCTURAL — the plan audit cannot see
+            # that price <= hi, only that the clamp closes both ends
             F.least(
                 F.lit(shards - 1),
-                F.floor(
-                    (F.col("hi") - F.col("o_totalprice"))
-                    / (F.col("hi") - F.col("lo"))
-                    * shards
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("hi") - F.col("o_totalprice"))
+                        / (F.col("hi") - F.col("lo"))
+                        * shards
+                    ),
                 ),
             )
         )
