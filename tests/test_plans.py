@@ -770,6 +770,21 @@ def test_unpartitioned_window_boundedness_rule(spark, sf_dir):
             .withColumn("r", F.sum("n").over(w_all))
         )
         assert len(v_os) == 1, f"one-sided clamp not flagged: {v_os}"
+    # CONTINUOUS result types: a bounded RANGE is not bounded
+    # CARDINALITY — a double clamped to [0, 1] or pmod(x, 1.0) still
+    # has as many distinct values as the corpus has distinct inputs;
+    # only a discretizing floor/cast makes the clamp idiom bounded
+    price = (F.col("doc_id").cast("double") / F.lit(7.0)).alias("p")
+    for continuous in (
+        F.least(F.greatest(price, F.lit(0.0)), F.lit(1.0)),
+        F.pmod(price, F.lit(1.0)),
+    ):
+        v_ct = unpartitioned_window_violations(
+            raw.groupBy(continuous.alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("r", F.sum("n").over(w_all))
+        )
+        assert len(v_ct) == 1, f"continuous-type clamp not flagged: {v_ct}"
     # window over raw x broadcast(1-row agg): contains an Aggregate but
     # is corpus-sized -> must be flagged
     stats = raw.agg(F.max("doc_id").alias("mx"))

@@ -113,13 +113,28 @@ def _collect_alias_defs(node, defs: dict) -> None:
 
 
 def _bounded_grouping_expr(expr, defs: dict, depth: int = 0) -> bool:
-    """Structurally bounded value domain for a grouping expression —
-    bounded BOTH below and above (``_expr_interval``).  One-sided
-    clamps are not enough: ``least(doc_id, 10)`` caps the domain above
-    but leaves it corpus-sized below, so the clamp idiom must close
-    both ends (``least(greatest(x, 0), N-1)``)."""
+    """Structurally bounded GROUP CARDINALITY for a grouping expression:
+    value range bounded both below and above (``_expr_interval``), AND
+    a discrete result type.  One-sided clamps are not enough —
+    ``least(doc_id, 10)`` caps the domain above but leaves it
+    corpus-sized below, so the clamp idiom must close both ends
+    (``least(greatest(x, 0), N-1)``).  Continuous types are never
+    enough — a double clamped to [0, 1] (or ``pmod(price, 1.0)``) has
+    a bounded RANGE but corpus-sized CARDINALITY; only integral /
+    boolean / date / timestamp / window-struct results make a bounded
+    range imply bounded groups (the floor/cast in the bucket idiom is
+    what discretizes)."""
     below, above = _expr_interval(expr, defs, depth)
-    return below and above
+    if not (below and above):
+        return False
+    try:
+        t = str(expr.dataType().typeName())
+    except Exception:  # noqa: BLE001 - unresolved expression: be strict
+        return False
+    return not (
+        t in ("double", "float", "string", "binary")
+        or t.startswith("decimal")
+    )
 
 
 def _expr_interval(expr, defs: dict, depth: int = 0) -> tuple[bool, bool]:
@@ -189,8 +204,12 @@ def _expr_interval(expr, defs: dict, depth: int = 0) -> tuple[bool, bool]:
     ch = expr.children()
     if ch.length() == 0:
         return (False, False)
+    # componentwise via _expr_interval, NOT the top-level gate: the
+    # result-type discreteness check applies only to the grouping
+    # expression as a whole (a string literal INSIDE a computation —
+    # e.g. a named_struct field name — is a 1-value domain, fine)
     if all(
-        _bounded_grouping_expr(ch.apply(i), defs, depth + 1)
+        _expr_interval(ch.apply(i), defs, depth + 1) == (True, True)
         for i in range(ch.length())
     ):
         return (True, True)
