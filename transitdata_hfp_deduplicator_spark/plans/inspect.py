@@ -72,7 +72,15 @@ def assert_no_cartesian(df: DataFrame) -> None:
 # history), not with corpus row count — the distinction the audit
 # cares about at 100 TB.  Tumbling-window buckets compile to
 # PreciseTimestampConversion arithmetic; truncations/extractions are
-# the named classes.
+# the named classes.  Residual limitation (documented, not closed):
+# the class test is by node NAME, so a RAW unix_timestamp(ts) /
+# precisetimestampconversion(ts) grouping — second/microsecond
+# granularity, near-identity for a dense event stream — passes as
+# span-bounded even though its group count over a multi-year span
+# rivals corpus size.  Every registry time grouping goes through a
+# minute-or-coarser truncation (the pmod subtraction in the tumbling
+# compile); a future sub-minute grouping under an unpartitioned window
+# deserves the same explicit-waiver treatment as q_corpus_drift.
 _TIME_BUCKET_EXPRS = frozenset(
     {
         "UnixTimestamp",
