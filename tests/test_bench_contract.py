@@ -88,31 +88,19 @@ def test_compare_bench_cross_generation_calib_disables_normalization():
     ratio that is probe generation, not host speed.  Normalizing by it
     would divide every per-query ratio by ~8.5 and mask any real
     regression — the comparator must fall back to raw instead."""
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "compare_bench",
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "tools",
-            "compare_bench.py",
-        ),
-    )
-    cb = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(cb)
+    from tools.compare_bench import effective_speed
 
     # cross-generation: old probe ~0.41s vs new probe ~3.4s -> raw
-    speed, note = cb.effective_speed(0.41, 3.4)
+    speed, note = effective_speed(0.41, 3.4)
     assert speed == 1.0 and "cross-generation" in note
-    speed, note = cb.effective_speed(3.4, 0.41)
+    speed, note = effective_speed(3.4, 0.41)
     assert speed == 1.0 and "cross-generation" in note
     # same-probe host drift (the measured 1.3x between driver runs)
     # still normalizes
-    speed, note = cb.effective_speed(3.0, 3.9)
+    speed, note = effective_speed(3.0, 3.9)
     assert abs(speed - 1.3) < 1e-9 and note == " — normalized"
     # missing calib on either side -> raw, labeled as such
-    speed, note = cb.effective_speed(None, 3.4)
+    speed, note = effective_speed(None, 3.4)
     assert speed == 1.0 and "no calib" in note
 
 

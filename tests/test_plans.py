@@ -775,9 +775,23 @@ def test_unpartitioned_window_boundedness_rule(spark, sf_dir):
     # has as many distinct values as the corpus has distinct inputs;
     # only a discretizing floor/cast makes the clamp idiom bounded
     price = (F.col("doc_id").cast("double") / F.lit(7.0)).alias("p")
+    clamped = F.least(F.greatest(price, F.lit(0.0)), F.lit(1.0))
     for continuous in (
-        F.least(F.greatest(price, F.lit(0.0)), F.lit(1.0)),
+        clamped,
         F.pmod(price, F.lit(1.0)),
+        # composite smuggling: struct<double> must not bypass the
+        # discreteness check (allowlist is recursive, not a top-level
+        # blocklist)
+        F.struct(clamped.alias("s")),
+        # finite-over-finite is NOT finite: 1/x on a zero-adjacent
+        # clamped interval has unbounded range, and the floor makes
+        # the top-level type bigint — only a literal divisor is sound
+        F.floor(
+            F.lit(1.0)
+            / F.least(
+                F.greatest(price, F.lit(1e-9)), F.lit(1.0)
+            )
+        ),
     ):
         v_ct = unpartitioned_window_violations(
             raw.groupBy(continuous.alias("k"))
@@ -785,6 +799,20 @@ def test_unpartitioned_window_boundedness_rule(spark, sf_dir):
             .withColumn("r", F.sum("n").over(w_all))
         )
         assert len(v_ct) == 1, f"continuous-type clamp not flagged: {v_ct}"
+    # finite LITERAL enumerations are bounded regardless of type: a
+    # constant label and a literal-labeled CASE bucket group into <= 2
+    # rows even though 'string' is not a discrete-by-range type
+    for finite in (
+        F.lit("all"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hot")).otherwise(
+            F.lit("cold")
+        ),
+    ):
+        assert unpartitioned_window_violations(
+            raw.groupBy(finite.alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("r", F.sum("n").over(w_all))
+        ) == [], "finite literal enumeration wrongly flagged"
     # window over raw x broadcast(1-row agg): contains an Aggregate but
     # is corpus-sized -> must be flagged
     stats = raw.agg(F.max("doc_id").alias("mx"))

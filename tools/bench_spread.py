@@ -82,19 +82,15 @@ def main() -> None:
         json.dump(ref, f, indent=1, sort_keys=True)
     # bench.py leaves BENCH_detail.json from whichever subprocess ran
     # LAST; rewrite it from the median run so the committed detail
-    # artifact always agrees with BENCH_local.json
+    # artifact always agrees with BENCH_local.json.  Reuse bench.py's
+    # format_output — the pinned single producer of the detail line —
+    # so a future field cannot silently diverge between the two writers.
+    sys.path.insert(0, ROOT)
+    from bench import format_output
+
+    detail, _ = format_output(ref["queries"], ref["sf"], ref["calib_sec"])
     with open(os.path.join(ROOT, "BENCH_detail.json"), "w") as f:
-        f.write(
-            json.dumps(
-                {
-                    "detail": "per_query_sec",
-                    "sf": ref["sf"],
-                    "calib_sec": ref["calib_sec"],
-                    "queries": ref["queries"],
-                }
-            )
-            + "\n"
-        )
+        f.write(detail + "\n")
     names = sorted(runs[0]["queries"])
     per_q = {
         q: [r["queries"].get(q, -1.0) for r in runs] for q in names

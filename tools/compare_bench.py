@@ -82,9 +82,11 @@ def main() -> None:
     if co and cn and note.endswith("raw"):
         print(
             f"WARNING: calib ratio {cn / co:.2f}x is outside plausible "
-            f"same-probe host drift [0.4, 2.5] — the files were made by "
-            f"different calib-probe generations (probe changed in round "
-            f"10). Normalization disabled; ratios below are RAW."
+            f"same-probe host drift [0.4, 2.5] — either the files were "
+            f"made by different calib-probe generations (the probe "
+            f"changed scale ~8.5x in round 10) or the hosts differ too "
+            f"much for the ratio to be trusted. Normalization disabled; "
+            f"ratios below are RAW."
         )
     print(
         f"total: {old.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s"
@@ -96,15 +98,19 @@ def main() -> None:
         norm = (qn[name] / speed) / qo[name] if qo[name] > 0 else float("inf")
         rows.append((norm, name, qo[name], qn[name]))
     rows.sort(reverse=True)
+    ratio_kind = "normalized" if note == " — normalized" else "raw"
     flagged = [r for r in rows if r[0] >= thresh and r[3] >= 0.5]
     for norm, name, a, b in flagged:
-        print(f"  REGRESSED {name}: {a:.2f}s -> {b:.2f}s ({norm:.2f}x normalized)")
+        print(
+            f"  REGRESSED {name}: {a:.2f}s -> {b:.2f}s"
+            f" ({norm:.2f}x {ratio_kind})"
+        )
     for name in sorted(set(qn) - set(qo)):
         print(f"  NEW {name}: {qn[name]:.2f}s")
     for name in sorted(set(qo) - set(qn)):
         print(f"  REMOVED {name}")
     if not flagged:
-        print(f"  no query regressed >= {thresh}x (normalized)")
+        print(f"  no query regressed >= {thresh}x ({ratio_kind})")
 
 
 if __name__ == "__main__":

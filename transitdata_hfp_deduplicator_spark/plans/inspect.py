@@ -120,29 +120,112 @@ def _collect_alias_defs(node, defs: dict) -> None:
         _collect_alias_defs(ch.apply(i), defs)
 
 
+# Result types for which a bounded value RANGE implies bounded group
+# CARDINALITY (the audit's actual question).  An ALLOWLIST, checked
+# recursively through struct/array/map, so a struct<double> cannot
+# smuggle a continuous domain past a top-level blocklist.
+_DISCRETE_TYPES = frozenset(
+    {
+        "byte",
+        "tinyint",
+        "short",
+        "smallint",
+        "integer",
+        "int",
+        "long",
+        "bigint",
+        "boolean",
+        "date",
+        "timestamp",
+        "timestamp_ntz",
+    }
+)
+
+
+def _discrete_type(dt) -> bool:
+    t = str(dt.typeName())
+    if t in _DISCRETE_TYPES:
+        return True
+    try:
+        if t == "struct":
+            # StructType IS a Seq[StructField] (fields() hands back a
+            # py4j JavaArray, which has no .apply)
+            return all(
+                _discrete_type(dt.apply(i).dataType())
+                for i in range(dt.length())
+            )
+        if t == "array":
+            return _discrete_type(dt.elementType())
+        if t == "map":
+            return _discrete_type(dt.keyType()) and _discrete_type(
+                dt.valueType()
+            )
+    except Exception:  # noqa: BLE001 - unexpected type shape: be strict
+        return False
+    return False
+
+
+def _finite_value_set(expr, defs: dict, depth: int = 0) -> bool:
+    """Expression whose value domain is a finite LITERAL enumeration —
+    a literal, or CASE WHEN with all-literal branch values (label
+    buckets like CASE WHEN hot THEN 'hot' ELSE 'cold' END).  Covers the
+    continuous/string groupings that are bounded by enumeration rather
+    than by range+discretization."""
+    if depth > 40:
+        return False
+    name = expr.getClass().getSimpleName()
+    if name == "Literal":
+        return True
+    if name == "Alias":
+        return _finite_value_set(expr.child(), defs, depth + 1)
+    if name == "AttributeReference":
+        d = defs.get(str(expr.toString()))
+        return d is not None and _finite_value_set(d, defs, depth + 1)
+    if name == "CaseWhen":
+        try:
+            vals = []
+            br = expr.branches()
+            for i in range(br.length()):
+                vals.append(br.apply(i)._2())
+            ev = expr.elseValue()
+            if ev.isDefined():
+                vals.append(ev.get())
+            return all(_finite_value_set(v, defs, depth + 1) for v in vals)
+        except Exception:  # noqa: BLE001 - be strict
+            return False
+    if name == "If":
+        try:
+            return _finite_value_set(
+                expr.trueValue(), defs, depth + 1
+            ) and _finite_value_set(expr.falseValue(), defs, depth + 1)
+        except Exception:  # noqa: BLE001 - be strict
+            return False
+    return False
+
+
 def _bounded_grouping_expr(expr, defs: dict, depth: int = 0) -> bool:
     """Structurally bounded GROUP CARDINALITY for a grouping expression:
-    value range bounded both below and above (``_expr_interval``), AND
-    a discrete result type.  One-sided clamps are not enough —
-    ``least(doc_id, 10)`` caps the domain above but leaves it
-    corpus-sized below, so the clamp idiom must close both ends
-    (``least(greatest(x, 0), N-1)``).  Continuous types are never
+    either a finite literal enumeration (``_finite_value_set`` — covers
+    string label buckets), or value range bounded both below and above
+    (``_expr_interval``) AND a discrete result type.  One-sided clamps
+    are not enough — ``least(doc_id, 10)`` caps the domain above but
+    leaves it corpus-sized below, so the clamp idiom must close both
+    ends (``least(greatest(x, 0), N-1)``).  Continuous types are never
     enough — a double clamped to [0, 1] (or ``pmod(price, 1.0)``) has
-    a bounded RANGE but corpus-sized CARDINALITY; only integral /
-    boolean / date / timestamp / window-struct results make a bounded
-    range imply bounded groups (the floor/cast in the bucket idiom is
-    what discretizes)."""
+    a bounded RANGE but corpus-sized CARDINALITY; the discrete-type
+    check is a recursive ALLOWLIST (integral / boolean / date /
+    timestamp, through struct/array/map) so composite types cannot
+    smuggle a continuous field past it (the floor/cast in the bucket
+    idiom is what discretizes)."""
+    if _finite_value_set(expr, defs, depth):
+        return True
     below, above = _expr_interval(expr, defs, depth)
     if not (below and above):
         return False
     try:
-        t = str(expr.dataType().typeName())
+        return _discrete_type(expr.dataType())
     except Exception:  # noqa: BLE001 - unresolved expression: be strict
         return False
-    return not (
-        t in ("double", "float", "string", "binary")
-        or t.startswith("decimal")
-    )
 
 
 def _expr_interval(expr, defs: dict, depth: int = 0) -> tuple[bool, bool]:
@@ -158,6 +241,9 @@ def _expr_interval(expr, defs: dict, depth: int = 0) -> tuple[bool, bool]:
       two-sided least(greatest(x, 0), N-1) shard-clamp idiom);
     - CASE WHEN: componentwise AND over branch VALUES (conditions
       irrelevant);
+    - division: bounded ONLY by a fixed non-zero literal divisor (a
+      constant rescale) — finite-over-finite is NOT finite (1/x on a
+      zero-adjacent interval has unbounded range);
     - any other expression: (True, True) iff ALL children are
       (arithmetic over finite domains stays finite; partial
       one-sidedness is NOT propagated through unknown ops — a
@@ -208,6 +294,23 @@ def _expr_interval(expr, defs: dict, depth: int = 0) -> tuple[bool, bool]:
             db, da = _expr_interval(ch.apply(1), defs, depth + 1)
             if db and da:
                 return (True, True)
+        return (False, False)
+    if name in ("Divide", "IntegralDivide"):
+        # division is NOT finite-over-finite: 1/x on a zero-adjacent
+        # bounded interval has unbounded range (and corpus-scale
+        # cardinality once floored).  Sound only when the divisor is a
+        # fixed non-zero literal — then it is a constant rescale and
+        # the numerator's interval carries over.
+        ch = expr.children()
+        if ch.length() == 2:
+            div = ch.apply(1)
+            if div.getClass().getSimpleName() == "Literal":
+                try:
+                    v = div.value()
+                    if v is not None and float(str(v)) != 0.0:
+                        return _expr_interval(ch.apply(0), defs, depth + 1)
+                except Exception:  # noqa: BLE001 - non-numeric literal
+                    pass
         return (False, False)
     ch = expr.children()
     if ch.length() == 0:
