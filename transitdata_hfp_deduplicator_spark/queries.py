@@ -8489,68 +8489,24 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 
-# Round-10 gate order (VERDICT r9 "next round" #1 — rotation hygiene):
-# the driver's 50-entry correctness window leads with the 36 queries
-# whose latest driver-green evidence is r7 (now the oldest tier; the
-# r9 verdict spot-ran 12 of them 12/12, so this is recency hygiene,
-# not risk), then fills the remaining 14 slots from the r8 tier.  The
-# rest of the registry follows oldest-tier-first (r8 then r9) so any
-# driver that reads past 50 keeps improving recency.  After this
-# window no query's evidence is older than r8.  Tier membership is
-# derived mechanically from the CORRECTNESS_r*.json last-pass rounds.
+# Round-11 gate order (VERDICT r10 "next round" #1 — rotation hygiene):
+# the driver's 50-entry correctness window leads with q_skyline (its
+# round-10 two-sided shard clamp — numerically a no-op — landed AFTER
+# its latest driver row, so by the "behavior-changed queries front the
+# window" rule it goes first), then the 34 queries whose latest
+# driver-green evidence is r8 (now the oldest tier; the r10 verdict
+# spot-ran 7 of them 7/7, so this is recency hygiene, not risk), then
+# fills the remaining 15 slots from the r9 tier.  The rest of the
+# registry follows oldest-tier-first (r9 then r10) so any driver that
+# reads past 50 keeps improving recency.  After this window no query's
+# evidence is older than r9.  Tier membership is derived mechanically
+# from the CORRECTNESS_r*.json last-pass rounds (histogram at r10 HEAD:
+# r8=34, r9=50, r10=50).
 GATE_ROTATION = [
-    # tier r7 (36 queries — oldest evidence first)
-    "q_embed_ann_ivf",
-    "q_embed_cosine",
-    "q_filter_pred",
-    "q_gapfill",
-    "q_heavy_hitters",
-    "q_heavy_hitters_weighted",
-    "q_histogram",
-    "q_json_extract",
-    "q_late_data",
-    "q_map_ops",
-    "q_minhash_signature",
-    "q_ngram_heavy",
-    "q_ngram_lm",
-    "q_percentile",
-    "q_pivot",
-    "q_promo_share",
-    "q_scalar_datetime",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_sessionize",
-    "q_set_ops",
-    "q_sort_limit",
-    "q_split_hash",
-    "q_string_agg",
-    "q_subquery_scalar",
-    "q_text_fingerprint",
-    "q_text_lang_id",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_scrub",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_top_supplier",
-    "q_udf_surface",
-    "q_udtf",
-    "q_unpivot",
-    # tier r8 (48 queries — oldest evidence first)
-    "q_canonical_dedup",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_incr_neardup",
-    "q_dedup_minhash_lsh",
-    "q_dedup_norm",
-    "q_dedup_simhash",
-    "q_dedup_stream",
-    "q_dedup_stream_neardup",
-    "q_dup_anomaly",
-    "q_dup_stats",
-    "q_dup_stats_stream",
+    # behavior-changed in r10 (two-sided clamp landed after its last driver
+    # row, VERDICT r10 "what's wrong" #3) — fronts the window
+    "q_skyline",
+    # tier r8 (34 queries — oldest evidence)
     "q_embed_ann_ivf_trained",
     "q_embed_kmeans",
     "q_embed_neardup",
@@ -8585,7 +8541,7 @@ GATE_ROTATION = [
     "q_window_tumbling_stream",
     "q_winnow_pairs",
     "q_zorder_layout",
-    # tier r9 (50 queries — oldest evidence first)
+    # tier r9 (49 queries; first 15 fill the 50-entry window)
     "q_agg_approx",
     "q_agg_approx_check",
     "q_agg_distinct",
@@ -8632,10 +8588,60 @@ GATE_ROTATION = [
     "q_sample_weighted",
     "q_scd2_build",
     "q_seq_pack",
-    "q_skyline",
     "q_tfidf_pairs",
     "q_token_colloc",
     "q_window_range",
+    # tier r10 (50 queries)
+    "q_canonical_dedup",
+    "q_corpus_mix",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_incr_neardup",
+    "q_dedup_minhash_lsh",
+    "q_dedup_norm",
+    "q_dedup_simhash",
+    "q_dedup_stream",
+    "q_dedup_stream_neardup",
+    "q_dup_anomaly",
+    "q_dup_stats",
+    "q_dup_stats_stream",
+    "q_embed_ann_ivf",
+    "q_embed_cosine",
+    "q_filter_pred",
+    "q_gapfill",
+    "q_heavy_hitters",
+    "q_heavy_hitters_weighted",
+    "q_histogram",
+    "q_json_extract",
+    "q_late_data",
+    "q_map_ops",
+    "q_minhash_signature",
+    "q_ngram_heavy",
+    "q_ngram_lm",
+    "q_percentile",
+    "q_pivot",
+    "q_promo_share",
+    "q_scalar_datetime",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_sessionize",
+    "q_set_ops",
+    "q_sort_limit",
+    "q_split_hash",
+    "q_string_agg",
+    "q_subquery_scalar",
+    "q_text_fingerprint",
+    "q_text_lang_id",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_scrub",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_top_supplier",
+    "q_udf_surface",
+    "q_udtf",
+    "q_unpivot",
 ]
 
 
