@@ -859,3 +859,157 @@ def test_unpartitioned_window_time_bucket_grouping_is_clean(spark, sf_dir):
     assert unpartitioned_window_violations(
         agg2.withColumn("r", F.sum("n").over(W.orderBy("t")))
     ) == []
+
+
+def test_unpartitioned_window_domain_algebra(spark, sf_dir):
+    """Round-11 domain algebra (VERDICT r10 #2 + both ADVICE r10
+    classifier items): group cardinality is judged by an honest value
+    domain — numeric ranges with quantization, time points with
+    granularity in seconds, finite enumerations — not booleans.
+
+    (a) TIME: a grouping is span-scaled only at >= 1-minute
+    granularity.  Raw unix_timestamp / date_trunc('second') /
+    sub-minute tumbling windows — second-or-finer groups over a
+    multi-year span rival corpus size — are flagged; minute-or-coarser
+    buckets (including the floor(unix/60) idiom and
+    unix_timestamp(window.start), the q_dup_anomaly shape) are clean.
+
+    (b) MAGNITUDE: literal-bounded is not enough — floor(x / 1e-12),
+    floor(x * 1e18) and pmod(x, 60_000_000) have data-independent
+    bounds that still rival corpus size, so the ceiling rejects them
+    while the same shapes at sane magnitudes stay clean.
+
+    (c) ASYMPTOTES: log/tan of a bounded interval is unbounded — the
+    old 'all children bounded -> bounded' rule is gone, so
+    floor(log(clamped_x)) no longer rides through the audit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from transitdata_hfp_deduplicator_spark.plans.inspect import (
+        unpartitioned_window_violations,
+    )
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+    raw = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    w_all = W.orderBy("k")
+
+    def flags(base, expr) -> bool:
+        df = (
+            base.groupBy(expr.alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("r", F.sum("n").over(w_all))
+        )
+        return len(unpartitioned_window_violations(df)) > 0
+
+    ts = F.col("ts")
+    price = F.col("doc_id").cast("double") / F.lit(7.0)
+    clamped = F.least(F.greatest(price, F.lit(1e-9)), F.lit(1.0))
+
+    # (a) time granularity: the >= 1-minute rule
+    for label, expr in [
+        ("window 30s", F.window(ts, "30 seconds")),
+        ("date_trunc second", F.date_trunc("second", ts)),
+        ("raw unix_timestamp", F.unix_timestamp(ts)),
+        ("floor(unix/30)", F.floor(F.unix_timestamp(ts) / F.lit(30))),
+    ]:
+        assert flags(ev, expr), f"sub-minute time grouping not flagged: {label}"
+    for label, expr in [
+        ("window 1m", F.window(ts, "1 minute")),
+        ("date_trunc minute", F.date_trunc("minute", ts)),
+        ("floor(unix/60)", F.floor(F.unix_timestamp(ts) / F.lit(60))),
+        ("floor(unix/3600)", F.floor(F.unix_timestamp(ts) / F.lit(3600))),
+        ("cast to date", ts.cast("date")),
+        ("year", F.year(ts)),
+        ("minute-of-hour", F.minute(ts)),
+        (
+            "unix_timestamp(window.start)",
+            F.unix_timestamp(F.window(ts, "1 minute").getField("start")),
+        ),
+    ]:
+        assert not flags(ev, expr), f"coarse time grouping wrongly flagged: {label}"
+
+    # (b) magnitude ceiling (ADVICE r10 #2)
+    for label, expr in [
+        ("floor(x/1e-12)", F.floor(clamped / F.lit(1e-12))),
+        ("floor(x*1e18)", F.floor(clamped * F.lit(1e18))),
+        ("pmod(id, 6e7)", F.pmod(F.col("doc_id"), F.lit(60000000))),
+    ]:
+        assert flags(raw, expr), f"corpus-scale magnitude not flagged: {label}"
+    for label, expr in [
+        ("floor(x*100)", F.floor(clamped * F.lit(100.0))),
+        ("pmod(id, 1000)", F.pmod(F.col("doc_id"), F.lit(1000))),
+    ]:
+        assert not flags(raw, expr), f"sane magnitude wrongly flagged: {label}"
+
+    # (c) asymptotes (ADVICE r10 #1)
+    tan_arg = F.least(F.greatest(price, F.lit(0.0)), F.lit(3.14))
+    for label, expr in [
+        ("floor(log(x))", F.floor(F.log(clamped))),
+        ("floor(tan(x))", F.floor(F.tan(tan_arg))),
+    ]:
+        assert flags(raw, expr), f"asymptote not flagged: {label}"
+
+
+def test_unpartitioned_window_domain_algebra_self_review(spark, sf_dir):
+    """Same-session self-review holes in the round-11 algebra itself,
+    closed and pinned (the r10 fix-the-class discipline):
+
+    (a) COMPOSITE PRODUCT: a struct grouping key is the TUPLE of its
+    fields, so cardinality multiplies — each field individually under
+    the ceiling is not enough.  struct(pmod(a, 2e6), pmod(b, 2e6)) is
+    4e12 groups and must flag; struct(pmod(a, 1e3), pmod(b, 1e3)) is
+    1e6 and stays clean; the tumbling-window struct (correlated time
+    fields) stays clean.
+
+    (b) PMOD LATTICE ALIASING: x on a coarse q-lattice mod m keeps the
+    lattice only when q divides m — mod a non-multiple, residues alias
+    and fill [0, m) at the type's own spacing, so the count must not
+    inherit q.  floor(x*1e13)*1e6 pmod 4_000_000 (divisible: 9 groups)
+    is clean; the same pmod 3_999_999 (non-divisible: ~8e6 residues)
+    must flag."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from transitdata_hfp_deduplicator_spark.plans.inspect import (
+        unpartitioned_window_violations,
+    )
+    from transitdata_hfp_deduplicator_spark.tables import read_parquet
+
+    raw = read_parquet(spark, f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    w_all = W.orderBy("k")
+
+    def flags(expr) -> bool:
+        df = (
+            raw.groupBy(expr.alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("r", F.sum("n").over(w_all))
+        )
+        return len(unpartitioned_window_violations(df)) > 0
+
+    # (a) composite product
+    a = F.pmod(F.col("doc_id"), F.lit(2000000))
+    b = F.pmod(F.xxhash64("lang"), F.lit(2000000))
+    assert flags(F.struct(a.alias("a"), b.alias("b"))), (
+        "struct field-count product not enforced"
+    )
+    a_s = F.pmod(F.col("doc_id"), F.lit(1000))
+    b_s = F.pmod(F.xxhash64("lang"), F.lit(1000))
+    assert not flags(F.struct(a_s.alias("a"), b_s.alias("b"))), (
+        "small struct product wrongly flagged"
+    )
+
+    # (b) pmod lattice aliasing
+    price = F.col("doc_id").cast("double") / F.lit(7.0)
+    clamped = F.least(F.greatest(price, F.lit(1e-9)), F.lit(1.0))
+    coarse = F.floor(clamped * F.lit(1e13)) * F.lit(1000000)
+    assert not flags(F.pmod(coarse, F.lit(4000000))), (
+        "divisible-modulus lattice wrongly flagged"
+    )
+    assert flags(F.pmod(coarse, F.lit(3999999))), (
+        "non-divisible modulus aliasing not flagged"
+    )
