@@ -34,11 +34,14 @@ def format_output(timings: dict, sf, calib) -> tuple[str, str]:
     """(detail_line, final_line).  The FINAL line must stay compact
     (<200 chars) so a tail-capture of stdout always parses it — the
     full queries dict rides the detail line (tests/test_bench_contract
-    pins this)."""
+    pins this).  Both lines stamp CALIB_PROBE so a comparator can tell
+    a probe-generation mismatch from genuine host spread
+    deterministically (ADVICE r10) instead of inferring from the
+    calib ratio."""
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     detail = json.dumps(
         {"detail": "per_query_sec", "sf": sf, "calib_sec": calib,
-         "queries": timings}
+         "calib_probe": CALIB_PROBE, "queries": timings}
     )
     final = json.dumps(
         {
@@ -47,6 +50,7 @@ def format_output(timings: dict, sf, calib) -> tuple[str, str]:
             "unit": "sec",
             "sf": sf,
             "calib_sec": calib,
+            "calib_probe": CALIB_PROBE,
             "n_queries": len(timings),
         }
     )
@@ -66,6 +70,12 @@ def format_output(timings: dict, sf, calib) -> tuple[str, str]:
 # needs 4B rows (~3.4s measured, 3 repeats within 5%).
 CALIB_ROWS = 4_000_000_000
 CALIB_RUNS = 5
+# Probe-generation tag, stamped into every bench artifact: bump it
+# whenever the calibration WORKLOAD or ESTIMATOR changes (rows, plan,
+# median-vs-min, run count), because calib values are only
+# normalization-comparable within one generation.  "r10" = median-of-5
+# of the 4B-row aggregate above, introduced in round 10.
+CALIB_PROBE = "r10"
 
 
 def _calib_once(spark) -> float:

@@ -104,6 +104,42 @@ def test_compare_bench_cross_generation_calib_disables_normalization():
     assert speed == 1.0 and "no calib" in note
 
 
+def test_compare_bench_probe_generation_tag_is_deterministic():
+    """ADVICE r10: the [0.4, 2.5] heuristic conflates a probe-generation
+    mismatch with a legitimately much-faster/slower host.  Artifacts
+    since round 11 stamp `calib_probe` (bench.py CALIB_PROBE), and when
+    both sides carry the tag the comparator decides deterministically:
+    same tag -> normalize even OUTSIDE the heuristic window (a genuine
+    3x-faster host no longer silently loses normalization); different
+    tags -> raw even INSIDE the window."""
+    from tools.compare_bench import effective_speed
+
+    # same tag, host 4x faster: the heuristic alone would go raw —
+    # with tags it normalizes
+    speed, note = effective_speed(3.2, 0.8, "r10", "r10")
+    assert abs(speed - 0.25) < 1e-9 and "normalized" in note
+    # different tags, ratio innocently inside the window: raw anyway
+    speed, note = effective_speed(3.0, 3.3, "r10", "r11")
+    assert speed == 1.0 and "cross-generation" in note and "tagged" in note
+    # tag on only one side (pre-round-11 artifact): heuristic applies
+    speed, note = effective_speed(0.41, 3.4, None, "r10")
+    assert speed == 1.0 and "cross-generation" in note
+    speed, note = effective_speed(3.0, 3.9, None, "r10")
+    assert abs(speed - 1.3) < 1e-9 and "normalized" in note
+
+
+def test_bench_output_stamps_probe_generation():
+    """Both bench lines must carry calib_probe so any future comparator
+    input is tagged; the final line stays tail-parseable."""
+    from bench import CALIB_PROBE
+
+    detail, final = format_output({"q_x": 1.0}, 0.1, 3.05)
+    assert json.loads(detail)["calib_probe"] == CALIB_PROBE
+    d = json.loads(final)
+    assert d["calib_probe"] == CALIB_PROBE
+    assert len(final) < 200
+
+
 def test_gate_rotation_covers_registry():
     """Every registered query must appear in GATE_ROTATION exactly once
     (a query added without a rotation slot would silently never reach

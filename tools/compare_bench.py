@@ -11,10 +11,15 @@ host-speed drift doesn't read as regression.
 Probe generations: the calib workload changed in round 10 (min-of-2 of
 a ~0.3s 20M-row job -> median-of-5 of a ~3.4s 4B-row job), so calib
 values from the two generations differ ~8.5x by construction, not by
-host speed.  When the two files' calib ratio falls outside plausible
-same-probe host drift ([0.4, 2.5]), normalization is DISABLED with a
-loud warning and raw ratios are reported — silently dividing by 8.5x
-would mask any real regression.
+host speed.  Since round 11 every bench artifact stamps its generation
+(`calib_probe`, bench.py CALIB_PROBE), so when BOTH files carry the
+tag the decision is deterministic: same tag -> normalize (even across
+hosts whose speeds differ more than the heuristic window — ADVICE r10:
+a real cross-host comparison no longer silently loses normalization);
+different tags -> raw, loudly.  When either file predates the tag, the
+old heuristic applies: a calib ratio outside plausible same-probe host
+drift ([0.4, 2.5]) disables normalization with a loud warning —
+silently dividing by 8.5x would mask any real regression.
 """
 
 from __future__ import annotations
@@ -51,6 +56,10 @@ def load(path: str) -> dict:
     if "calib_sec" not in out:
         cm = re.search(r'"calib_sec": ([\d.]+)', tail)
         out["calib_sec"] = float(cm.group(1)) if cm else None
+    if "calib_probe" not in out:
+        pm = re.search(r'"calib_probe": "([^"]+)"', tail)
+        if pm:
+            out["calib_probe"] = pm.group(1)
     if "value" not in out and qs:
         out["value"] = sum(qs.values())
     if out.get("queries"):
@@ -58,15 +67,21 @@ def load(path: str) -> dict:
     raise SystemExit(f"no bench data found in {path}")
 
 
-def effective_speed(co, cn) -> tuple[float, str]:
+def effective_speed(co, cn, po=None, pn=None) -> tuple[float, str]:
     """Host-speed ratio to normalize by, or 1.0 with a reason when
-    normalization would be meaningless: calib missing on either side,
-    or the ratio outside plausible same-probe host drift [0.4, 2.5]
-    (the probe-generation boundary — tests/test_bench_contract pins
-    both edges)."""
+    normalization would be meaningless.  With generation tags on BOTH
+    sides (po/pn, artifacts from round 11 on) the decision is
+    deterministic: equal tags normalize, different tags go raw.
+    Without tags, fall back to the ratio heuristic: outside plausible
+    same-probe host drift [0.4, 2.5] (the probe-generation boundary)
+    go raw (tests/test_bench_contract pins all edges)."""
     if not (co and cn):
         return 1.0, " — no calib, raw"
     speed = cn / co
+    if po and pn:
+        if po != pn:
+            return 1.0, " — cross-generation calib (tagged), raw"
+        return speed, " — normalized (same probe generation)"
     if not (0.4 <= speed <= 2.5):
         return 1.0, " — cross-generation calib, raw"
     return speed, " — normalized"
@@ -78,16 +93,27 @@ def main() -> None:
     if "--threshold" in sys.argv:
         thresh = float(sys.argv[sys.argv.index("--threshold") + 1])
     co, cn = old.get("calib_sec"), new.get("calib_sec")
-    speed, note = effective_speed(co, cn)
+    po, pn = old.get("calib_probe"), new.get("calib_probe")
+    speed, note = effective_speed(co, cn, po, pn)
     if co and cn and note.endswith("raw"):
-        print(
-            f"WARNING: calib ratio {cn / co:.2f}x is outside plausible "
-            f"same-probe host drift [0.4, 2.5] — either the files were "
-            f"made by different calib-probe generations (the probe "
-            f"changed scale ~8.5x in round 10) or the hosts differ too "
-            f"much for the ratio to be trusted. Normalization disabled; "
-            f"ratios below are RAW."
-        )
+        if "tagged" in note:
+            print(
+                f"WARNING: the files carry different calib-probe "
+                f"generation tags ({po!r} vs {pn!r}) — calib values are "
+                f"not comparable across probe workloads. Normalization "
+                f"disabled; ratios below are RAW."
+            )
+        else:
+            print(
+                f"WARNING: calib ratio {cn / co:.2f}x is outside plausible "
+                f"same-probe host drift [0.4, 2.5] — either the files were "
+                f"made by different calib-probe generations (the probe "
+                f"changed scale ~8.5x in round 10; artifacts since round "
+                f"11 carry a calib_probe tag that decides this "
+                f"deterministically) or the hosts differ too much for the "
+                f"ratio to be trusted. Normalization disabled; ratios "
+                f"below are RAW."
+            )
     print(
         f"total: {old.get('value', 0):.1f}s -> {new.get('value', 0):.1f}s"
         f"  (host speed ratio {speed:.2f}x{note})"
