@@ -129,6 +129,22 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
+    # Targeted idle re-runs (e.g. band-check a handful of queries
+    # without the full ~18-min sweep): SPARK_GRAFT_BENCH_ONLY is a
+    # comma-separated query-name subset.  Subset runs keep the full
+    # warm-up discipline for the selected queries but NEVER write
+    # BENCH_detail.json — that artifact must always describe the whole
+    # registry.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {n.strip() for n in only_env.split(",") if n.strip()}
+    if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"bench: unknown queries in ONLY: {unknown}", file=sys.stderr)
+        qs = {n: f for n, f in qs.items() if n in only}
+        if not qs:
+            raise SystemExit("bench: ONLY matched no queries")
+
     # warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not first-touch JIT/IO
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
@@ -319,14 +335,15 @@ def main() -> None:
     # ~2000-char stdout tail capture preserves only ~69/134 per-query
     # numbers, so without this artifact half the registry can't be
     # band-checked from BENCH_r{N}.json alone (VERDICT r9 #3).
-    try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
-        )
-        with open(detail_path, "w") as fh:
-            fh.write(detail + "\n")
-    except OSError as e:  # noqa: BLE001 - artifact write must never fail the bench
-        print(f"bench: could not write BENCH_detail.json: {e}", file=sys.stderr)
+    if not only:
+        try:
+            detail_path = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
+            )
+            with open(detail_path, "w") as fh:
+                fh.write(detail + "\n")
+        except OSError as e:  # noqa: BLE001 - artifact write must never fail the bench
+            print(f"bench: could not write BENCH_detail.json: {e}", file=sys.stderr)
     print(detail, flush=True)
     print(final, flush=True)
 
