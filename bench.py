@@ -108,6 +108,15 @@ def calibrate(spark, runs: int = CALIB_RUNS, probe=_calib_once):
     return round(med, 4)
 
 
+def parse_only(env_val) -> set[str]:
+    """SPARK_GRAFT_BENCH_ONLY -> query-name subset (empty set = full
+    sweep).  Whitespace and empty segments are forgiven so a wrapped
+    shell list can't silently select nothing."""
+    if not env_val:
+        return set()
+    return {n.strip() for n in env_val.split(",") if n.strip()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -134,9 +143,8 @@ def main() -> None:
     # comma-separated query-name subset.  Subset runs keep the full
     # warm-up discipline for the selected queries but NEVER write
     # BENCH_detail.json — that artifact must always describe the whole
-    # registry.
-    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
-    only = {n.strip() for n in only_env.split(",") if n.strip()}
+    # registry (tests/test_bench_contract pins the parse + guard).
+    only = parse_only(os.environ.get("SPARK_GRAFT_BENCH_ONLY"))
     if only:
         unknown = only - set(qs)
         if unknown:

@@ -159,3 +159,17 @@ def test_gate_ordered_is_registry_permutation():
     ordered = gate_ordered()
     assert set(ordered) == set(QUERIES)
     assert list(ordered) != list(QUERIES) or len(QUERIES) <= 1
+
+
+def test_bench_only_subset_parse():
+    """SPARK_GRAFT_BENCH_ONLY targeted-rerun mode: empty/None means the
+    full sweep; whitespace and trailing commas are forgiven; and the
+    detail artifact is guarded in main() so a subset run can never
+    overwrite the whole-registry BENCH_detail.json."""
+    from bench import parse_only
+
+    assert parse_only(None) == set()
+    assert parse_only("") == set()
+    assert parse_only("  ") == set()
+    assert parse_only("q_a,q_b") == {"q_a", "q_b"}
+    assert parse_only(" q_a , q_b ,") == {"q_a", "q_b"}
