@@ -1013,3 +1013,11 @@ def test_unpartitioned_window_domain_algebra_self_review(spark, sf_dir):
     assert flags(F.pmod(coarse, F.lit(3999999))), (
         "non-divisible modulus aliasing not flagged"
     )
+
+    # (c) NON-DETERMINISM: rand(seed) has a single literal child, so
+    # the finite-children product rule would classify it finite(1) —
+    # non-deterministic expressions must never take that rule
+    assert flags(F.rand(42)), "rand() grouping not flagged"
+    assert flags(F.floor(F.rand(42) * F.lit(1e9))), (
+        "floor(rand()*1e9) grouping not flagged"
+    )

@@ -355,7 +355,13 @@ def _children_product_domain(expr, defs, depth):
     values, so if every child's count is known and the product stays
     under the ceiling, the result is finite(product).  Conditions and
     field-name literals count as their (tiny) domains, which only
-    over-counts -- sound."""
+    over-counts -- sound.  NON-deterministic expressions are excluded:
+    rand(seed) has a single literal child but corpus-sized output."""
+    try:
+        if not expr.deterministic():
+            return None
+    except Exception:  # noqa: BLE001 - cannot prove deterministic: strict
+        return None
     ch = expr.children()
     if ch.length() == 0:
         return None
@@ -671,7 +677,11 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
         if cd[0] == "range":
             lo = cd[1] - 1.0 if cd[1] is not None else None
             hi = cd[2] + 1.0 if cd[2] is not None else None
-            return ("range", lo, hi, max(cd[3] or 0.0, 1.0))
+            # a fractional q-lattice rounds onto integers spaced
+            # >= floor(q): claiming q itself would under-count by up
+            # to q/(q-1)
+            q = max(float(int(cd[3])) if cd[3] is not None else 0.0, 1.0)
+            return ("range", lo, hi, q)
         return _type_bounds_domain(expr)
     if name == "Cast":
         cd = _expr_domain(expr.children().apply(0), defs, depth + 1)
@@ -691,10 +701,14 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
         if cd[0] == "range":
             b = _TYPE_BOUNDS.get(t)
             if b is not None:
-                # clamp to target bounds, widen by 1 for truncation
+                # clamp to target bounds, widen by 1 for truncation;
+                # same floor(q) rule as the discretizers above
                 lo = max(cd[1] - 1.0, -b) if cd[1] is not None else -b
                 hi = min(cd[2] + 1.0, b) if cd[2] is not None else b
-                return ("range", lo, hi, max(cd[3] or 0.0, 1.0))
+                q = max(
+                    float(int(cd[3])) if cd[3] is not None else 0.0, 1.0
+                )
+                return ("range", lo, hi, q)
             return cd
         if cd[0] == "finite":
             return cd
