@@ -93,10 +93,10 @@ def _numeric_exprs(rng: random.Random):
         return x % F.lit(rng.choice([16, 101, 2048]))
 
     def scale(x):
-        return x * F.lit(rng.choice([3, 11, 100]))
+        return x * F.lit(rng.choice([3, 11, 100, -7]))
 
     def rescale(x):
-        return x / F.lit(rng.choice([2.0, 16.0, 250.0]))
+        return x / F.lit(rng.choice([2.0, 16.0, 250.0, -4.0]))
 
     def disc(x):
         return F.floor(x)
@@ -108,12 +108,41 @@ def _numeric_exprs(rng: random.Random):
             .otherwise(F.lit(-1))
         )
 
-    unaries = [clamp, mod, rem, scale, rescale, disc, branch]
+    def mixed_branch(x):
+        # If/CASE whose branches mix the expression itself with a
+        # literal: exercises the union-hull rule, not just finite sums
+        return F.when(x > F.lit(3), x).otherwise(F.lit(0))
+
+    def absval(x):
+        return F.abs(x)
+
+    def neg(x):
+        return -x
+
+    def coal(x):
+        return F.coalesce(x, F.lit(rng.randint(-3, 3)))
+
+    def shift(x):
+        return x + F.lit(rng.randint(-50, 50))
+
+    unaries = [
+        clamp, mod, rem, scale, rescale, disc, branch,
+        mixed_branch, absval, neg, coal, shift,
+    ]
     out = []
-    for _ in range(40):
+    for _ in range(60):
         e = rng.choice(leaves)()
         for _ in range(rng.randint(1, 4)):
             e = rng.choice(unaries)(e)
+        out.append(e)
+    # sums/differences of two INDEPENDENTLY bounded terms: exercises
+    # additive interval arithmetic and the mixed-quant fallback
+    for _ in range(12):
+        a = mod(rng.choice(leaves)())
+        b = clamp(rng.choice(leaves)())
+        e = a + b if rng.random() < 0.5 else a - b
+        if rng.random() < 0.5:
+            e = disc(rescale(e))
         out.append(e)
     # a few hand-picked compositions the registry actually uses
     out.append(F.pmod(F.xxhash64("lang"), F.lit(32)))
@@ -236,8 +265,13 @@ def test_domain_algebra_never_underclaims(spark, sf_dir):
     # the battery must actually exercise both claim kinds — if a
     # refactor silently turns everything unbounded, fail loudly rather
     # than pass vacuously
-    assert checked_counts >= 15, f"only {checked_counts} count claims checked"
-    assert checked_grans >= 8, f"only {checked_grans} gran claims checked"
+    print(
+        f"domain-algebra battery: {checked_counts} count claims, "
+        f"{checked_grans} gran claims verified"
+    )
+    # measured at introduction: 56 count / 20 gran claims verified
+    assert checked_counts >= 40, f"only {checked_counts} count claims checked"
+    assert checked_grans >= 15, f"only {checked_grans} gran claims checked"
 
 
 def test_getstructfield_survives_optimizer_exclusion(spark, sf_dir):
