@@ -161,6 +161,136 @@ def test_gate_ordered_is_registry_permutation():
     assert list(ordered) != list(QUERIES) or len(QUERIES) <= 1
 
 
+def test_retry_candidates_gate():
+    """VERDICT r11 #1: the bench must self-diagnose outliers.  Only
+    readings over RETRY_FACTOR x their idle-box spread median qualify;
+    errored queries (negative sentinel) and queries without a reference
+    median are skipped."""
+    from bench import RETRY_FACTOR, retry_candidates
+
+    assert RETRY_FACTOR == 3.0
+    timings = {
+        "q_tri": 38.38,   # the r11 contention artifact: 8.2x its median
+        "q_ok": 4.70,     # 1.01x — in band
+        "q_edge": 14.0,   # exactly 3.0x — NOT an outlier (strict >)
+        "q_err": -1.0,    # errored: nothing to re-run
+        "q_new": 9.9,     # no spread median: nothing to band-check
+    }
+    medians = {"q_tri": 4.66, "q_ok": 4.66, "q_edge": 14.0 / 3.0,
+               "q_err": 1.0}
+    assert retry_candidates(timings, medians) == ["q_tri"]
+    assert retry_candidates({}, medians) == []
+    assert retry_candidates(timings, {}) == []
+
+
+def test_resolve_retry_records_both_readings():
+    """The record keeps BOTH readings plus the verdict; the reported
+    timing is the min (the loop's own estimator), so a transient
+    contention reading no longer contaminates the total — and a real
+    regression (retry also over band) keeps its inflated number AND is
+    labeled non-transient for the judge."""
+    from bench import resolve_retry
+
+    # the r11 case: 38.38s contention, 5.74s idle re-run, median 4.66
+    t, rec = resolve_retry(38.38, 5.74, 4.66)
+    assert t == 5.74
+    assert rec == {"sec": 38.38, "retry_sec": 5.74, "transient": True}
+    # genuine regression: the retry confirms the slow reading
+    t, rec = resolve_retry(38.38, 36.9, 4.66)
+    assert t == 36.9 and rec["transient"] is False
+    # boundary: retry exactly at 3x median counts as in-band
+    t, rec = resolve_retry(20.0, 13.98, 4.66)
+    assert rec["transient"] is True
+
+
+def test_format_output_carries_retries_and_subset():
+    """Detail line: full retry records + the subset list; final line:
+    compact retried/transient counts + a subset boolean — and it stays
+    tail-parseable (<200 chars) in the no-retry full-sweep case, which
+    is the driver path (ADVICE r11 #4 + VERDICT r11 #1)."""
+    retries = {"q_tri": {"sec": 38.38, "retry_sec": 5.74,
+                         "transient": True}}
+    detail, final = format_output(
+        {"q_tri": 5.74, "q_ok": 1.0}, 0.1, 3.05, retries=retries
+    )
+    dd, fd = json.loads(detail), json.loads(final)
+    assert dd["retries"] == retries
+    assert fd["retried"] == 1 and fd["transient"] == 1
+    assert "subset" not in dd and "subset" not in fd
+    # the corrected timing (not the contaminated one) feeds the total
+    assert fd["value"] == 6.74
+
+    detail, final = format_output(
+        {"q_b": 1.0, "q_a": 2.0}, 0.1, 3.05, subset={"q_b", "q_a"}
+    )
+    dd, fd = json.loads(detail), json.loads(final)
+    assert dd["subset"] == ["q_a", "q_b"]
+    assert fd["subset"] is True
+    assert "retries" not in dd and "retried" not in fd
+
+    # the driver path: full sweep, no outliers — unchanged and compact
+    _, final = format_output({"q_x": 1.0}, 0.1, 3.05)
+    fd = json.loads(final)
+    assert "subset" not in fd and "retried" not in fd
+    assert len(final) < 200
+
+
+def test_load_spread_medians(tmp_path):
+    """Advisory loader: per-entry null medians are dropped, a missing
+    or malformed file returns {} (never raises)."""
+    from bench import load_spread_medians
+
+    p = tmp_path / "BENCH_spread.json"
+    p.write_text(json.dumps({"queries": {
+        "q_a": {"median": 4.66}, "q_b": {"median": None}, "q_c": {},
+    }}))
+    assert load_spread_medians(str(p)) == {"q_a": 4.66}
+    assert load_spread_medians(str(tmp_path / "absent.json")) == {}
+    p.write_text("not json")
+    assert load_spread_medians(str(p)) == {}
+
+
+def test_compare_bench_ratio_kind_label_matches_note():
+    """ADVICE r11 #1: ratio_kind exact-matched ' — normalized', so the
+    tagged path's ' — normalized (same probe generation)' note printed
+    '(Nx raw)' on ratios that WERE calib-normalized.  Pin the substring
+    contract against effective_speed's actual note outputs — a future
+    note string cannot silently mislabel."""
+    from tools.compare_bench import effective_speed, ratio_kind_of
+
+    # every note effective_speed can emit, labeled correctly
+    for args, expected in [
+        ((3.0, 3.9, None, None), "normalized"),       # heuristic path
+        ((3.2, 3.4, "r10", "r10"), "normalized"),      # tagged path
+        ((3.0, 3.3, "r10", "r11"), "raw"),             # cross-gen tagged
+        ((0.41, 3.4, None, None), "raw"),              # cross-gen heuristic
+        ((None, 3.4, None, None), "raw"),              # no calib
+    ]:
+        _, note = effective_speed(*args)
+        assert ratio_kind_of(note) == expected, (args, note)
+
+
+def test_compare_bench_subset_warning():
+    """ADVICE r11 #4: a tail-captured subset run is structurally
+    identical to a full-registry artifact — the comparator must warn
+    when either side carries the subset stamp or when the two sides'
+    n_queries stamps disagree markedly."""
+    from tools.compare_bench import subset_warning
+
+    full = {"n_queries": 134, "queries": {}}
+    sub = {"n_queries": 7, "subset": True, "queries": {}}
+    assert "subset" in subset_warning(full, sub)
+    assert "subset" in subset_warning(sub, full)
+    # pre-stamp subset artifact (no boolean): the count check catches it
+    old_sub = {"n_queries": 7, "queries": {}}
+    assert "134 vs 7" in subset_warning(full, old_sub) or (
+        "7" in subset_warning(full, old_sub)
+    )
+    # two full-registry files (count drift within a round is small)
+    assert subset_warning(full, {"n_queries": 134, "queries": {}}) is None
+    assert subset_warning({"queries": {}}, {"queries": {}}) is None
+
+
 def test_bench_only_subset_parse():
     """SPARK_GRAFT_BENCH_ONLY targeted-rerun mode: empty/None means the
     full sweep; whitespace and trailing commas are forgiven; and the

@@ -1021,3 +1021,29 @@ def test_unpartitioned_window_domain_algebra_self_review(spark, sf_dir):
     assert flags(F.floor(F.rand(42) * F.lit(1e9))), (
         "floor(rand()*1e9) grouping not flagged"
     )
+
+
+def test_graph_triangles_degree_join_unhinted(spark):
+    """VERDICT r11 #3: q_graph_triangles force-broadcast the node-scaled
+    degree table — the degree table grows with distinct nodes (the
+    corpus), so a pinned hint is the driver-OOM class
+    assert_no_broadcast_join rejects.  Pin the intended strategy on the
+    pre-checkpoint orientation fragment (the eager localCheckpoint in
+    the query hides it): under autoBroadcastJoinThreshold=-1 the
+    planner must fall back to a shuffle join (proving no forced hint);
+    at the default threshold its own size estimate still picks
+    broadcast for a small degree table (bench-scale behavior kept)."""
+    from pyspark.sql import functions as F
+
+    from transitdata_hfp_deduplicator_spark.queries import _oriented_edges
+
+    e0 = spark.range(200).select(
+        (F.col("id") % 50).alias("u"), (F.col("id") % 37 + 50).alias("v")
+    ).distinct()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert_no_broadcast_join(_oriented_edges(e0))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert_broadcast_join(_oriented_edges(e0), expect=2)

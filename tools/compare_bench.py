@@ -87,11 +87,51 @@ def effective_speed(co, cn, po=None, pn=None) -> tuple[float, str]:
     return speed, " — normalized"
 
 
+def subset_warning(old: dict, new: dict) -> str | None:
+    """Loud warning when either side is a SPARK_GRAFT_BENCH_ONLY subset
+    artifact or the two sides' query counts differ markedly (>20%) —
+    a subset total compared against a full-registry total is apples to
+    oranges (ADVICE r11 #4).  Tail-truncated queries dicts are fine:
+    the check uses the final line's n_queries stamp, not len(queries)."""
+    subsets = [
+        side for side, d in (("OLD", old), ("NEW", new)) if d.get("subset")
+    ]
+    if subsets:
+        return (
+            f"WARNING: {' and '.join(subsets)} "
+            f"{'are' if len(subsets) > 1 else 'is a'} SPARK_GRAFT_BENCH_ONLY "
+            f"subset artifact{'s' if len(subsets) > 1 else ''} — totals "
+            f"cover only the selected queries, not the registry. Compare "
+            f"per-query rows only; ignore the totals line."
+        )
+    no, nn = old.get("n_queries"), new.get("n_queries")
+    if no and nn and abs(no - nn) > 0.2 * max(no, nn):
+        return (
+            f"WARNING: the files time markedly different query counts "
+            f"({no} vs {nn}) — one side may be a subset or a different "
+            f"registry generation. Totals are not comparable; compare "
+            f"per-query rows only."
+        )
+    return None
+
+
+def ratio_kind_of(note: str) -> str:
+    """'normalized' vs 'raw' for the per-query ratio labels.  Substring
+    match, NOT equality: effective_speed emits two normalized notes
+    (' — normalized' and ' — normalized (same probe generation)'), and
+    an exact match against the first mislabeled every tagged comparison
+    as raw (ADVICE r11 #1 — the math was right, the label lied)."""
+    return "normalized" if "normalized" in note else "raw"
+
+
 def main() -> None:
     old, new = load(sys.argv[1]), load(sys.argv[2])
     thresh = 1.25
     if "--threshold" in sys.argv:
         thresh = float(sys.argv[sys.argv.index("--threshold") + 1])
+    warn = subset_warning(old, new)
+    if warn:
+        print(warn)
     co, cn = old.get("calib_sec"), new.get("calib_sec")
     po, pn = old.get("calib_probe"), new.get("calib_probe")
     speed, note = effective_speed(co, cn, po, pn)
@@ -124,7 +164,10 @@ def main() -> None:
         norm = (qn[name] / speed) / qo[name] if qo[name] > 0 else float("inf")
         rows.append((norm, name, qo[name], qn[name]))
     rows.sort(reverse=True)
-    ratio_kind = "normalized" if note == " — normalized" else "raw"
+    # note-to-label contract: every normalized note contains the word
+    # (tests/test_bench_contract asserts this against effective_speed's
+    # actual outputs, so a new note string can't silently mislabel)
+    ratio_kind = ratio_kind_of(note)
     flagged = [r for r in rows if r[0] >= thresh and r[3] >= 0.5]
     for norm, name, a, b in flagged:
         print(

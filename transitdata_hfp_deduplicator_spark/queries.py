@@ -7856,6 +7856,40 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oriented_edges(e0: DataFrame) -> DataFrame:
+    """Degree-orient an undirected (u, v) edge list: every edge flows
+    from the lower (degree, id) endpoint to the higher, bounding
+    out-degrees at O(sqrt(|E|)).  The degree joins are UNHINTED on
+    purpose: the degree table scales with distinct nodes (the corpus),
+    so a forced broadcast is the driver-OOM class
+    `plans/inspect.py::assert_no_broadcast_join` rejects — the planner
+    broadcasts on its own size estimate at bench scale and falls back
+    to a node-keyed shuffle join at lake scale (VERDICT r11 #3;
+    tests/test_plans.py::test_graph_triangles_degree_join_unhinted
+    pins both).  Factored out of q_graph_triangles so the plan test can
+    inspect the join strategy BEFORE the eager localCheckpoint hides
+    it."""
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        e0.join(deg.select(F.col("node").alias("u"),
+                           F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("d").alias("dv")), "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+
+
 @query(
     "q_graph_triangles",
     oracle="""
@@ -7930,12 +7964,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edges build once from per-order sorted part arrays
     (one orderkey exchange; the index-slice transform emits only u < v
     pairs — no diagonal, no post-filter); degrees are one node-keyed
-    partial-agg exchange; the node-sized degree table broadcasts onto
-    the edge list (at 100 TB: a node-keyed shuffle join on u then v —
-    two exchanges, still edge-linear); the adjacency table groupBys on
-    s and joins back co-partitioned, so the only added exchange is the
-    b-keyed one carrying ns arrays.  Hash-checked: pure integer
-    counting."""
+    partial-agg exchange; the degree joins onto the edge list carry NO
+    broadcast hint — the degree table scales with distinct nodes, i.e.
+    with the corpus, so a forced hint is exactly the driver-OOM class
+    `plans/inspect.py::assert_no_broadcast_join` exists to reject
+    (VERDICT r11 #3).  At bench scale the planner's size estimate still
+    picks broadcast on its own; at 100 TB it falls back to a node-keyed
+    shuffle join on u then v — two exchanges, still edge-linear
+    (tests/test_plans.py::test_graph_triangles_degree_join_unhinted
+    pins both behaviors); the adjacency table groupBys on s and joins
+    back co-partitioned, so the only added exchange is the b-keyed one
+    carrying ns arrays.  Hash-checked: pure integer counting."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     grp = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
@@ -7950,28 +7989,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()  # 2 consumers (degree build + orientation)
     )
-    deg = (
-        e0.select(F.col("u").alias("node"))
-        .unionAll(e0.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    lower = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = (
-        e0.join(
-            F.broadcast(deg.select(F.col("node").alias("u"),
-                                   F.col("d").alias("du"))), "u")
-        .join(
-            F.broadcast(deg.select(F.col("node").alias("v"),
-                                   F.col("d").alias("dv"))), "v")
-        .select(
-            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
-        )
-        .localCheckpoint()  # 2 consumers (adjacency build + edge probe)
-    )
+    o = _oriented_edges(e0).localCheckpoint()  # 2 consumers (adjacency
+    #                                            build + edge probe)
     adj = o.groupBy("s").agg(F.collect_list("t").alias("ns"))
     tri = (
         o.join(adj, "s")
