@@ -8508,74 +8508,26 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 
-# Round-11 gate order (VERDICT r10 "next round" #1 — rotation hygiene):
-# the driver's 50-entry correctness window leads with q_skyline (its
-# round-10 two-sided shard clamp — numerically a no-op — landed AFTER
-# its latest driver row, so by the "behavior-changed queries front the
-# window" rule it goes first), then the 34 queries whose latest
-# driver-green evidence is r8 (now the oldest tier; the r10 verdict
-# spot-ran 7 of them 7/7, so this is recency hygiene, not risk), then
-# fills the remaining 15 slots from the r9 tier.  The rest of the
-# registry follows oldest-tier-first (r9 then r10) so any driver that
-# reads past 50 keeps improving recency.  After this window no query's
-# evidence is older than r9.  Tier membership is derived mechanically
-# from the CORRECTNESS_r*.json last-pass rounds (histogram at r10 HEAD:
-# r8=34, r9=50, r10=50).
+# Round-12 gate order (VERDICT r11 "next round" #2 — rotation hygiene):
+# the driver's 50-entry correctness window leads with q_graph_triangles
+# (its round-12 degree-join hint drop — numerically a no-op — is a plan
+# change landing after its latest driver row, so by the
+# "behavior-changed queries front the window" rule it goes first), then
+# the remaining 33 queries whose latest driver-green evidence is r9
+# (now the oldest tier; the r11 judge spot-ran 14 of them 14/14
+# cell-exact, so this is recency hygiene, not risk), then fills the
+# remaining 16 slots from the r10 tier.  The rest of the registry
+# follows oldest-tier-first (r10 then r11) so any driver that reads
+# past 50 keeps improving recency.  After this window no query's
+# evidence is older than r10.  Tier membership is derived mechanically
+# from the CORRECTNESS_r*.json last-pass rounds (histogram at r11 HEAD:
+# r9=34, r10=50, r11=50; rows-only queries count their produced-rows
+# driver row as evidence).
 GATE_ROTATION = [
-    # behavior-changed in r10 (two-sided clamp landed after its last driver
-    # row, VERDICT r10 "what's wrong" #3) — fronts the window
-    "q_skyline",
-    # tier r8 (34 queries — oldest evidence)
-    "q_embed_ann_ivf_trained",
-    "q_embed_kmeans",
-    "q_embed_neardup",
-    "q_embed_neardup_rplsh",
-    "q_grouping_sets",
-    "q_hfp_domain",
-    "q_hfp_golden",
-    "q_join_asof",
-    "q_join_broadcast",
-    "q_join_multiway",
-    "q_join_outer",
-    "q_join_semi_anti",
-    "q_join_skew_salted",
-    "q_join_theta_range",
-    "q_merge_upsert",
-    "q_minhash_simdup",
-    "q_multimodal_bytes",
-    "q_rollup_cascade",
-    "q_scan_project",
-    "q_session_window",
-    "q_session_window_stream",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_text_editdist",
-    "q_text_winnow",
-    "q_topk_per_group",
-    "q_ts_correlate",
-    "q_window_analytic",
-    "q_window_distribution",
-    "q_window_rank",
-    "q_window_sliding",
-    "q_window_tumbling_stream",
-    "q_winnow_pairs",
-    "q_zorder_layout",
-    # tier r9 (49 queries; first 15 fill the 50-entry window)
-    "q_agg_approx",
-    "q_agg_approx_check",
-    "q_agg_distinct",
-    "q_agg_hash",
-    "q_anomaly_mad",
-    "q_array_ops",
-    "q_bm25",
-    "q_bpe_encode",
-    "q_bpe_merges",
-    "q_cdc_chunks",
-    "q_cdc_latest_stream",
-    "q_compact_plan",
-    "q_containment",
-    "q_corpus_curate",
-    "q_corpus_drift",
+    # behavior-changed in r12 (degree-join broadcast hints dropped —
+    # plan change, VERDICT r11 "what's wrong" #3) — fronts the window
+    "q_graph_triangles",
+    # tier r9 (remaining 33 queries — oldest evidence)
     "q_corpus_prep",
     "q_corpus_shuffle",
     "q_decontaminate_bloom",
@@ -8597,7 +8549,6 @@ GATE_ROTATION = [
     "q_funnel",
     "q_graph_labelprop",
     "q_graph_pagerank",
-    "q_graph_triangles",
     "q_heavy_hitters_stream",
     "q_multimodal_decode",
     "q_multimodal_resize",
@@ -8610,7 +8561,8 @@ GATE_ROTATION = [
     "q_tfidf_pairs",
     "q_token_colloc",
     "q_window_range",
-    # tier r10 (50 queries)
+    # tier r10 fills (first 16 complete the 50-entry window;
+    # the rest follow so reads past 50 keep improving recency)
     "q_canonical_dedup",
     "q_corpus_mix",
     "q_decontaminate",
@@ -8661,7 +8613,59 @@ GATE_ROTATION = [
     "q_udf_surface",
     "q_udtf",
     "q_unpivot",
+    # tier r11 (newest evidence)
+    "q_agg_approx",
+    "q_agg_approx_check",
+    "q_agg_distinct",
+    "q_agg_hash",
+    "q_anomaly_mad",
+    "q_array_ops",
+    "q_bm25",
+    "q_bpe_encode",
+    "q_bpe_merges",
+    "q_cdc_chunks",
+    "q_cdc_latest_stream",
+    "q_compact_plan",
+    "q_containment",
+    "q_corpus_curate",
+    "q_corpus_drift",
+    "q_embed_ann_ivf_trained",
+    "q_embed_kmeans",
+    "q_embed_neardup",
+    "q_embed_neardup_rplsh",
+    "q_grouping_sets",
+    "q_hfp_domain",
+    "q_hfp_golden",
+    "q_join_asof",
+    "q_join_broadcast",
+    "q_join_multiway",
+    "q_join_outer",
+    "q_join_semi_anti",
+    "q_join_skew_salted",
+    "q_join_theta_range",
+    "q_merge_upsert",
+    "q_minhash_simdup",
+    "q_multimodal_bytes",
+    "q_rollup_cascade",
+    "q_scan_project",
+    "q_session_window",
+    "q_session_window_stream",
+    "q_skyline",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_text_editdist",
+    "q_text_winnow",
+    "q_topk_per_group",
+    "q_ts_correlate",
+    "q_window_analytic",
+    "q_window_distribution",
+    "q_window_rank",
+    "q_window_sliding",
+    "q_window_tumbling_stream",
+    "q_winnow_pairs",
+    "q_zorder_layout",
 ]
+
 
 
 def gate_ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
