@@ -189,6 +189,23 @@ def _time_exprs(rng: random.Random):
         if rng.random() < 0.5:
             e = e + F.lit(rng.randint(-5, 5))
         out.append(e)
+    # ADVICE r11 #2: an integral re-cast of an already-numeric time
+    # value is an identity — the old rule corrupted unit 60 -> 1.0, so
+    # the pmod variant's claimed quant over-stated real spacing 60x and
+    # its count claim (49) sat far UNDER the actual distinct residues
+    # (<= 1440) — this pair fails the battery under the old rule.
+    minute_int = F.floor(F.unix_timestamp(ts) / F.lit(60)).cast("int")
+    out.append(minute_int)
+    out.append(F.pmod(minute_int, F.lit(1440)))
+    # ADVICE r11 #3: calendar truncations must claim MINIMUM spacings
+    # (February month boundaries are 28 days apart, not the 30.44-day
+    # average) and flooring a fractional lattice (90s buckets in a
+    # 60s-per-1.0 representation) alternates 60s/120s gaps — both
+    # violate the old constants' gran claims.
+    out.append(F.date_trunc("month", ts))
+    out.append(F.date_trunc("quarter", ts))
+    out.append(F.date_trunc("year", ts))
+    out.append(F.floor(F.floor(F.unix_timestamp(ts) / F.lit(90)) * F.lit(1.5)))
     return out
 
 

@@ -952,6 +952,29 @@ def test_unpartitioned_window_domain_algebra(spark, sf_dir):
     ]:
         assert flags(raw, expr), f"asymptote not flagged: {label}"
 
+    # (d) integral re-casts of time domains preserve the lattice
+    # (ADVICE r11 #2) and calendar truncations claim MINIMUM spacings
+    # (ADVICE r11 #3)
+    minute_int = F.floor(F.unix_timestamp(ts) / F.lit(60)).cast("int")
+    assert not flags(ev, minute_int), (
+        "int re-cast of a minute lattice wrongly flagged"
+    )
+    # the unit must survive the cast: the old truncate-to-seconds rule
+    # corrupted unit 60 -> 1.0, so a downstream pmod over-stated its
+    # lattice spacing 60x and claimed these 2.4e8 possible residues as
+    # ~4e6 'bounded' groups — honest unit puts it over the ceiling
+    assert flags(ev, F.pmod(minute_int, F.lit(120_000_000))), (
+        "pmod over an int-recast minute lattice under-claimed (unit "
+        "corrupted by the cast)"
+    )
+    assert flags(
+        ev, F.floor(F.unix_timestamp(ts) / F.lit(30)).cast("long")
+    ), "sub-minute lattice slipped through an integral re-cast"
+    for unit_label in ("month", "quarter", "year"):
+        assert not flags(ev, F.date_trunc(unit_label, ts)), (
+            f"date_trunc {unit_label} wrongly flagged"
+        )
+
 
 def test_unpartitioned_window_domain_algebra_self_review(spark, sf_dir):
     """Same-session self-review holes in the round-11 algebra itself,

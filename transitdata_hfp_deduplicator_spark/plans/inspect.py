@@ -121,6 +121,13 @@ _MIN_TIME_BUCKET_SECONDS = 60.0
 # Seconds per 1.0 of a value, by the type that carries it.
 _MICROS = 1e-6
 
+# Calendar units use MINIMUM spacings (28-day February, 90-day
+# Jan-Mar quarter, 365-day non-leap year), not averages: `gran` is the
+# algebra's inviolable every-observed-spacing->=gran floor, and an
+# average-length month (2.63e6s) over-claims February's 2.4192e6s
+# boundary gap (ADVICE r11 #3 — counts via span/gran only get MORE
+# conservative from a smaller gran, and the >=60s bucket gate is
+# unaffected).
 _TRUNC_UNIT_SECONDS = {
     "microsecond": 1e-6,
     "millisecond": 1e-3,
@@ -130,13 +137,13 @@ _TRUNC_UNIT_SECONDS = {
     "day": 86400.0,
     "dd": 86400.0,
     "week": 604800.0,
-    "month": 2.63e6,
-    "mon": 2.63e6,
-    "mm": 2.63e6,
-    "quarter": 7.884e6,
-    "year": 3.156e7,
-    "yyyy": 3.156e7,
-    "yy": 3.156e7,
+    "month": 28 * 86400.0,
+    "mon": 28 * 86400.0,
+    "mm": 28 * 86400.0,
+    "quarter": 90 * 86400.0,
+    "year": 365 * 86400.0,
+    "yyyy": 365 * 86400.0,
+    "yy": 365 * 86400.0,
 }
 
 # Calendar-field extractions with genuinely finite ranges (minute-of-
@@ -199,6 +206,30 @@ def _type_quant(tname) -> float | None:
     if tname in _INTEGRAL_TYPES or tname in ("boolean", "date"):
         return 1.0
     return None
+
+
+def _time_discretized(cd):
+    """A ("time", gran, unit) domain after integer discretization of
+    its NUMERIC representation (floor/ceil/round/integral cast): the
+    value snaps onto unit multiples.  Consecutive points of a lattice
+    spaced gran/unit numeric steps apart land floor(gran/unit) or
+    ceil(gran/unit) integers apart, so the guaranteed minimum spacing
+    is max(floor(gran/unit), 1) * unit — claiming gran itself on a
+    fractional lattice (e.g. 90s buckets in a 60s-per-1.0
+    representation: truncated spacings alternate 60s/120s) would
+    over-claim, the same floor(q) discipline as the range
+    discretizers (ADVICE r11 #2/#3)."""
+    gran, unit = cd[1], cd[2]
+    if gran is None or unit is None or unit <= 0.0:
+        return ("unbounded",)
+    qx = gran / unit
+    # snap a within-rounding-error-of-integer quotient before flooring:
+    # 60 / 1e-6 evaluates to 59999999.99...; truncating THAT would
+    # under-claim an exactly-60s lattice to 59.999s and trip the
+    # >=1-minute gate on a plain minute-tumbling window
+    if abs(qx - round(qx)) <= 1e-9 * max(abs(qx), 1.0):
+        qx = float(round(qx))
+    return ("time", max(float(int(qx)), 1.0) * unit, unit)
 
 
 def _lit_num(expr) -> float | None:
@@ -449,7 +480,8 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
         unit = 86400.0 if _type_name(expr) == "date" else _MICROS
         return ("time", max(g, unit), unit)
     if name == "Year" or name == "YearOfWeek":
-        return ("time", 3.156e7, 3.156e7)
+        # minimum spacing: a non-leap year (see _TRUNC_UNIT_SECONDS)
+        return ("time", 365 * 86400.0, 365 * 86400.0)
     if name in _EXTRACT_FINITE:
         return ("finite", _EXTRACT_FINITE[name])
 
@@ -671,7 +703,7 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
     if name in ("Floor", "Ceil", "Round", "BRound"):
         cd = _expr_domain(expr.children().apply(0), defs, depth + 1)
         if cd[0] == "time":
-            return ("time", max(cd[1], cd[2]), cd[2])
+            return _time_discretized(cd)
         if cd[0] == "finite":
             return cd
         if cd[0] == "range":
@@ -695,8 +727,20 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
                 # widening cast: value set (and lattice) unchanged
                 return cd
             if t in _INTEGRAL_TYPES:
-                # cast(timestamp as long) truncates to SECONDS
-                return ("time", max(cd[1], 1.0), 1.0)
+                ct = _type_name(expr.children().apply(0))
+                if ct in ("timestamp", "timestamp_ntz"):
+                    # cast(timestamp as long) RE-REPRESENTS the value in
+                    # seconds, then truncates: unit becomes 1.0 and the
+                    # lattice discretizes onto it
+                    return _time_discretized((cd[0], cd[1], 1.0))
+                # an integral cast of an ALREADY-NUMERIC time value is
+                # an identity on integral lattices — the old
+                # truncate-to-seconds rule corrupted unit 60 -> 1.0 on
+                # cast(floor(unix_timestamp(ts)/60) as int), making a
+                # downstream pmod over-state its spacing 60x (ADVICE
+                # r11 #2); fractional lattices truncate onto unit
+                # multiples via the same floor(q) discipline
+                return _time_discretized(cd)
             return ("unbounded",)
         if cd[0] == "range":
             b = _TYPE_BOUNDS.get(t)
