@@ -157,7 +157,9 @@ def load_spread_medians(path: str) -> dict:
 # hand-diagnose with a manual idle re-run.  3x sits far above the
 # measured same-box warm spread (<1.5x across three idle reference
 # runs) and far below the contention signatures it exists to catch.
-RETRY_FACTOR = 3.0
+# Env-overridable (SPARK_GRAFT_RETRY_FACTOR) so a targeted run can
+# force the retry path end-to-end without faking a contention window.
+RETRY_FACTOR = float(os.environ.get("SPARK_GRAFT_RETRY_FACTOR", "3.0"))
 
 
 def retry_candidates(timings: dict, medians: dict,
