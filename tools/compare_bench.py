@@ -32,6 +32,10 @@ import sys
 def load(path: str) -> dict:
     d = json.load(open(path))
     if "queries" in d:
+        if "value" not in d:
+            # a detail line carries no total — derive it so the header
+            # doesn't print 0.0s when comparing BENCH_detail.json files
+            d["value"] = sum(v for v in d["queries"].values() if v >= 0)
         return d
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
         return d["parsed"]
