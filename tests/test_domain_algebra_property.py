@@ -206,6 +206,33 @@ def _time_exprs(rng: random.Random):
     out.append(F.date_trunc("quarter", ts))
     out.append(F.date_trunc("year", ts))
     out.append(F.floor(F.floor(F.unix_timestamp(ts) / F.lit(90)) * F.lit(1.5)))
+    # round-12 self-review: the SIBLING discretization sites of ADVICE
+    # r11 #2/#3 — IntegralDivide over a fractional time lattice, the
+    # mod-truncation (tumbling-compile) Subtract snapping a 90s lattice
+    # onto a 60s step (gaps alternate 60s/120s, never 90s), and
+    # unix_timestamp of a fractional-second window (integer-second
+    # output can only claim floor(gran)) — each fails the battery under
+    # the pre-r12 max(gran, step) rules.
+    out.append(F.expr("(floor(unix_timestamp(ts) / 90) * 1.5) div 1"))
+    out.append(
+        F.expr("unix_timestamp(window(ts, '1 minute').start) div 7")
+    )
+    out.append(F.expr(
+        "floor(unix_timestamp(ts) / 90) * 90"
+        " - ((floor(unix_timestamp(ts) / 90) * 90 - 0) % 60)"
+    ))
+    # the timeline is compressed 1000x first so adjacent 1.5s buckets
+    # actually occur in the sparse events data — otherwise every
+    # observed gap is >= 6s and the old max(gran, 1) claim of 1.5s can
+    # never be falsified empirically
+    out.append(
+        F.unix_timestamp(
+            F.window(
+                F.timestamp_seconds(F.unix_timestamp(ts) / F.lit(1000)),
+                "1500 milliseconds",
+            ).getField("start")
+        )
+    )
     return out
 
 

@@ -452,15 +452,21 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
 
     # --- time points -----------------------------------------------------
     if name in ("UnixTimestamp", "ToUnixTimestamp"):
-        # seconds since epoch; a coarser lattice on the input survives
-        # (unix_timestamp of a tumbling-window start stays 60s-quantized)
+        # INTEGER seconds since epoch; a coarser lattice on the input
+        # survives (unix_timestamp of a tumbling-window start stays
+        # 60s-quantized) but discretizes onto whole seconds — a
+        # fractional-second lattice (a 1500ms window) claims only
+        # floor(gran), same discipline as the other discretizers
         cd = _expr_domain(expr.children().apply(0), defs, depth + 1)
-        gran = max(cd[1], 1.0) if cd[0] == "time" else 1.0
-        return ("time", gran, 1.0)
+        if cd[0] == "time":
+            return _time_discretized((cd[0], cd[1], 1.0))
+        return ("time", 1.0, 1.0)
     if name == "PreciseTimestampConversion":
+        # integer MICROSECONDS: same discretization discipline
         cd = _expr_domain(expr.children().apply(0), defs, depth + 1)
-        gran = cd[1] if cd[0] == "time" else _MICROS
-        return ("time", max(gran, _MICROS), _MICROS)
+        if cd[0] == "time":
+            return _time_discretized((cd[0], cd[1], _MICROS))
+        return ("time", _MICROS, _MICROS)
     if name in ("TruncTimestamp", "TruncDate", "DateTrunc"):
         g = None
         ch = expr.children()
@@ -591,7 +597,10 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
             # value scaled by 1/c: one unit now spans c * unit seconds
             dom = ("time", xd[1], xd[2] * abs(c))
             if name == "IntegralDivide":
-                return ("time", max(dom[1], dom[2]), dom[2])
+                # div truncates to integers: same floor(gran/unit)
+                # discipline as the other discretizers (a fractional
+                # post-scale lattice alternates its gaps)
+                return _time_discretized(dom)
             return dom
         if xd[0] == "finite":
             return xd
@@ -655,7 +664,15 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
             # m-quantized -- granularity m * unit seconds
             m = _mod_truncation_quantum(a, b)
             if m is not None:
-                return ("time", max(ad[1], m * ad[2]), ad[2])
+                # the result lands on the m-lattice (spacing m * unit
+                # seconds); a child lattice coarser than that but not a
+                # multiple of it snaps DOWN (g=90s onto a 60s window
+                # lattice yields alternating 60s/120s gaps), so the
+                # guaranteed spacing is floor(g / step) steps, never
+                # max(g, step) — same discipline as the discretizers
+                step = m * ad[2]
+                d = _time_discretized(("time", max(ad[1], step), step))
+                return ("time", d[1], ad[2])
         for t, o in ((ad, bd), (bd, ad)):
             if t[0] != "time":
                 continue
@@ -741,6 +758,21 @@ def _expr_domain(expr, defs: dict, depth: int = 0):
                 # r11 #2); fractional lattices truncate onto unit
                 # multiples via the same floor(q) discipline
                 return _time_discretized(cd)
+            if t and t.startswith("decimal"):
+                # decimal(p, s) rounds onto a 10^-s sub-lattice of the
+                # numeric representation (scale 0 behaves exactly like
+                # the integral truncation above; SQL `div` coerces its
+                # operands through decimal(20,0) casts, so a time
+                # lattice reaches here in practice) — the value's unit
+                # itself is unchanged
+                try:
+                    sc = int(t.rstrip(")").split(",")[1]) if "," in t else 0
+                except Exception:  # noqa: BLE001 - unparsable scale
+                    return ("unbounded",)
+                d = _time_discretized((cd[0], cd[1], (10.0 ** -sc) * cd[2]))
+                if d[0] != "time":
+                    return d
+                return ("time", d[1], cd[2])
             return ("unbounded",)
         if cd[0] == "range":
             b = _TYPE_BOUNDS.get(t)
