@@ -1046,19 +1046,23 @@ def test_unpartitioned_window_domain_algebra_self_review(spark, sf_dir):
     )
 
 
-def test_graph_triangles_degree_join_unhinted(spark):
+def test_graph_triangles_degree_join_size_gated(spark, monkeypatch):
     """VERDICT r11 #3: q_graph_triangles force-broadcast the node-scaled
-    degree table — the degree table grows with distinct nodes (the
-    corpus), so a pinned hint is the driver-OOM class
-    assert_no_broadcast_join rejects.  Pin the intended strategy on the
-    pre-checkpoint orientation fragment (the eager localCheckpoint in
-    the query hides it): under autoBroadcastJoinThreshold=-1 the
-    planner must fall back to a shuffle join (proving no forced hint);
-    at the default threshold its own size estimate still picks
-    broadcast for a small degree table (bench-scale behavior kept)."""
+    degree table — it grows with distinct nodes (the corpus), so an
+    unconditional hint is the driver-OOM class assert_no_broadcast_join
+    rejects.  The fix is a size gate on the checkpointed table's
+    MEASURED count (a planner-estimate gate alone regressed the
+    500k-node stress 35.8s -> 94.4s by sort-merge-joining an 8 MB
+    table).  Pin BOTH arms on the pre-checkpoint orientation fragment
+    (the eager localCheckpoint in the query hides it), under
+    autoBroadcastJoinThreshold=-1 so the planner can't pick broadcast
+    on its own and the hint alone decides:
+
+      - under the cap: the gate hints, the join broadcasts;
+      - over the cap (cap forced to 0): no hint, shuffle join."""
     from pyspark.sql import functions as F
 
-    from transitdata_hfp_deduplicator_spark.queries import _oriented_edges
+    from transitdata_hfp_deduplicator_spark import queries as Q
 
     e0 = spark.range(200).select(
         (F.col("id") % 50).alias("u"), (F.col("id") % 37 + 50).alias("v")
@@ -1066,7 +1070,8 @@ def test_graph_triangles_degree_join_unhinted(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        assert_no_broadcast_join(_oriented_edges(e0))
+        assert_broadcast_join(Q._oriented_edges(e0), expect=2)
+        monkeypatch.setattr(Q, "_DEG_BROADCAST_MAX_NODES", 0)
+        assert_no_broadcast_join(Q._oriented_edges(e0))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-    assert_broadcast_join(_oriented_edges(e0), expect=2)

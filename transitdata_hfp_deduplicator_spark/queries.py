@@ -7856,25 +7856,40 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Size gate for broadcasting the degree table (VERDICT r11 #3): the
+# table scales with DISTINCT NODES, i.e. with the corpus, so an
+# unconditional hint is the driver-OOM class assert_no_broadcast_join
+# rejects — but below this cap (~64 MB at 16 B/row) broadcast is always
+# safe and saves two edge-sized exchanges.  The decision uses the
+# MEASURED count of the checkpointed table, not a planner estimate:
+# the unhinted plan at the 500k-node stress scale fell back to a
+# sort-merge join on an 8 MB table (35.8s -> 94.4s) because the
+# aggregate's size ESTIMATE overshot the broadcast threshold.  Above
+# the cap the node-keyed shuffle join on u then v is exactly the plan
+# we want at lake scale — two exchanges, still edge-linear.
+_DEG_BROADCAST_MAX_NODES = 4_000_000
+
+
 def _oriented_edges(e0: DataFrame) -> DataFrame:
     """Degree-orient an undirected (u, v) edge list: every edge flows
     from the lower (degree, id) endpoint to the higher, bounding
-    out-degrees at O(sqrt(|E|)).  The degree joins are UNHINTED on
-    purpose: the degree table scales with distinct nodes (the corpus),
-    so a forced broadcast is the driver-OOM class
-    `plans/inspect.py::assert_no_broadcast_join` rejects — the planner
-    broadcasts on its own size estimate at bench scale and falls back
-    to a node-keyed shuffle join at lake scale (VERDICT r11 #3;
-    tests/test_plans.py::test_graph_triangles_degree_join_unhinted
-    pins both).  Factored out of q_graph_triangles so the plan test can
-    inspect the join strategy BEFORE the eager localCheckpoint hides
-    it."""
+    out-degrees at O(sqrt(|E|)).  The degree joins are SIZE-GATED, not
+    pinned: the degree table is checkpointed (also deduplicating its
+    computation across the u- and v-joins) and broadcast only when its
+    MEASURED row count fits _DEG_BROADCAST_MAX_NODES
+    (tests/test_plans.py::test_graph_triangles_degree_join_size_gated
+    pins both arms).  Factored out of q_graph_triangles so the plan
+    test can inspect the join strategy BEFORE the eager
+    localCheckpoint hides it."""
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionAll(e0.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint()  # 2 consumers + the measured-count size gate
     )
+    if deg.count() <= _DEG_BROADCAST_MAX_NODES:
+        deg = F.broadcast(deg)
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -7964,15 +7979,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edges build once from per-order sorted part arrays
     (one orderkey exchange; the index-slice transform emits only u < v
     pairs — no diagonal, no post-filter); degrees are one node-keyed
-    partial-agg exchange; the degree joins onto the edge list carry NO
-    broadcast hint — the degree table scales with distinct nodes, i.e.
-    with the corpus, so a forced hint is exactly the driver-OOM class
-    `plans/inspect.py::assert_no_broadcast_join` exists to reject
-    (VERDICT r11 #3).  At bench scale the planner's size estimate still
-    picks broadcast on its own; at 100 TB it falls back to a node-keyed
-    shuffle join on u then v — two exchanges, still edge-linear
-    (tests/test_plans.py::test_graph_triangles_degree_join_unhinted
-    pins both behaviors); the adjacency table groupBys on s and joins
+    partial-agg exchange; the degree joins onto the edge list are
+    SIZE-GATED (_oriented_edges): the degree table scales with distinct
+    nodes, i.e. with the corpus, so an unconditional hint is exactly
+    the driver-OOM class `plans/inspect.py::assert_no_broadcast_join`
+    exists to reject (VERDICT r11 #3) — instead the checkpointed
+    table's MEASURED row count decides: broadcast under
+    _DEG_BROADCAST_MAX_NODES (bench and stress scales), a node-keyed
+    shuffle join on u then v above it — two exchanges, still
+    edge-linear at 100 TB
+    (tests/test_plans.py::test_graph_triangles_degree_join_size_gated
+    pins both arms); the adjacency table groupBys on s and joins
     back co-partitioned, so the only added exchange is the b-keyed one
     carrying ns arrays.  Hash-checked: pure integer counting."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
