@@ -303,3 +303,30 @@ def test_bench_only_subset_parse():
     assert parse_only("  ") == set()
     assert parse_only("q_a,q_b") == {"q_a", "q_b"}
     assert parse_only(" q_a , q_b ,") == {"q_a", "q_b"}
+
+
+def test_rotation_tiers_pass_semantics(tmp_path):
+    """tools/rotation_tiers.py derives evidence tiers mechanically from
+    the CORRECTNESS artifacts: a green row is (err is None and
+    rows_match) OR a produced-rows `no_oracle` row (the declared
+    rows-only queries); errored and mismatched rows never count, and
+    the LATEST green round wins."""
+    import json as _json
+
+    from tools.rotation_tiers import last_pass_rounds
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text(_json.dumps({
+        "q_a": {"rows_match": True, "err": None},
+        "q_b": {"rows_match": True, "err": None},
+        "q_rows_only": {"rows_match": None, "spark_rows": 3,
+                        "err": "no_oracle"},
+    }))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(_json.dumps({
+        "q_a": {"rows_match": True, "err": None},
+        "q_b": {"rows_match": False, "err": None},       # mismatch
+        "q_c": {"rows_match": True, "err": "boom"},      # errored
+        "q_rows_only": {"rows_match": None, "spark_rows": None,
+                        "err": "no_oracle"},             # produced nothing
+    }))
+    last = last_pass_rounds(str(tmp_path))
+    assert last == {"q_a": 5, "q_b": 3, "q_rows_only": 3}
