@@ -1075,3 +1075,31 @@ def test_graph_triangles_degree_join_size_gated(spark, monkeypatch):
         assert_no_broadcast_join(Q._oriented_edges(e0))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_labelprop_and_fuzzy_corpus_scaled_broadcasts_size_gated(
+    spark, sf_dir, monkeypatch
+):
+    """r12 class sweep of the triangles finding (VERDICT r11 #3): the
+    labelprop per-iteration label table is node-scaled and the fuzzy
+    hot-variant table scales as ~corpus/100 — both broadcasts now ride
+    the measured-count gate.  Under autoBroadcastJoinThreshold=-1 the
+    hint alone decides: with the default cap the gated broadcasts are
+    present (3 label joins; 1 anti-join); with the cap forced to -1
+    (0 would still hint the fuzzy anti-join: its hot-variant table is
+    EMPTY at this SF and an empty broadcast legitimately passes a
+    count<=0 gate) the plans contain no BroadcastExchange at all."""
+    from transitdata_hfp_deduplicator_spark import queries as Q
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert_broadcast_join(
+            QUERIES["q_graph_labelprop"](spark, sf_dir), expect=3
+        )
+        assert_broadcast_join(QUERIES["q_dedup_fuzzy"](spark, sf_dir))
+        monkeypatch.setattr(Q, "_DEG_BROADCAST_MAX_NODES", -1)
+        assert_no_broadcast_join(QUERIES["q_graph_labelprop"](spark, sf_dir))
+        assert_no_broadcast_join(QUERIES["q_dedup_fuzzy"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -3261,8 +3261,11 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each doc emits <= len(key)+1 = 25 variant rows (pure
     codegen transform/explode — no UDF); ONE variant-keyed exchange
     builds the FastSS index; degenerate buckets (> 100 docs sharing a
-    variant — stop-prefix mass) are dropped via a broadcast anti-join,
-    mirrored in the oracle (the LSH/winnow cap discipline: recall-only
+    variant — stop-prefix mass) are dropped via a SIZE-GATED broadcast
+    anti-join (the hot-variant table scales as ~corpus/100, so the
+    hint rides the measured-count _broadcast_if_small gate and falls
+    back to the v-keyed shuffle anti-join at lake scale), mirrored in
+    the oracle (the LSH/winnow cap discipline: recall-only
     loss on mass that exact-dedup already catches); candidate pairs
     dedup through one pair-keyed exchange, then the Levenshtein kernel
     (codegen'd JVM dynamic program, ~25x25 chars) touches candidates
@@ -3299,8 +3302,9 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("nb"))
         .filter(F.col("nb") > 100)
         .select("v")
+        .localCheckpoint()  # measured-count size gate + single compute
     )
-    a = dvars.join(F.broadcast(big), "v", "left_anti").select(
+    a = dvars.join(_broadcast_if_small(big), "v", "left_anti").select(
         F.col("v"),
         F.col("doc_id").alias("doc_a"),
         F.col("key").alias("ka"),
@@ -7870,6 +7874,19 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DEG_BROADCAST_MAX_NODES = 4_000_000
 
 
+def _broadcast_if_small(df: DataFrame, max_rows: int | None = None) -> DataFrame:
+    """Measured-count size gate (the VERDICT r11 #3 doctrine, applied
+    as a class): broadcast a corpus-scaled join side only when its
+    ACTUAL row count fits the cap — a pinned hint is a driver OOM at
+    lake scale, and an unhinted join trusts a size ESTIMATE that the
+    500k-node triangles stress showed can overshoot 2.6x into a
+    sort-merge join of an 8 MB table.  The caller must pass a
+    MATERIALIZED (checkpointed) frame so the count is a cheap scan,
+    not a recompute."""
+    cap = _DEG_BROADCAST_MAX_NODES if max_rows is None else max_rows
+    return F.broadcast(df) if df.count() <= cap else df
+
+
 def _oriented_edges(e0: DataFrame) -> DataFrame:
     """Degree-orient an undirected (u, v) edge list: every edge flows
     from the lower (degree, id) endpoint to the higher, bounding
@@ -7888,8 +7905,7 @@ def _oriented_edges(e0: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("d"))
         .localCheckpoint()  # 2 consumers + the measured-count size gate
     )
-    if deg.count() <= _DEG_BROADCAST_MAX_NODES:
-        deg = F.broadcast(deg)
+    deg = _broadcast_if_small(deg)
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -8084,12 +8100,15 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost) and the per-dst argmax (lexicographic struct min, reduced to
     a node-sized winner table before the carry join, whose probe side
     is ALSO already dst-partitioned).  The node-sized label table
-    broadcasts onto the edges, so the join and both aggs fuse into one
-    stage (measured 14s -> ~5.5s at sf0.1; the naive per-iteration
-    groupBy shuffled 2.4M count rows twice).  At 100 TB with a label
-    table too big to broadcast, the join becomes src-keyed against a
-    second src-partitioned edge copy and the count exchange returns —
-    still edge-linear.  Isolated nodes never appear in the count
+    broadcasts onto the edges when the MEASURED node count fits the
+    _DEG_BROADCAST_MAX_NODES gate (node-scaled = corpus-scaled, so an
+    unconditional hint is the driver-OOM class the r12 triangles fix
+    removed; one count of the checkpointed node list gates all three
+    iterations), and then the join and both aggs fuse into one stage
+    (measured 14s -> ~5.5s at sf0.1; the naive per-iteration groupBy
+    shuffled 2.4M count rows twice).  At 100 TB the gate fails closed:
+    the join becomes src-keyed against a second src-partitioned edge
+    copy and the count exchange returns — still edge-linear.  Isolated nodes never appear in the count
     table; the label carry is ``coalesce(winner, v)`` — exact, because
     a node with no in-edges keeps its own id forever.  The label chain
     is linear like the PageRank rank chain (each label table consumed
@@ -8115,11 +8134,20 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = (
         li.select(F.col("l_partkey").alias("v")).distinct().localCheckpoint()
     )
+    # every iteration's label table has exactly one row per node, so
+    # one MEASURED count of the checkpointed node list gates all three
+    # broadcasts (the _broadcast_if_small doctrine; the label frames
+    # themselves are lazy links in the iteration chain)
+    _bcast = (
+        F.broadcast
+        if nodes.count() <= _DEG_BROADCAST_MAX_NODES
+        else (lambda df: df)
+    )
     lbl = nodes.select("v", F.col("v").alias("lbl"))
     for _ in range(3):
         cnt = (
             edges.join(
-                F.broadcast(
+                _bcast(
                     lbl.select(
                         F.col("v").alias("src"), F.col("lbl").alias("slbl")
                     )
