@@ -308,9 +308,12 @@ def test_bench_only_subset_parse():
 def test_rotation_tiers_pass_semantics(tmp_path):
     """tools/rotation_tiers.py derives evidence tiers mechanically from
     the CORRECTNESS artifacts: a green row is (err is None and
-    rows_match) OR a produced-rows `no_oracle` row (the declared
-    rows-only queries); errored and mismatched rows never count, and
-    the LATEST green round wins."""
+    rows_match, with hash_match/schema_match not recorded-False —
+    ADVICE r12 #1: a rows-match-but-hash-mismatch row is NOT
+    correctness evidence, while absent keys in older artifacts still
+    count) OR a produced-rows `no_oracle` row (the declared rows-only
+    queries); errored and mismatched rows never count, and the LATEST
+    green round wins."""
     import json as _json
 
     from tools.rotation_tiers import last_pass_rounds
@@ -318,6 +321,10 @@ def test_rotation_tiers_pass_semantics(tmp_path):
     (tmp_path / "CORRECTNESS_r03.json").write_text(_json.dumps({
         "q_a": {"rows_match": True, "err": None},
         "q_b": {"rows_match": True, "err": None},
+        "q_hash_bad": {"rows_match": True, "hash_match": True,
+                       "schema_match": True, "err": None},
+        "q_schema_bad": {"rows_match": True, "hash_match": True,
+                         "schema_match": True, "err": None},
         "q_rows_only": {"rows_match": None, "spark_rows": 3,
                         "err": "no_oracle"},
     }))
@@ -325,8 +332,14 @@ def test_rotation_tiers_pass_semantics(tmp_path):
         "q_a": {"rows_match": True, "err": None},
         "q_b": {"rows_match": False, "err": None},       # mismatch
         "q_c": {"rows_match": True, "err": "boom"},      # errored
+        # rows match but values/schema recorded-mismatch: not green
+        "q_hash_bad": {"rows_match": True, "hash_match": False,
+                       "schema_match": True, "err": None},
+        "q_schema_bad": {"rows_match": True, "hash_match": True,
+                         "schema_match": False, "err": None},
         "q_rows_only": {"rows_match": None, "spark_rows": None,
                         "err": "no_oracle"},             # produced nothing
     }))
     last = last_pass_rounds(str(tmp_path))
-    assert last == {"q_a": 5, "q_b": 3, "q_rows_only": 3}
+    assert last == {"q_a": 5, "q_b": 3, "q_hash_bad": 3,
+                    "q_schema_bad": 3, "q_rows_only": 3}

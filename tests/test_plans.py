@@ -1083,12 +1083,14 @@ def test_labelprop_and_fuzzy_corpus_scaled_broadcasts_size_gated(
     """r12 class sweep of the triangles finding (VERDICT r11 #3): the
     labelprop per-iteration label table is node-scaled and the fuzzy
     hot-variant table scales as ~corpus/100 — both broadcasts now ride
-    the measured-count gate.  Under autoBroadcastJoinThreshold=-1 the
-    hint alone decides: with the default cap the gated broadcasts are
-    present (3 label joins; 1 anti-join); with the cap forced to -1
-    (0 would still hint the fuzzy anti-join: its hot-variant table is
-    EMPTY at this SF and an empty broadcast legitimately passes a
-    count<=0 gate) the plans contain no BroadcastExchange at all."""
+    the measured-count gate (the fuzzy site with its own width-scaled
+    cap, _FUZZY_BROADCAST_MAX_VARIANTS — ADVICE r12 #2).  Under
+    autoBroadcastJoinThreshold=-1 the hint alone decides: with the
+    default caps the gated broadcasts are present (3 label joins; 1
+    anti-join); with both caps forced to -1 (0 would still hint the
+    fuzzy anti-join: its hot-variant table is EMPTY at this SF and an
+    empty broadcast legitimately passes a count<=0 gate) the plans
+    contain no BroadcastExchange at all."""
     from transitdata_hfp_deduplicator_spark import queries as Q
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -1099,6 +1101,7 @@ def test_labelprop_and_fuzzy_corpus_scaled_broadcasts_size_gated(
         )
         assert_broadcast_join(QUERIES["q_dedup_fuzzy"](spark, sf_dir))
         monkeypatch.setattr(Q, "_DEG_BROADCAST_MAX_NODES", -1)
+        monkeypatch.setattr(Q, "_FUZZY_BROADCAST_MAX_VARIANTS", -1)
         assert_no_broadcast_join(QUERIES["q_graph_labelprop"](spark, sf_dir))
         assert_no_broadcast_join(QUERIES["q_dedup_fuzzy"](spark, sf_dir))
     finally:

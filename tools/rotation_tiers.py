@@ -38,7 +38,15 @@ def last_pass_rounds(repo: str) -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            passed = (row.get("err") is None and row.get("rows_match")) or (
+            passed = (
+                row.get("err") is None
+                and row.get("rows_match")
+                # hash/schema must not be recorded-false; absent (older
+                # artifacts / rows-only rows) still counts, but a
+                # rows-match-with-hash-mismatch row is NOT green evidence.
+                and row.get("hash_match") is not False
+                and row.get("schema_match") is not False
+            ) or (
                 row.get("err") == "no_oracle"
                 and row.get("spark_rows") is not None
             )

