@@ -69,6 +69,7 @@ SLOW_TESTS = {
     "test_plans.py::test_similarity_pair_joins_no_cartesian",
     "test_plans.py::test_embed_ann_pq_raw_vectors_never_shuffled",
     "test_plans.py::test_incremental_lsh_keyed_joins_only",
+    "test_plans.py::test_size_gate_arms_produce_identical_rows",
     "test_properties.py::test_dedup_first_wins_random_envelopes",
     "test_timeseries_sampling.py::test_sharded_prefix_sum_matches_single_window",
     "test_timeseries_sampling.py::test_stratified_quota_shrink_stable_and_partition_invariant",

@@ -1106,3 +1106,25 @@ def test_labelprop_and_fuzzy_corpus_scaled_broadcasts_size_gated(
         assert_no_broadcast_join(QUERIES["q_dedup_fuzzy"](spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@pytest.mark.parametrize(
+    "qname", ["q_graph_triangles", "q_graph_labelprop", "q_dedup_fuzzy"]
+)
+def test_size_gate_arms_produce_identical_rows(
+    spark, sf_dir, monkeypatch, qname
+):
+    """The three size-gated queries' over-cap arms are plan-pinned
+    above but never EXECUTED there (assert_no_broadcast_join inspects
+    the plan only) — run both arms end-to-end and require row-for-row
+    identical output, so the lake-scale shuffle-join fallback can't
+    silently diverge from the broadcast arm it replaces."""
+    from transitdata_hfp_deduplicator_spark import queries as Q
+
+    def rows():
+        return sorted(tuple(r) for r in QUERIES[qname](spark, sf_dir).collect())
+
+    under_cap = rows()
+    monkeypatch.setattr(Q, "_DEG_BROADCAST_MAX_NODES", -1)
+    monkeypatch.setattr(Q, "_FUZZY_BROADCAST_MAX_VARIANTS", -1)
+    assert rows() == under_cap
