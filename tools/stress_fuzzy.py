@@ -143,6 +143,11 @@ def main() -> None:
         )
     )
     assert found_planted == planted, "planted recall must be exact"
+    # Precision is equally deterministic here: unrelated random keys
+    # (26^20 space) can only pair through a shared deletion variant,
+    # whose collision probability is ~0 at this n — so any extra pair
+    # is a FastSS candidacy/verify regression, not noise.
+    assert total == found_planted, f"expected 0 extras, got {total - found_planted}"
 
 
 if __name__ == "__main__":
