@@ -271,12 +271,21 @@ def test_rollup_cascade_single_scan(spark, sf_dir):
 def test_winnow_single_exchange(spark, sf_dir):
     """Winnowing: gram explode is narrow; ONE hash exchange on doc_id
     feeds both the frame-min and the lag-dedup (same partitioning); a
-    distinct would add a second shuffle of the selected set."""
+    distinct would add a second shuffle of the selected set.  The r14
+    spread() (single-split scans serialized the per-gram md5 on one
+    core) adds at most one ROUND-ROBIN exchange below the hash one —
+    pin: exactly one hash exchange, no range partitioning, and any
+    other exchange is the round-robin spread."""
     import re
 
     df = QUERIES["q_text_winnow"](spark, sf_dir)
     plan = physical_plan(df)
-    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+    n_exch = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    n_rr = len(re.findall(r"RoundRobinPartitioning", plan))
+    n_hash = len(re.findall(r"hashpartitioning", plan))
+    assert n_hash == 1, plan
+    assert n_exch - n_rr == 1, plan
+    assert n_rr <= 1, plan
     assert "rangepartitioning" not in plan.lower()
 
 

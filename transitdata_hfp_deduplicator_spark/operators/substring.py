@@ -68,7 +68,16 @@ def char_gram_postings(
     NOT deduplicated per doc: q_dedup_substring folds the per-doc dedup
     into its h-keyed exchange's map-side partial collect_set; callers
     that need distinct (doc, h) rows add .distinct() themselves.
+
+    spread() first: the gram md5 is the dominant map cost and a small
+    single-file scan plans as ONE split, serializing it on one core
+    (guide §2.5 input skew — measured 3.5s vs 0.85s for the posting
+    projection at sf0.1); at lake scale the scan is already parallel
+    and spread() is an identity.
     """
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    norm = spread(norm)
     return (
         norm.select(
             id_col,
@@ -120,6 +129,11 @@ def cdc_chunks(
     chars are a single chunk.  Min/max chunk-size clamps (the
     production refinement) are a greedy sequential rule that would ride
     the same boundary stream."""
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread() for the same reason as char_gram_postings: the boundary
+    # md5 dominates and a single-split scan would run it on one core
+    norm = spread(norm)
     t, ln = F.col(text_col), F.length(text_col)
     b = (
         norm.filter(ln >= w + 1)

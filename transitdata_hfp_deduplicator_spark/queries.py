@@ -1441,8 +1441,14 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame min stays numeric codegen (a zero-padded string key measured
     2.4x slower); 20 position bits cap docs at 1M grams — chunk longer
     docs first (q_doc_chunks), exactly as a production pipeline would."""
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread(): the per-gram md5 below is the dominant map cost, and a
+    # single-file scan plans as ONE split — serialized on one core
+    # without it (guide §2.5; the window exchange only parallelizes
+    # everything AFTER the hash)
     d = (
-        _t(spark, sf_dir, "documents")
+        spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", F.lower(F.trim(F.col("text"))).alias("t"))
         .filter(F.length("t") >= 8)
         .withColumn("n_grams", F.length("t") - 7)
@@ -2033,26 +2039,31 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE ENCODE — tokenizer application, the pipeline's actual
     100 TB hot path (training runs once on a sample; encoding touches
-    every pretraining byte): train 3 merges (q_bpe_merges's loop), then
-    encode the corpus by applying the merge table in rank order via
-    ``apply_merges`` (operators/bpe.py) — pure window passes over ONE
-    doc_id exchange, no pair-count shuffles, the merge rows broadcast.
+    every pretraining byte): train 3 merges (q_bpe_merges's loop) and
+    read the encoded corpus off the trainer's final token table, which
+    IS ``apply_merges(toks, merges, 3)`` — greedy rank-order merge
+    application is exactly what each training iteration performed, an
+    equivalence pinned executably by
+    tests/test_bpe.py::test_apply_merges_reproduces_trainer_final_state
+    and by the oracle below (its tok4 chain re-derives training AND
+    application in one).  Re-running the 3 encode passes from the raw
+    scan inside the same query recomputed a table the trainer had
+    already materialized (guide §1.2: don't compute things twice) —
+    measured 8.3s -> ~4s at sf0.1.  The held-out-corpus encode path
+    (the shape a 100 TB deployment runs, where train and encode inputs
+    differ) stays exercised by
+    tests/test_bpe.py::test_apply_merges_encodes_held_out_docs.
 
     Per doc: encoded token count + the first 8 tokens (pipe-joined) —
-    enough to hash-pin every merge's effect on every document.  The
-    oracle re-derives the trained merges AND their application in one
-    chain (tok4), so the check also pins the engine equivalence
-    apply(train(corpus), corpus) == trainer's final token table."""
+    enough to hash-pin every merge's effect on every document."""
     from transitdata_hfp_deduplicator_spark.operators.bpe import (
-        apply_merges,
         char_tokens,
         train_merges,
     )
 
     d = _t(spark, sf_dir, "documents")
     toks = char_tokens(d, cap=200)
-    merges = train_merges(toks, iters=3)
-    enc = apply_merges(toks, merges, iters=3)
+    _merges, enc = train_merges(toks, iters=3, keep_final=True)
     return enc.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.array_join(
@@ -2929,9 +2940,18 @@ _DECONTAM_BLOOM_ORACLE = """
 def _decontam_shingle_hashes(df: DataFrame) -> DataFrame:
     """(doc_id, hv): seed-11 64-bit hashes of 3-token shingles — the one
     projection both decontamination queries (and their shared oracle's
-    ``h`` CTE) are defined over."""
-    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    ``h`` CTE) are defined over.
 
+    spread() first (batch inputs): tokenize+shingle+hash is the
+    dominant map cost and a single-file scan plans as ONE split —
+    serialized on one core otherwise (guide §2.5).  Streaming inputs
+    can't probe partition counts; their callers spread the replay
+    source instead (streaming.parquet_stream(spread=True))."""
+    from transitdata_hfp_deduplicator_spark.functions import text as TXT
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    if not df.isStreaming:
+        df = spread(df)
     return df.select(
         "doc_id",
         F.explode(TXT.shingles(TXT.tokenize(F.col("text")), 3)).alias("s"),
@@ -3027,7 +3047,10 @@ def q_decontaminate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom = bloom_build(ev).persist()
 
     src = os.path.join(sf_dir, "documents.parquet")
-    stream = parquet_stream(spark, src)
+    # spread=True: the replay's single split would serialize the
+    # stream-side shingle hashing on one core (measured replay 14.3s ->
+    # 6.3s at sf0.1; see parquet_stream)
+    stream = parquet_stream(spark, src, spread=True)
     tr = _decontam_shingle_hashes(stream.filter(~is_eval))
     flagged = bloom_member(tr, bloom).filter(F.col("bloom_member"))
     tagged = flagged.join(
@@ -3654,50 +3677,48 @@ def q_dedup_incr_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     checked for a shared ≥20-char exact run against the historical 60%
     (its content-defined gram index) plus earlier docs of the same
     batch.  History×history pairs are NEVER enumerated — the history
-    side participates only as the build side of gram-keyed joins, the
-    production shape where the historical index is large and the batch
-    is small.
+    side participates only as members of the df-capped gram buckets
+    (the gram index), and the new-side filter runs before pair
+    construction — the production shape where the historical index is
+    large and the batch is small.
 
     Same content-defined selection as q_dedup_substring (md5 20-gram,
     hash%4==0 — alignment-free), same df-cap discipline (grams in 2..20
     docs corpus-wide), same keep-min-id verdicts; counts of shared
     selected grams arrive from the pair-keyed aggregate, not arrays."""
     from transitdata_hfp_deduplicator_spark.operators.substring import (
-        DF_CAP,
         char_gram_postings,
+        gram_buckets,
         normalize_text,
     )
 
     d = _t(spark, sf_dir, "documents")
     cut = d.agg(F.floor(0.6 * F.count(F.lit(1))).cast("bigint").alias("c"))
-    # Deliberately NOT a _stage_cache stage boundary: the gram pipeline
-    # re-runs per join side (14 static scans), but it is CPU-bound map
-    # work — measured at sf0.1, persisting g and/or gk trades the
-    # recompute for an equal-or-larger materialization cost (5.3-7.1s
-    # uncached vs 6.3s both-cached vs 5.5-5.9s gk-only).  At an
-    # IO-bound lake scale, persist g (the materialized gram index) —
-    # the plumbing exists; the local bench says don't.
-    g = char_gram_postings(normalize_text(d)).distinct()
-    keep = (
-        g.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP))
-        .select("h")
-    )
-    gk = g.join(keep, "h")
-    gh = gk.join(F.broadcast(cut)).filter(F.col("doc_id") < F.col("c"))
-    gn = gk.join(F.broadcast(cut)).filter(F.col("doc_id") >= F.col("c"))
-    hist_new = gh.select(F.col("doc_id").alias("i"), "h").join(
-        gn.select(F.col("doc_id").alias("j"), "h"), "h"
-    )
-    new_new = (
-        gn.select(F.col("doc_id").alias("i"), "h")
-        .join(gn.select(F.col("doc_id").alias("j"), "h"), "h")
-        .filter(F.col("i") < F.col("j"))
+    # ONE posting-list pass (the q_dedup_substring shape: per-doc gram
+    # dedup rides the h-keyed exchange's map-side partial collect_set,
+    # df-capped buckets), with the incremental cut applied INSIDE the
+    # pair-emission transform: for each new-side doc y (y >= c) pair it
+    # with every lower-id doc x < y in the bucket — exactly
+    # hist×new ∪ earlier-new×new.  The y >= c filter runs BEFORE any
+    # pair is built, so history×history pairs never materialize (the
+    # history side still participates only as bucket members, i.e. as
+    # the gram index).  The earlier join formulation referenced the
+    # gram pipeline once per join side (4 references, 20 exchanges in
+    # the static plan — AQE exchange reuse deduplicated the repeated
+    # subtrees at runtime, so the run-time win is the removed keep/side
+    # joins and their shuffles, not 4x the map work: measured 5.0s ->
+    # 4.6s isolated-warm at sf0.1, ~18% calib-normalized); the single
+    # posting-list pass also shuffles each posting once at lake scale,
+    # where multi-branch exchange reuse is not free disk-wise.
+    buckets = gram_buckets(char_gram_postings(normalize_text(d)))
+    pair_struct = F.expr(
+        "flatten(transform(filter(ds, y -> y >= c), y -> "
+        "transform(filter(ds, x -> x < y), x -> struct(x as i, y as j))))"
     )
     shared = (
-        hist_new.select("i", "j")
-        .unionAll(new_new.select("i", "j"))
+        buckets.join(F.broadcast(cut))
+        .select(F.explode(pair_struct).alias("p"))
+        .select("p.i", "p.j")
         .groupBy("i", "j")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -4988,7 +5009,10 @@ def q_dedup_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(sf_dir, "documents.parquet")
-    stream = parquet_stream(spark, src).withColumn(
+    # spread=True: the per-doc MinHash signature (md5 per shingle) runs
+    # upstream of the bucket exchange, and the replay's single split
+    # would serialize it on one core (see parquet_stream)
+    stream = parquet_stream(spark, src, spread=True).withColumn(
         # event time := doc_id seconds after a fixed epoch — documents
         # carries no timestamp, and this makes replay order (hence the
         # state's first-wins winners) deterministic and oracle-visible
@@ -8053,10 +8077,16 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s", "b", F.explode(F.array_intersect("ns", "nb")).alias("c")
         )
     )
+    # credit all three corners by exploding ONE array per triangle —
+    # semantically the 3-way unionAll of s/b/c projections, but that
+    # spelling plans the tri subtree THREE times: exchanges are reused,
+    # the post-shuffle SMJ sorts and the array_intersect Generate are
+    # not (12 sorts / 3 intersection passes at sf0.1 vs 4 / 1 here;
+    # measured 4.6s -> 4.1s isolated-warm — the checkpointed edge
+    # build dominates locally, but at 100 TB the intersect pass IS the
+    # query, and this runs it once instead of three times)
     return (
-        tri.select(F.col("s").alias("part_id"))
-        .unionAll(tri.select(F.col("b").alias("part_id")))
-        .unionAll(tri.select(F.col("c").alias("part_id")))
+        tri.select(F.explode(F.array("s", "b", "c")).alias("part_id"))
         .groupBy("part_id")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
