@@ -31,6 +31,20 @@ def zvalue(a: Column | str, b: Column | str, bits: int = 20) -> Column:
     The 2*bits terms are plain shift/mask expressions — whole-stage
     codegen folds them into straight-line long arithmetic.
     """
+    if isinstance(a, str) and isinstance(b, str):
+        # one parsed expression (vs ~8 py4j round trips per bit —
+        # ~0.3 s of driver time per construction at bits=20); integer-
+        # exact, same left-associated sum (guide §7.3)
+        terms = []
+        for i in range(bits):
+            terms.append(
+                f"shiftleft(shiftright(CAST(`{a}` AS BIGINT), {i}) & 1,"
+                f" {2 * i + 1})"
+            )
+            terms.append(
+                f"shiftleft(shiftright(CAST(`{b}` AS BIGINT), {i}) & 1, {2 * i})"
+            )
+        return F.expr(" + ".join(terms))
     ca = (F.col(a) if isinstance(a, str) else a).cast("bigint")
     cb = (F.col(b) if isinstance(b, str) else b).cast("bigint")
     terms = []
@@ -87,12 +101,19 @@ def zorder_file_stats(
     width = (1 << (2 * bits)) // n_files
     return (
         df.join(F.broadcast(bounds))
+        # name the scaled coordinates first so zvalue takes its one-
+        # F.expr fast path (the optimizer collapses the two projects;
+        # same composed expression, ~160 fewer py4j round trips)
         .select(
             F.col(col_a).alias("a"),
             F.col(col_b).alias("b"),
-            zvalue(
-                scaled(col_a, "lo_a", "hi_a"), scaled(col_b, "lo_b", "hi_b"), bits
-            ).alias("z"),
+            scaled(col_a, "lo_a", "hi_a").alias("_sa"),
+            scaled(col_b, "lo_b", "hi_b").alias("_sb"),
+        )
+        .select(
+            "a",
+            "b",
+            zvalue("_sa", "_sb", bits).alias("z"),
         )
         # explicit floor, not a double->bigint cast: Spark's cast
         # truncates but DuckDB's rounds — floor is the one spelling

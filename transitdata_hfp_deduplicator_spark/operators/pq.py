@@ -47,12 +47,22 @@ from transitdata_hfp_deduplicator_spark.functions import vectors as VEC
 from transitdata_hfp_deduplicator_spark.operators.kmeans import hash_cell
 
 
-def _d2(a: Column, b: Column, dim: int) -> Column:
+def _d2(a: Column | str, b: Column | str, dim: int) -> Column:
     """L2² via the dot-product identity — see module docstring for why
     not a squared-difference fold.  Explicit element sums (dim is
     statically known everywhere PQ uses this), NOT the HOF fold: under
     the encode/LUT join fan-out the fold is CodegenFallback and
-    measured ~10x slower at 25M candidate rows."""
+    measured ~10x slower at 25M candidate rows.
+
+    Column-NAME arguments take the one-shot ``F.expr`` path (identical
+    tree, one py4j round trip instead of ~5·dim — the 64-dim rerank
+    spelling alone cost 3.8 s of driver time per construction)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"(({VEC.dot_explicit_sql(a, a, dim)})"
+            f" - (2.0D * ({VEC.dot_explicit_sql(a, b, dim)})))"
+            f" + ({VEC.dot_explicit_sql(b, b, dim)})"
+        )
     return (
         VEC.dot_explicit(a, a, dim)
         - F.lit(2.0) * VEC.dot_explicit(a, b, dim)
@@ -135,11 +145,11 @@ def pq_encode(
     naive form and to the DuckDB oracle."""
     books = F.broadcast(
         codebooks.withColumn(
-            "cn2", VEC.dot_explicit(F.col("c"), F.col("c"), sub_dim)
+            "cn2", VEC.dot_explicit("c", "c", sub_dim)
         )
     )
     cand = (
-        sub.withColumn("n2", VEC.dot_explicit(F.col("subv"), F.col("subv"), sub_dim))
+        sub.withColumn("n2", VEC.dot_explicit("subv", "subv", sub_dim))
         .join(books, "s")
         .select(
             "vid",
@@ -150,7 +160,7 @@ def pq_encode(
                 (
                     F.col("n2")
                     - F.lit(2.0)
-                    * VEC.dot_explicit(F.col("subv"), F.col("c"), sub_dim)
+                    * VEC.dot_explicit("subv", "c", sub_dim)
                 )
                 + F.col("cn2"),
                 6,
@@ -192,7 +202,7 @@ def pq_adc_topk(
         .join(F.broadcast(codebooks), "s")
         .select(
             "q_id", "s", "cell",
-            _d2(F.col("subv"), F.col("c"), sub_dim).alias("d2q"),
+            _d2("subv", "c", sub_dim).alias("d2q"),
         )
     )
     codes_w = codes.groupBy("vid").agg(
@@ -319,7 +329,7 @@ def pq_rerank_topk(
     rr = (
         items.join(F.broadcast(shortlist.select("q_id", "item_id")), "item_id")
         .join(F.broadcast(qs), "q_id")
-        .withColumn("d2", F.round(_d2(F.col("iv"), F.col("qv"), dim), 6))
+        .withColumn("d2", F.round(_d2("iv", "qv", dim), 6))
     )
     rank = F.row_number().over(
         W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("item_id").asc())

@@ -328,12 +328,15 @@ def minhash_signatures(
         # the min h2 (measured 4.2% of planted pairs below 8/16; zero
         # after the mask).  Overflow-free: h1 < 2^60, k*h2 < 15*2^58,
         # sum < 2^63 — identical wrap-free arithmetic in any engine.
+        # one F.expr per hash column (not ~6 Column ops each): a py4j
+        # round trip is ~1.7 ms, so the per-op spelling cost ~0.2 s of
+        # driver time per construction; the parsed tree is the same
+        # integer-exact arithmetic (guide §7.3)
+        mask = (1 << 59) - 1
         hashed = base.select(
             "doc_id",
             *[
-                (F.col("h1") + F.lit(k) * F.col("h2"))
-                .bitwiseAND(F.lit((1 << 59) - 1))
-                .alias(f"h_{k}")
+                F.expr(f"(h1 + {k} * h2) & {mask} AS h_{k}")
                 for k in range(num_hashes)
             ],
         )
@@ -343,14 +346,15 @@ def minhash_signatures(
         hashed = ex.select(
             "doc_id",
             *[
-                F.when(
-                    F.col("sh").isNotNull(), F.xxhash64(F.lit(k), F.col("sh"))
-                ).alias(f"h_{k}")
+                F.expr(
+                    f"CASE WHEN sh IS NOT NULL"
+                    f" THEN xxhash64({k}, sh) END AS h_{k}"
+                )
                 for k in range(num_hashes)
             ],
         )
     return hashed.groupBy("doc_id").agg(
-        *[F.min(f"h_{k}").alias(f"mh_{k}") for k in range(num_hashes)]
+        *[F.expr(f"min(h_{k}) AS mh_{k}") for k in range(num_hashes)]
     )
 
 
@@ -362,16 +366,17 @@ def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     signature-row equality modulo a 64-bit collision, which only ever
     ADDS a candidate that exact verification then rejects."""
     rows = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b), *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
-                ).alias("band_hash"),
-            )
+    # ONE parsed expression for the whole band array (vs ~6 py4j calls
+    # per band): same named_struct/xxhash64 tree, one round trip
+    band_structs = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band', {b}, 'band_hash', xxhash64({b}, "
+            + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+            + "))"
             for b in range(bands)
-        ]
+        )
+        + ")"
     )
     return sigs.select("doc_id", F.explode(band_structs).alias("bh")).select(
         "doc_id",
@@ -616,8 +621,6 @@ def simhash_signatures(
     token per row; the explode keeps everything in whole-stage codegen
     with flat ints).  Shuffle volume: one row of 64 ints per doc.
     """
-    from functools import reduce
-
     ex = spread(docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
         "doc_id", F.explode(TXT.tokenize(F.col(text_col))).alias("tok")
     ).withColumn(
@@ -626,24 +629,28 @@ def simhash_signatures(
         # parity); xxhash64 is the cheaper production default
         TXT.hash64(F.col("tok")) if hash_family == "md5" else F.xxhash64("tok"),
     )
+    # one F.expr per aggregate / ONE for the 64-term pack: the per-op
+    # Column API costs a ~1.7 ms py4j round trip per node (~840 calls
+    # here ≈ 1.5 s of driver time PER CONSTRUCTION); the parsed SQL is
+    # the same integer-exact expression tree (guide §7.3)
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                -1
-            )
-        ).alias(f"v{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS v{i}"
+        )
         for i in range(bits)
     ]
     votes = ex.groupBy("doc_id").agg(*aggs)
-    packed = reduce(
-        lambda acc, i: acc.bitwiseOR(
-            F.when(
-                F.col(f"v{i}") > 0,
-                F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        ),
-        range(bits),
-        F.lit(0).cast("long"),
+    packed = F.expr(
+        " | ".join(
+            ["CAST(0 AS BIGINT)"]
+            + [
+                f"(CASE WHEN v{i} > 0"
+                f" THEN CAST({1 << i if i < 63 else -(1 << 63)} AS BIGINT)"
+                f" ELSE CAST(0 AS BIGINT) END)"
+                for i in range(bits)
+            ]
+        )
     )
     return votes.select("doc_id", packed.alias("sh"))
 

@@ -4456,7 +4456,7 @@ def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lut = qsub.join(F.broadcast(books), "s").select(
         "q_id", "ccell", "s", "cell",
-        _d2(F.col("subv"), F.col("c"), 8).alias("d2q"),
+        _d2("subv", "c", 8).alias("d2q"),
     )
     short = ivfadc_shortlist(codes, lut, subspaces=8, shortlist=50)
     return pq_rerank_topk(
