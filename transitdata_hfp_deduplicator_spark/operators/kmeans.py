@@ -235,9 +235,19 @@ def kmeans_cells(
         # iters=0 would return centroids=None and crash downstream
         # (ivf_topk_trained's probe join) with an opaque error
         raise ValueError(f"iters must be >= 1, got {iters}")
-    vecs = embeddings.select(
-        F.col(id_col).alias("vid"),
-        VEC.as_double(F.col(vec_col)).alias("v"),
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread(): iteration 1's mean fold (posexplode + per-(cell, dim)
+    # partials) and scoring fan-out (n x k cosine folds) run upstream of
+    # the first exchange, i.e. on the scan's splits — a single-file scan
+    # serializes them on one core (guide §2.5).  Identity on any
+    # multi-split lake scan; results are partition-independent by
+    # construction (DECIMAL means, round-6 argmax).
+    vecs = spread(
+        embeddings.select(
+            F.col(id_col).alias("vid"),
+            VEC.as_double(F.col(vec_col)).alias("v"),
+        )
     )
     assigned = vecs.withColumn("cell", hash_cell("vid", k))
     centroids = None
@@ -449,9 +459,15 @@ def assign_cells(
     batch never moves them (re-training would silently re-shuffle the
     historical cell assignments the index/verdict state depends on).
     Returns (vid, v, cell) in ``kmeans_cells`` assignment format."""
-    vecs = vectors.select(
-        F.col(id_col).alias("vid"),
-        VEC.as_double(F.col(vec_col)).alias("v"),
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread(): same single-split rationale as kmeans_cells — the n x k
+    # scoring fan-out runs on the scan's splits (guide §2.5)
+    vecs = spread(
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            VEC.as_double(F.col(vec_col)).alias("v"),
+        )
     )
     return _assign(vecs, centroids, kernel=kernel)
 

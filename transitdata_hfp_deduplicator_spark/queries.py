@@ -4166,9 +4166,14 @@ def q_embed_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_rerank_topk,
         sub_vectors,
     )
+    from transitdata_hfp_deduplicator_spark.tables import spread
 
     e = _t(spark, sf_dir, "embeddings")
-    sub = sub_vectors(e, subspaces=8, sub_dim=8)
+    # spread(): pq_encode's n x S x k candidate scoring and the codebook
+    # mean fold run upstream of their exchanges, on the scan's splits —
+    # a single-file scan serializes them on one core (guide §2.5);
+    # identity on a multi-split lake scan
+    sub = sub_vectors(spread(e), subspaces=8, sub_dim=8)
     books = pq_codebooks(sub, k=32)
     codes = pq_encode(sub, books, sub_dim=8)
     qsub = sub.filter(F.col("vid") % 100 == 0)
@@ -4344,9 +4349,17 @@ def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_vectors,
     )
 
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
     e = _t(spark, sf_dir, "embeddings")
-    vecs = e.select(
-        F.col("vec_id").alias("vid"), VEC.as_double(F.col("embedding")).alias("v")
+    # spread(): the coarse mean fold, the n x C assignment fan-out and
+    # the residual PQ encode all run upstream of their exchanges, on the
+    # scan's splits (guide §2.5); identity on a multi-split lake scan
+    vecs = spread(
+        e.select(
+            F.col("vec_id").alias("vid"),
+            VEC.as_double(F.col("embedding")).alias("v"),
+        )
     )
     # coarse quantizer: one DECIMAL-routed mean step from the md5 init
     # partition, then L2 argmin assignment (min_by partial agg — the
@@ -7698,7 +7711,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you bucket edges by src and the per-iteration cost is two
     co-located exchanges; checkpoint only if the iteration count grows
     past plan-depth comfort."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread(): the per-order partial collect_set below is the map work
+    # upstream of the orderkey exchange, and a single-file scan plans as
+    # ONE split — identity on any multi-split lake scan (guide §2.5)
+    li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     grp = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
@@ -7720,12 +7738,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = li.select(F.col("l_partkey").alias("v")).distinct().localCheckpoint()
     nn = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint()
+    # The rank table (and the contrib table it derives, grouped by dst)
+    # has at most one row per node, so ONE measured count of the
+    # checkpointed node list gates every per-iteration broadcast — the
+    # q_graph_labelprop doctrine.  Broadcasting the node-sized side (a)
+    # stops Spark's auto-threshold from broadcasting the EDGE table
+    # three times (3x collect+build of the ~|E|-row hashed relation on
+    # the driver) and (b) turns the per-iteration carry join into a
+    # BroadcastHashJoin, deleting the 3 node-sized SortMergeJoins and
+    # their sort+exchange pairs.  Above the gate (lake scale) both joins
+    # fall back to the keyed shuffle plans — still edge-linear.
+    _bcast = (
+        F.broadcast
+        if nodes.count() <= _DEG_BROADCAST_MAX_NODES
+        else (lambda df: df)
+    )
     r = nodes.crossJoin(F.broadcast(nn)).select(
         "v", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(3):
         contrib = (
-            edges.join(r.withColumnRenamed("v", "src"), "src")
+            edges.join(_bcast(r.withColumnRenamed("v", "src")), "src")
             .groupBy(F.col("dst").alias("cv"))
             .agg(
                 (
@@ -7740,7 +7773,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         r = (
             nodes.crossJoin(F.broadcast(nn))
-            .join(contrib, F.col("v") == F.col("cv"), "left")
+            .join(_bcast(contrib), F.col("v") == F.col("cv"), "left")
             .select(
                 "v",
                 (
@@ -7904,6 +7937,12 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # we want at lake scale — two exchanges, still edge-linear.
 _DEG_BROADCAST_MAX_NODES = 4_000_000
 
+# q_graph_triangles' adjacency table: one row per distinct source node,
+# but its array payload totals exactly one 8-byte long per ORIENTED
+# EDGE — so the gate counts edges, not rows, for the same ~64 MB
+# broadcast byte budget as the degree gate (guide §3.1).
+_ADJ_BROADCAST_MAX_EDGES = 4_000_000
+
 # q_dedup_fuzzy's hot-variant rows are ~25-char strings (~32 B), twice
 # the two-long degree-row width the default cap is sized for — halve
 # the row cap so the gate keeps meaning the same ~64 MB of broadcast
@@ -8051,7 +8090,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins both arms); the adjacency table groupBys on s and joins
     back co-partitioned, so the only added exchange is the b-keyed one
     carrying ns arrays.  Hash-checked: pure integer counting."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread(): parallelize the per-order partial collect_set on a
+    # single-split scan (guide §2.5); identity on a multi-split lake
+    li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     grp = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -8068,6 +8111,18 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _oriented_edges(e0).localCheckpoint()  # 2 consumers (adjacency
     #                                            build + edge probe)
     adj = o.groupBy("s").agg(F.collect_list("t").alias("ns"))
+    # Size-gated broadcast of the adjacency table (the
+    # _broadcast_if_small doctrine, gated on the MEASURED count of the
+    # checkpointed oriented-edge list — adj's total payload is exactly
+    # one long per oriented edge, so the edge count IS its byte size:
+    # 8 B/edge, _ADJ_BROADCAST_MAX_EDGES = 4M ≈ the same ~64 MB budget
+    # as the degree gate).  Below the gate both probe joins become
+    # BroadcastHashJoins, deleting the two edge-sized SortMergeJoin
+    # exchange+sort pairs — the second of which reshuffled (s, b, ns)
+    # rows WITH their neighbor-array payloads on b.  Above it (lake
+    # scale) the keyed shuffle joins return unchanged.
+    if o.count() <= _ADJ_BROADCAST_MAX_EDGES:
+        adj = F.broadcast(adj)
     tri = (
         o.join(adj, "s")
         .select("s", F.col("t").alias("b"), "ns")
@@ -8164,7 +8219,11 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; the carry rebuilds from the static node list), so all 3
     iterations plan as one job, no per-round checkpoints.
     Hash-checked: pure integer labels and counts."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread(): parallelize the per-order partial collect_set on a
+    # single-split scan (guide §2.5); identity on a multi-split lake
+    li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     pairs = F.expr(
         "flatten(transform(ps, x -> transform(ps, "
@@ -8213,7 +8272,12 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .getField("l")
             .alias("wlbl")
         )
-        lbl = nodes.join(win, F.col("v") == F.col("cv"), "left").select(
+        # the winner table is <= node-sized (grouped by cv ⊆ nodes), so
+        # the same measured node-count gate covers it: broadcasting the
+        # carry join deletes a per-iteration node-sized SortMergeJoin
+        # (its sort + both exchanges); above the gate the keyed shuffle
+        # join returns
+        lbl = nodes.join(_bcast(win), F.col("v") == F.col("cv"), "left").select(
             "v", F.coalesce("wlbl", "v").alias("lbl")
         )
     return lbl.select(F.col("v").alias("part_id"), F.col("lbl").alias("community"))
