@@ -39,10 +39,16 @@ def char_tokens(docs: DataFrame, text_col: str = "text", cap: int = 200) -> Data
     ``(doc_id, pos, tok)``, lower/trim-normalized, capped at ``cap``
     chars per doc (config — caps the per-doc window width, not the
     algorithm)."""
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
     t = F.lower(F.trim(F.col(text_col)))
     return (
-        docs.select("doc_id", t.alias("t"))
-        .filter(F.length("t") >= 1)
+        # spread(): the up-to-200x per-char explode below is the map
+        # work upstream of the doc_id repartition every consumer starts
+        # with, and a single-file scan plans as ONE split (guide §2.5;
+        # measured 0.7s single-task at sf0.1); identity on a multi-split
+        # lake scan
+        spread(docs.select("doc_id", t.alias("t")).filter(F.length("t") >= 1))
         .select(
             "doc_id",
             F.explode(

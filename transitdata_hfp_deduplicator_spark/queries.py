@@ -4944,7 +4944,12 @@ def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = os.path.join(sf_dir, "events.parquet")
-    stream = parquet_stream(spark, src)
+    # spread=True: the identity-digest projection upstream of the
+    # dedup-state exchange runs on the replay's ONE input split (guide
+    # §2.5); safe — which twin survives varies with arrival order
+    # exactly as in the reference, and the returned identity SET
+    # (.distinct() below) is arrival-order-independent
+    stream = parquet_stream(spark, src, spread=True)
     deduped = stream_dedup(stream, EVENT_IDENTITY, "ts", ttl="4 hours")
     with scoped_shuffle_partitions(spark, replay_shuffle_partitions(src)):
         out = run_to_memory(deduped, output_mode="append")
@@ -5892,7 +5897,12 @@ def q_dup_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transitdata_hfp_deduplicator_spark.streaming.stateful import dedup_tag_stream
 
     src = os.path.join(sf_dir, "events.parquet")
-    stream = parquet_stream(spark, src)
+    # spread=True: the identity-digest/bucket projection upstream of the
+    # state exchange runs on the replay's ONE input split (guide §2.5);
+    # safe because the state fn sorts each group by ts_ms and the final
+    # window aggregate is arrival-order-independent (tied-ts rows swap
+    # prime flags only between rows with identical window and delay 0)
+    stream = parquet_stream(spark, src, spread=True)
     # 30-day TTL >> the corpus span: no evictions during replay, so the
     # online result is comparable to the batch (infinite-cache) oracle
     tagged = dedup_tag_stream(
@@ -5978,8 +5988,19 @@ def q_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write_varint,
         with_canonical_payload,
     )
+    from transitdata_hfp_deduplicator_spark.tables import spread
 
-    ev = _t(spark, sf_dir, "events")
+    # select first (guide §4.1: an opaque mapInPandas ships every column
+    # it is handed — the encoder touches exactly these four), then
+    # spread(): both Python kernels (encode below + the canonicalize
+    # pass) run upstream of the digest exchange, i.e. on the scan's ONE
+    # split (guide §2.5).  The groupBy(count, min) output is
+    # partition-order-independent.
+    ev = spread(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "props"
+        )
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def fields_of(r):
@@ -6547,7 +6568,14 @@ def q_text_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns an all-pairs O(n^2 * m^2) comparison into per-block work — the
     standard entity-resolution scale pattern (block -> compare ->
     threshold)."""
-    p = _t(spark, sf_dir, "part")
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread(): the planner broadcasts the b side, so the blocked
+    # candidate fan-out AND its levenshtein DP run on the probe side's
+    # scan splits — ONE task on a single-file scan (measured: the whole
+    # query was one 2.5s task at sf0.1; guide §2.5).  Identity on a
+    # multi-split lake scan.
+    p = spread(_t(spark, sf_dir, "part"))
 
     def side(idc, suffix):
         return p.select(
@@ -8436,8 +8464,15 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transitdata_hfp_deduplicator_spark.operators.similarity import (
         minhash_lsh_pairs,
     )
+    from transitdata_hfp_deduplicator_spark.tables import spread
 
-    d = _t(spark, sf_dir, "documents")
+    # spread(): the quality gate's two regexes + the dedup md5 run per
+    # raw document upstream of the fingerprint exchange, on the scan's
+    # ONE split (guide §2.5; measured 0.37s single-task at sf0.1);
+    # identity on a multi-split lake scan.  (The raw-scan shard-boundary
+    # probe below deliberately reads the UNspread scan — max(doc_id)
+    # needs no parallel map work.)
+    d = spread(_t(spark, sf_dir, "documents"))
     t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     n_tok = F.size(F.split(t, " "))
     alpha = F.round(
@@ -8634,7 +8669,13 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     src = _os.path.join(sf_dir, "events.parquet")
-    stream = parquet_stream(spark, src)
+    # spread=True: the bucket projection upstream of the state exchange
+    # runs on the replay's ONE input split (guide §2.5); safe — the
+    # Space-Saving candidate SUPERSET may vary with arrival order, but
+    # the exact recount + threshold below makes the summary
+    # result-invisible (capacity > 1/phi per bucket guarantees no true
+    # heavy hitter is dropped under ANY arrival order)
+    stream = parquet_stream(spark, src, spread=True)
     snaps = space_saving_stream(stream, "user_id", capacity=160, n_buckets=8)
     with scoped_shuffle_partitions(spark, replay_shuffle_partitions(src)):
         out = run_to_memory(snaps, output_mode="append")
