@@ -299,7 +299,13 @@ def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: partial+final HashAggregate (map-side combine)."""
-    li = _t(spark, sf_dir, "lineitem")
+    from transitdata_hfp_deduplicator_spark.tables import spread
+
+    # spread(): the 8-sum DECIMAL partial aggregation is the whole query
+    # and runs on the scan's splits — ONE working split on a one-row-
+    # group file (guide §2.5; measured 1.8s single-worker at sf0.1).
+    # DECIMAL sums are partial-order-independent by the dsum convention.
+    li = spread(_t(spark, sf_dir, "lineitem"))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     n = F.count(F.lit(1))
