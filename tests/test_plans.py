@@ -1137,3 +1137,26 @@ def test_size_gate_arms_produce_identical_rows(
     monkeypatch.setattr(Q, "_DEG_BROADCAST_MAX_NODES", -1)
     monkeypatch.setattr(Q, "_FUZZY_BROADCAST_MAX_VARIANTS", -1)
     assert rows() == under_cap
+
+
+@pytest.mark.parametrize(
+    "qname", ["q_graph_pagerank", "q_graph_labelprop", "q_graph_triangles"]
+)
+def test_order_pair_cap_arms_produce_identical_rows(
+    spark, sf_dir, monkeypatch, qname
+):
+    """The per-order pair-explosion skew cap (_order_pair_rows, guide
+    §2.5 skew): below the cap the single-transform arm runs alone (the
+    chunked arm is statically present but empty); forcing the cap to 2
+    routes every order (TPC-H |ps| goes up to 7) through the chunked
+    slice-pair arm — both must produce row-identical query output, so
+    the lake-scale arm can't silently diverge from the plan it
+    replaces."""
+    from transitdata_hfp_deduplicator_spark import queries as Q
+
+    def rows():
+        return sorted(tuple(r) for r in QUERIES[qname](spark, sf_dir).collect())
+
+    small_arm = rows()
+    monkeypatch.setattr(Q, "_ORDER_PAIR_CAP", 2)
+    assert rows() == small_arm

