@@ -71,3 +71,60 @@ def test_session_windows_gap_property(spark, sf_dir):
         F.col("session_start_ms") - F.col("prev_end") < 5 * 60 * 1000
     ).count()
     assert too_close == 0
+
+
+def test_exact_flag_percentiles_bit_identical_to_percentile(spark, sf_dir):
+    """q_agg_approx_check's distributed exact-percentile rewrite
+    (_exact_flag_percentiles) must reproduce Catalyst F.percentile
+    BIT-identically — including the integral-position and equal-key
+    fast paths, which skip interpolation entirely (an interpolated
+    v*(hi-lo) differs from v by an ulp)."""
+    import random
+
+    from pyspark.sql import Row
+
+    from transitdata_hfp_deduplicator_spark.queries import (
+        _exact_flag_percentiles,
+        _t,
+    )
+
+    def ref_vs_new(li):
+        ref = (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.percentile(
+                    F.col("l_extendedprice"), F.array(F.lit(0.45), F.lit(0.55))
+                ).alias("x_price"),
+                F.percentile(
+                    F.col("l_quantity"),
+                    F.array(F.lit(0.45), F.lit(0.55), F.lit(0.98)),
+                ).alias("x_qty"),
+            )
+            .collect()
+        )
+        new = _exact_flag_percentiles(li).collect()
+        return (
+            {r.l_returnflag: (r.x_price, r.x_qty) for r in ref},
+            {r.l_returnflag: (r.x_price, r.x_qty) for r in new},
+        )
+
+    refd, newd = ref_vs_new(_t(spark, sf_dir, "lineitem"))
+    assert refd == newd
+
+    # adversarial shape: heavy duplicate values (integral + equal-key
+    # positions), a 1-row group, a tiny group
+    random.seed(7)
+    rows = []
+    for flag, n in (("A", 11), ("N", 1), ("R", 400)):
+        for _ in range(n):
+            rows.append(
+                Row(
+                    l_returnflag=flag,
+                    l_extendedprice=float(
+                        random.choice([1.5, 2.25, 2.25, 9.75, 100.0])
+                    ),
+                    l_quantity=float(random.randint(1, 5)),
+                )
+            )
+    refd, newd = ref_vs_new(spark.createDataFrame(rows))
+    assert refd == newd

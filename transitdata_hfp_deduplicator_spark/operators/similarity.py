@@ -21,6 +21,28 @@ from transitdata_hfp_deduplicator_spark.functions import vectors as VEC
 from transitdata_hfp_deduplicator_spark.tables import spread
 
 
+def _pinned(df: DataFrame, *keys: str) -> DataFrame:
+    """Pin the exchange feeding a pair-explosion aggregation at the
+    session's default parallelism.
+
+    AQE sizes reduce-side partitions by SHUFFLE bytes; posting lists
+    are kilobytes on the wire but explode to Σ|ds|² pairs downstream,
+    so coalescing serializes the whole pair-emission + count stage on
+    2-6 tasks (measured via stage attribution at sf0.1: the posting →
+    pair stage ran 4 tasks / 1.1-1.3s on q_containment,
+    q_dedup_clusters and q_minhash_simdup while 28 cores idled —
+    guide §2.5: partition sizing must reflect downstream work, not
+    input bytes).  A NUMBERED repartition on the grouping key is
+    exempt from AQE coalescing, and the groupBy on the same key reuses
+    the exchange (guide §2.4), so the exchange COUNT is unchanged —
+    only its width is fixed.  defaultParallelism scales with the
+    cluster; per-task aggregation state stays bounded by the
+    max_df/max_bucket caps.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, *keys)
+
+
 def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     toks = TXT.tokenize(F.col(text_col))
     sh = TXT.shingles(toks, shingle_n) if shingle_n > 1 else F.array_distinct(toks)
@@ -81,7 +103,8 @@ def jaccard_pairs(
             F.explode("shingles").alias("sh_raw"),
         ).select("doc_id", "n_sh", F.xxhash64("sh_raw").alias("s"))
         lists = (
-            ex.groupBy("s")
+            _pinned(ex, "s")
+            .groupBy("s")
             .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
             .filter(F.size("ds") > 1)
         )
@@ -128,7 +151,7 @@ def jaccard_pairs(
     ex_kept = ex.join(kept, "s", "left_semi")
     # keep singleton lists here: per-doc sizes must count every
     # RETAINED shingle, including ones no other doc shares
-    lists_all = ex_kept.groupBy("s").agg(
+    lists_all = _pinned(ex_kept, "s").groupBy("s").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ds")
     )
     sizes = (
@@ -202,7 +225,8 @@ def containment_pairs(
             F.explode("shingles").alias("sh_raw"),
         ).select("doc_id", "n_sh", F.xxhash64("sh_raw").alias("s"))
         lists = (
-            ex.groupBy("s")
+            _pinned(ex, "s")
+            .groupBy("s")
             .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds"))
             .filter(F.size("ds") > 1)
         )
@@ -244,7 +268,8 @@ def containment_pairs(
     # intersections are counted in — containment stays a true ratio
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     lists = (
-        ex.groupBy("s")
+        _pinned(ex, "s")
+        .groupBy("s")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -426,6 +451,13 @@ def minhash_lsh_pairs(
     # candidate pairs via posting lists (groupBy bucket -> ordered pairs):
     # one evaluation of the banding subplan and one shuffle — a self-join
     # would re-evaluate the whole signature pipeline per branch
+    # NOT _pinned: band buckets are max_bucket-capped and the banded
+    # stream is num_hashes/bands-fold SMALLER than a shingle stream, so
+    # the candidate explosion is light; pinning here was measured a
+    # 0.75x/0.81x regression on q_dedup_ladder / q_corpus_curate (their
+    # LSH rungs run on already-reduced survivor sets where 32 pinned
+    # tasks are pure scheduling overhead), while AQE's byte-sized
+    # coalesce was already adequate (q_dedup_minhash_lsh 1.04x, noise)
     buckets = (
         banded.groupBy("band", "band_hash")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))

@@ -5752,6 +5752,105 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _exact_flag_percentiles(li: DataFrame) -> DataFrame:
+    """Exact per-l_returnflag percentiles of l_extendedprice
+    ([.45, .55] → x_price) and l_quantity ([.45, .55, .98] → x_qty)
+    as a DISTRIBUTED value histogram + cumulative-rank cut.
+
+    The F.percentile spelling is a TypedImperativeAggregate: every map
+    task builds a value→count OpenHashMap (583k distinct prices at
+    sf0.1), and the merge + sort + rank walk runs in #groups=3 reduce
+    tasks (measured: the sketch agg's map stage alone was 2.13s on 3
+    tasks).  Here the same math is: groupBy(flag, which, value) count
+    (high-cardinality keyed shuffle, map-side partial agg — guide
+    §2.3), window cumsum over 6 small (flag, column) partitions, and a
+    broadcast join of the 15 rank targets that picks 1-2 rows each.
+
+    Bit-identical to Catalyst Percentile.getPercentile on DOUBLE
+    columns, reproducing its exact arithmetic:
+      position  = p * (N-1)                               (double)
+      lower     = floor(position); higher = ceil(position)
+      lowerKey  = first v (value-ascending) with cum(v) >= lower + 1
+      higherKey = first v with cum(v) >= higher + 1
+      result    = lowerKey                    if higher == lower
+                                              or lowerKey == higherKey
+                = (higher - position) * lowerKey
+                  + (position - lower) * higherKey        (else)
+    """
+    melted = li.select(
+        "l_returnflag",
+        F.expr("stack(2, 0, l_extendedprice, 1, l_quantity) AS (which, v)"),
+    ).filter(F.col("v").isNotNull())
+    cnt = melted.groupBy("l_returnflag", "which", "v").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = cnt.withColumn(
+        "cum",
+        F.sum("cnt").over(W.partitionBy("l_returnflag", "which").orderBy("v")),
+    )
+    # N per (flag, column) from the histogram itself — no second scan
+    n = cnt.groupBy("l_returnflag", "which").agg(F.sum("cnt").alias("N"))
+    specs = ((0, 0, 0.45), (0, 1, 0.55), (1, 0, 0.45), (1, 1, 0.55), (1, 2, 0.98))
+    tstruct = ", ".join(
+        f"struct({w} AS tw, {pid} AS pid, CAST({p} AS DOUBLE) AS p)"
+        for (w, pid, p) in specs
+    )
+    tgt = (
+        n.select(
+            "l_returnflag",
+            "which",
+            "N",
+            F.explode(F.expr(f"array({tstruct})")).alias("t"),
+        )
+        .filter(F.col("t.tw") == F.col("which"))
+        .select(
+            "l_returnflag",
+            "which",
+            F.col("t.pid").alias("pid"),
+            (F.col("t.p") * (F.col("N") - 1).cast("double")).alias("pos"),
+        )
+        .select(
+            "l_returnflag", "which", "pid", "pos",
+            F.floor("pos").alias("lo"),
+            F.ceil("pos").alias("hi"),
+        )
+    )
+    j = cum.join(F.broadcast(tgt), ["l_returnflag", "which"]).filter(
+        (F.col("cum") >= F.col("lo") + 1)
+        & (F.col("cum") - F.col("cnt") <= F.col("hi"))
+    )
+    picked = j.groupBy("l_returnflag", "which", "pid", "pos", "lo", "hi").agg(
+        F.min(
+            F.when(F.col("cum") - F.col("cnt") <= F.col("lo"), F.col("v"))
+        ).alias("v_lo"),
+        F.min(
+            F.when(F.col("cum") >= F.col("hi") + 1, F.col("v"))
+        ).alias("v_hi"),
+    )
+    res = picked.select(
+        "l_returnflag",
+        "which",
+        "pid",
+        F.when(
+            (F.col("lo") == F.col("hi")) | (F.col("v_lo") == F.col("v_hi")),
+            F.col("v_lo"),
+        )
+        .otherwise(
+            (F.col("hi").cast("double") - F.col("pos")) * F.col("v_lo")
+            + (F.col("pos") - F.col("lo").cast("double")) * F.col("v_hi")
+        )
+        .alias("r"),
+    )
+    pick = lambda w, i: F.max(  # noqa: E731 - one unique row matches
+        F.when((F.col("which") == w) & (F.col("pid") == i), F.col("r"))
+    )
+    return res.groupBy("l_returnflag").agg(
+        F.array(pick(0, 0), pick(0, 1)).alias("x_price"),
+        F.array(pick(1, 0), pick(1, 1), pick(1, 2)).alias("x_qty"),
+    )
+
+
+
 @query(
     "q_agg_approx_check",
     oracle="""
@@ -5777,13 +5876,26 @@ def q_agg_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     default / 3% at rsd=0.01), percentile_approx(acc=10000) within a
     ±5-percentile exact-rank window (orders-of-magnitude looser than
     the 1/acc rank guarantee, tight enough to catch breakage)."""
-    li = _t(spark, sf_dir, "lineitem")
+    # project-early (guide §2.3), NO spread: the r14 plan's 2.13s
+    # 3-task map stage was dominated by the exact-percentile value-map
+    # buffers, which the _exact_flag_percentiles rewrite removes; with
+    # them gone the remaining map work (HLL partials + count) is cheap
+    # enough that a round-robin exchange of 600k 5-column rows costs
+    # more than the 3-split scan limit does (measured min-of-3:
+    # 2.31s no-spread vs 3.46s spread vs 2.65s r14 original)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_partkey",
+        "l_extendedprice", "l_quantity",
+    )
     # two aggregations joined on the tiny group key, NOT one: mixing
     # multiple DISTINCT aggregates (Expand) with TypedImperativeAggregate
     # buffers (HLL / percentile digests) forces the whole plan onto the
     # sort-aggregate slow path — measured 17s vs 1.2s at sf0.01. Split,
     # each half stays in its fast path (Expand+hash / ObjectHashAggregate)
-    # and the join is a broadcast over #groups rows.
+    # and the join is a broadcast over #groups rows.  The EXACT
+    # percentiles moved out into _exact_flag_percentiles (distributed
+    # histogram; bit-identical — see its contract) so no percentile
+    # buffer ever ships whole-column value maps through a 3-task merge.
     exact = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_orderkey").alias("x_orders"),
@@ -5794,16 +5906,11 @@ def q_agg_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("a_parts"),
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_med"),
         F.percentile_approx("l_quantity", [0.5, 0.99], 10000).alias("a_qty"),
-        F.percentile(
-            F.col("l_extendedprice"), F.array(F.lit(0.45), F.lit(0.55))
-        ).alias("x_price"),
-        F.percentile(
-            F.col("l_quantity"),
-            F.array(F.lit(0.45), F.lit(0.55), F.lit(0.98)),
-        ).alias("x_qty"),
         F.max("l_quantity").alias("x_qty_max"),
     )
-    agg = exact.join(F.broadcast(sketch), "l_returnflag")
+    agg = exact.join(F.broadcast(sketch), "l_returnflag").join(
+        F.broadcast(_exact_flag_percentiles(li)), "l_returnflag"
+    )
     pct = 3 * 0.05  # 3 sigma at default rsd
     pct_parts = 3 * 0.01
     return agg.select(
@@ -7748,12 +7855,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you bucket edges by src and the per-iteration cost is two
     co-located exchanges; checkpoint only if the iteration count grows
     past plan-depth comfort."""
-    from transitdata_hfp_deduplicator_spark.tables import spread
-
-    # spread(): the per-order partial collect_set below is the map work
-    # upstream of the orderkey exchange, and a single-file scan plans as
-    # ONE split — identity on any multi-split lake scan (guide §2.5)
-    li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    # One KEYED, NUMBERED repartition replaces spread()'s round-robin:
+    # it spreads the single-split scan (guide §2.5) AND pre-partitions
+    # for the orderkey groupBy, which reuses the exchange (§2.4) — one
+    # exchange where spread+groupBy planned two.  Numbered, so AQE
+    # can't size the aggregation stage by its kilobyte shuffle input
+    # and serialize the |ps|² pair explosion that runs IN that stage
+    # (measured: 6-task 0.87s explosion stage while 26 cores idled);
+    # defaultParallelism scales with the cluster.
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     grp = li.groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("ps")
     )
@@ -8201,11 +8312,12 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins both arms); the adjacency table groupBys on s and joins
     back co-partitioned, so the only added exchange is the b-keyed one
     carrying ns arrays.  Hash-checked: pure integer counting."""
-    from transitdata_hfp_deduplicator_spark.tables import spread
-
-    # spread(): parallelize the per-order partial collect_set on a
-    # single-split scan (guide §2.5); identity on a multi-split lake
-    li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    # keyed numbered repartition: spreads the single-split scan AND
+    # pre-partitions for the orderkey groupBy (one exchange, reused —
+    # guide §2.4/§2.5), pinned so AQE can't coalesce the stage running
+    # the pair explosion down to its kilobyte shuffle-input width
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     grp = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -8325,11 +8437,12 @@ def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     once; the carry rebuilds from the static node list), so all 3
     iterations plan as one job, no per-round checkpoints.
     Hash-checked: pure integer labels and counts."""
-    from transitdata_hfp_deduplicator_spark.tables import spread
-
-    # spread(): parallelize the per-order partial collect_set on a
-    # single-split scan (guide §2.5); identity on a multi-split lake
-    li = spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    # keyed numbered repartition: spreads the single-split scan AND
+    # pre-partitions for the orderkey groupBy (one exchange, reused —
+    # guide §2.4/§2.5), pinned so AQE can't coalesce the stage running
+    # the pair explosion down to its kilobyte shuffle-input width
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    li = li.repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
     grp = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
     edges = (
         _order_pair_rows(grp)  # skew-capped |ps|² explosion (guide §2.5)
