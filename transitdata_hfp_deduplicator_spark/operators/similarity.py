@@ -53,6 +53,39 @@ def _shingled(docs: DataFrame, id_col: str, text_col: str, shingle_n: int) -> Da
     )
 
 
+def _exploded_shingles(sh: DataFrame, with_size: bool = False) -> DataFrame:
+    """``(doc_id[, n_sh], s)`` rows — one per shingle, pre-hashed.
+
+    ``explode_outer`` + a null filter on the GENERATOR OUTPUT, not
+    plain ``explode``: for ``explode`` Catalyst's
+    InferFiltersFromGenerate adds ``size(shingles) > 0 AND
+    isnotnull(shingles)`` on the generator INPUT, and predicate
+    pushdown then carries that filter through the spread repartition
+    to the single-split scan — where it evaluates the ENTIRE shingling
+    expression (split + 2 zip_with + array_distinct) per document
+    serially, discards it, and re-computes it after the exchange.
+    Measured (guide §1.4 decomposition at sf0.1): the scan alone is
+    0.08s and scan + full-text exchange 0.20s, yet the serial head
+    stage ran 0.9-1.9s — the difference was this pushed-down filter.
+    The rule skips outer generators, and the ``s IS NOT NULL`` filter
+    on the output cannot push below the Generate.  Row-identical:
+    explode skips null/empty arrays, explode_outer turns them into one
+    null row each, which the filter drops; shingle arrays never
+    contain null ELEMENTS (they are token concats), so no legitimate
+    row matches the filter."""
+    cols = ["doc_id"]
+    if with_size:
+        cols.append(F.size("shingles").alias("n_sh"))
+    return (
+        sh.select(*cols, F.explode_outer("shingles").alias("sh_raw"))
+        .filter(F.col("sh_raw").isNotNull())
+        .select(
+            *(["doc_id", "n_sh"] if with_size else ["doc_id"]),
+            F.xxhash64("sh_raw").alias("s"),
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -97,11 +130,7 @@ def jaccard_pairs(
         # hash AFTER explode: top-level xxhash64 stays in whole-stage
         # codegen; inside transform() it is a CodegenFallback HOF
         # (interpreted per element).  Same values, same 8-byte shuffle.
-        ex = sh.select(
-            "doc_id",
-            F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("sh_raw"),
-        ).select("doc_id", "n_sh", F.xxhash64("sh_raw").alias("s"))
+        ex = _exploded_shingles(sh, with_size=True)
         lists = (
             _pinned(ex, "s")
             .groupBy("s")
@@ -132,9 +161,7 @@ def jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("i", "j", "inter", "jaccard")
         )
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh_raw")).select(
-        "doc_id", F.xxhash64("sh_raw").alias("s")
-    )
+    ex = _exploded_shingles(sh)
     # Filter hot shingles BEFORE collect_list: a count aggregation
     # (map-side partial, 12-byte rows) finds over-cap shingles, and
     # a left-semi keyed on the same column drops them, so the 1M-doc
@@ -219,11 +246,7 @@ def containment_pairs(
         # hash AFTER explode: top-level xxhash64 stays in whole-stage
         # codegen; inside transform() it is a CodegenFallback HOF
         # (interpreted per element).  Same values, same 8-byte shuffle.
-        ex = sh.select(
-            "doc_id",
-            F.size("shingles").alias("n_sh"),
-            F.explode("shingles").alias("sh_raw"),
-        ).select("doc_id", "n_sh", F.xxhash64("sh_raw").alias("s"))
+        ex = _exploded_shingles(sh, with_size=True)
         lists = (
             _pinned(ex, "s")
             .groupBy("s")
@@ -254,9 +277,7 @@ def containment_pairs(
             F.round(F.col("inter") / F.col("nj"), 6).alias("containment"),
         )
         return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh_raw")).select(
-        "doc_id", F.xxhash64("sh_raw").alias("s")
-    )
+    ex = _exploded_shingles(sh)
     kept = (
         ex.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
